@@ -1,0 +1,1236 @@
+// tpumesh: constrained Delaunay triangulation with Ruppert-style quality
+// refinement. A from-scratch replacement for the meshing kernel the
+// reference framework vendors (Shewchuk's Triangle); same capability
+// surface -- PSLG input with point/segment markers, hole seeds, regional
+// attributes with per-region area constraints, minimum-angle quality
+// bound, optional suppression of boundary Steiner points ("-Y") and
+// pruning of unused vertices ("-j") -- but an independent implementation:
+// Bowyer-Watson incremental insertion with an exact-arithmetic orient2d
+// (expansion arithmetic per Shewchuk's published adaptive-precision
+// papers), double-double filtered incircle, pipe-based constraint
+// recovery, flood-fill region classification, and off-center (Ungor)
+// refinement points.
+//
+// Exposed as a small C ABI consumed from Python via ctypes
+// (xfemm_tpu/mesh/mesher.py).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdio>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <deque>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+// ===================================================================== //
+// exact / adaptive predicates                                           //
+// ===================================================================== //
+
+inline void two_sum(double a, double b, double &x, double &y) {
+    x = a + b;
+    double bv = x - a;
+    y = (a - (x - bv)) + (b - bv);
+}
+inline void two_product(double a, double b, double &x, double &y) {
+    x = a * b;
+    y = std::fma(a, b, -x);
+}
+
+// Expansion arithmetic: nonoverlapping sequence of doubles whose sum is
+// the exact value (Shewchuk, "Adaptive Precision Floating-Point
+// Arithmetic and Fast Robust Geometric Predicates").
+inline int grow_expansion(int elen, double *e, double b) {
+    double q = b;
+    int hidx = 0;
+    double h[40];
+    for (int i = 0; i < elen; ++i) {
+        double qn, hh;
+        two_sum(q, e[i], qn, hh);
+        if (hh != 0.0) h[hidx++] = hh;
+        q = qn;
+    }
+    if (q != 0.0 || hidx == 0) h[hidx++] = q;
+    std::memcpy(e, h, hidx * sizeof(double));
+    return hidx;
+}
+
+// Exact orient2d sign: det = ax*by - ax*cy - cx*by + cx*cy
+//                           - ay*bx + ay*cx + cy*bx - cy*cx
+double orient2d_exact(const double *pa, const double *pb, const double *pc) {
+    double e[40];
+    int elen = 0;
+    double hi, lo;
+    auto addprod = [&](double u, double v) {
+        two_product(u, v, hi, lo);
+        if (lo != 0.0 || elen == 0) elen = grow_expansion(elen, e, lo);
+        elen = grow_expansion(elen, e, hi);
+    };
+    addprod(pa[0], pb[1]);
+    addprod(-pa[0], pc[1]);
+    addprod(-pc[0], pb[1]);
+    addprod(pc[0], pc[1]);
+    addprod(-pa[1], pb[0]);
+    addprod(pa[1], pc[0]);
+    addprod(pc[1], pb[0]);
+    addprod(-pc[1], pc[0]);
+    double s = 0.0;
+    for (int i = 0; i < elen; ++i) s += e[i];
+    // the largest-magnitude component carries the sign; the plain sum of a
+    // nonoverlapping expansion is a faithful estimate
+    return s;
+}
+
+double orient2d(const double *pa, const double *pb, const double *pc) {
+    double detleft = (pa[0] - pc[0]) * (pb[1] - pc[1]);
+    double detright = (pa[1] - pc[1]) * (pb[0] - pc[0]);
+    double det = detleft - detright;
+    double detsum;
+    if (detleft > 0.0) {
+        if (detright <= 0.0) return det;
+        detsum = detleft + detright;
+    } else if (detleft < 0.0) {
+        if (detright >= 0.0) return det;
+        detsum = -detleft - detright;
+    } else {
+        return det;
+    }
+    double errbound = 3.3306690738754716e-16 * detsum;
+    if (det >= errbound || -det >= errbound) return det;
+    return orient2d_exact(pa, pb, pc);
+}
+
+// double-double arithmetic for the incircle second-stage filter
+struct dd {
+    double hi, lo;
+};
+inline dd dd_two(double h, double l) { return {h, l}; }
+inline dd dd_add(dd a, dd b) {
+    double s, e;
+    two_sum(a.hi, b.hi, s, e);
+    e += a.lo + b.lo;
+    double hi, lo;
+    two_sum(s, e, hi, lo);
+    return {hi, lo};
+}
+inline dd dd_neg(dd a) { return {-a.hi, -a.lo}; }
+inline dd dd_mul(dd a, dd b) {
+    double p, e;
+    two_product(a.hi, b.hi, p, e);
+    e += a.hi * b.lo + a.lo * b.hi;
+    double hi, lo;
+    two_sum(p, e, hi, lo);
+    return {hi, lo};
+}
+inline dd dd_diff(double a, double b) {
+    double x, y;
+    two_sum(a, -b, x, y);
+    return {x, y};
+}
+
+// incircle: > 0 if pd inside circumcircle of CCW triangle (pa,pb,pc).
+// Stage 1 double filter; stage 2 double-double (~106 bits); remaining
+// ties are treated as exactly cocircular.
+double incircle(const double *pa, const double *pb, const double *pc,
+                const double *pd) {
+    double adx = pa[0] - pd[0], ady = pa[1] - pd[1];
+    double bdx = pb[0] - pd[0], bdy = pb[1] - pd[1];
+    double cdx = pc[0] - pd[0], cdy = pc[1] - pd[1];
+
+    double bdxcdy = bdx * cdy, cdxbdy = cdx * bdy;
+    double alift = adx * adx + ady * ady;
+    double cdxady = cdx * ady, adxcdy = adx * cdy;
+    double blift = bdx * bdx + bdy * bdy;
+    double adxbdy = adx * bdy, bdxady = bdx * ady;
+    double clift = cdx * cdx + cdy * cdy;
+
+    double det = alift * (bdxcdy - cdxbdy) + blift * (cdxady - adxcdy) +
+                 clift * (adxbdy - bdxady);
+    double permanent = (std::fabs(bdxcdy) + std::fabs(cdxbdy)) * alift +
+                       (std::fabs(cdxady) + std::fabs(adxcdy)) * blift +
+                       (std::fabs(adxbdy) + std::fabs(bdxady)) * clift;
+    double errbound = 1.1102230246251565e-14 * permanent;
+    if (det > errbound || -det > errbound) return det;
+
+    dd Adx = dd_diff(pa[0], pd[0]), Ady = dd_diff(pa[1], pd[1]);
+    dd Bdx = dd_diff(pb[0], pd[0]), Bdy = dd_diff(pb[1], pd[1]);
+    dd Cdx = dd_diff(pc[0], pd[0]), Cdy = dd_diff(pc[1], pd[1]);
+    dd Alift = dd_add(dd_mul(Adx, Adx), dd_mul(Ady, Ady));
+    dd Blift = dd_add(dd_mul(Bdx, Bdx), dd_mul(Bdy, Bdy));
+    dd Clift = dd_add(dd_mul(Cdx, Cdx), dd_mul(Cdy, Cdy));
+    dd m1 = dd_add(dd_mul(Bdx, Cdy), dd_neg(dd_mul(Cdx, Bdy)));
+    dd m2 = dd_add(dd_mul(Cdx, Ady), dd_neg(dd_mul(Adx, Cdy)));
+    dd m3 = dd_add(dd_mul(Adx, Bdy), dd_neg(dd_mul(Bdx, Ady)));
+    dd D = dd_add(dd_add(dd_mul(Alift, m1), dd_mul(Blift, m2)),
+                  dd_mul(Clift, m3));
+    double res = D.hi + D.lo;
+    if (std::fabs(res) < 1e-28 * permanent) return 0.0;
+    return res;
+}
+
+// ===================================================================== //
+// mesh data structures                                                  //
+// ===================================================================== //
+
+struct Tri {
+    int v[3];    // vertices, CCW
+    int n[3];    // neighbor across edge opposite v[i] (edge v[i+1],v[i+2])
+    int attr;
+    bool dead;
+};
+
+inline uint64_t ekey(int a, int b) {
+    if (a > b) std::swap(a, b);
+    return (uint64_t(uint32_t(a)) << 32) | uint32_t(b);
+}
+
+struct Mesh {
+    std::vector<double> px, py;
+    std::vector<int> vmark;
+    std::vector<int> vtri;  // one live triangle containing vertex v
+    std::vector<Tri> tris;
+    std::vector<int> freelist;
+    std::unordered_map<uint64_t, int> segmap;  // constrained edge -> marker
+    std::unordered_set<uint64_t> protected_segs;  // "-Y": never split these
+    std::vector<double> region_maxarea;        // indexed by attr-1
+    double minangle = 0.0;
+    bool no_boundary_steiner = false;
+    int nsuper0 = 0;
+    int last_tri = 0;
+
+    bool is_protected(uint64_t key) const {
+        return protected_segs.count(key) != 0;
+    }
+
+    void pt(int i, double *out) const {
+        out[0] = px[i];
+        out[1] = py[i];
+    }
+    int addv(double x, double y, int mark) {
+        px.push_back(x);
+        py.push_back(y);
+        vmark.push_back(mark);
+        vtri.push_back(-1);
+        return int(px.size()) - 1;
+    }
+    int newtri(int a, int b, int c, int attr) {
+        int t;
+        if (!freelist.empty()) {
+            t = freelist.back();
+            freelist.pop_back();
+        } else {
+            tris.push_back(Tri());
+            t = int(tris.size()) - 1;
+        }
+        Tri &T = tris[t];
+        T.v[0] = a;
+        T.v[1] = b;
+        T.v[2] = c;
+        T.n[0] = T.n[1] = T.n[2] = -1;
+        T.attr = attr;
+        T.dead = false;
+        vtri[a] = vtri[b] = vtri[c] = t;
+        return t;
+    }
+    void killtri(int t) {
+        tris[t].dead = true;
+        freelist.push_back(t);
+    }
+    bool is_constrained(int a, int b) const {
+        return segmap.count(ekey(a, b)) != 0;
+    }
+    double orient(int a, int b, int c) const {
+        double pa[2], pb[2], pc[2];
+        pt(a, pa);
+        pt(b, pb);
+        pt(c, pc);
+        return orient2d(pa, pb, pc);
+    }
+    double orient_pt(int a, int b, const double *p) const {
+        double pa[2], pb[2];
+        pt(a, pa);
+        pt(b, pb);
+        return orient2d(pa, pb, p);
+    }
+    double incircle_tri(int t, const double *p) const {
+        double pa[2], pb[2], pc[2];
+        pt(tris[t].v[0], pa);
+        pt(tris[t].v[1], pb);
+        pt(tris[t].v[2], pc);
+        return incircle(pa, pb, pc, p);
+    }
+    int vidx(int t, int v) const {
+        for (int i = 0; i < 3; ++i)
+            if (tris[t].v[i] == v) return i;
+        return -1;
+    }
+    void relink(int t, int oldn, int newn) {
+        if (t < 0) return;
+        for (int i = 0; i < 3; ++i)
+            if (tris[t].n[i] == oldn) {
+                tris[t].n[i] = newn;
+                return;
+            }
+    }
+
+    // find live triangle with directed edge (a,b); returns (tri, local
+    // index of the edge's opposite vertex) or (-1,-1). Walks around a.
+    bool find_edge(int a, int b, int &t_out, int &i_out) const {
+        int t0 = vtri[a];
+        if (t0 < 0 || tris[t0].dead) return false;
+        // walk around vertex a in both directions
+        for (int dir = 0; dir < 2; ++dir) {
+            int t = t0;
+            int guard = 0;
+            while (t >= 0 && guard++ < 1 << 20) {
+                int ia = vidx(t, a);
+                if (ia < 0) break;
+                int nxt = tris[t].v[(ia + 1) % 3];
+                int prv = tris[t].v[(ia + 2) % 3];
+                if (nxt == b) {
+                    t_out = t;
+                    i_out = (ia + 2) % 3;  // edge (a,b) is opposite v[ia+2]
+                    return true;
+                }
+                if (prv == b) {
+                    // directed edge (b,a) in this triangle; keep walking --
+                    // caller wants (a,b) direction
+                }
+                // move to the next triangle around a
+                t = (dir == 0) ? tris[t].n[(ia + 1) % 3]
+                               : tris[t].n[(ia + 2) % 3];
+                if (t == t0) break;
+            }
+        }
+        return false;
+    }
+    bool edge_exists(int a, int b) const {
+        int t, i;
+        return find_edge(a, b, t, i) || find_edge(b, a, t, i);
+    }
+};
+
+// --------------------------------------------------------------------- //
+// point location                                                        //
+// --------------------------------------------------------------------- //
+int locate(Mesh &m, const double *p, int &onedge, int hint = -1) {
+    int t = hint >= 0 ? hint : m.last_tri;
+    if (t < 0 || t >= (int)m.tris.size() || m.tris[t].dead) {
+        t = -1;
+        for (int i = int(m.tris.size()) - 1; i >= 0; --i)
+            if (!m.tris[i].dead) {
+                t = i;
+                break;
+            }
+        if (t < 0) return -1;
+    }
+    int steps = 0;
+    const int maxsteps = int(m.tris.size()) * 4 + 64;
+    int prev = -1;
+    while (true) {
+        if (++steps > maxsteps) return -1;
+        const Tri &T = m.tris[t];
+        double o[3];
+        int cross = -1;
+        double worst = 0.0;
+        for (int i = 0; i < 3; ++i) {
+            int a = T.v[(i + 1) % 3], b = T.v[(i + 2) % 3];
+            o[i] = m.orient_pt(a, b, p);
+            if (o[i] < worst && T.n[i] != prev) {
+                worst = o[i];
+                cross = i;
+            }
+        }
+        if (worst == 0.0) {
+            // also allow crossing back if that's the only negative edge
+            for (int i = 0; i < 3; ++i)
+                if (o[i] < worst) {
+                    worst = o[i];
+                    cross = i;
+                }
+        }
+        if (cross < 0) {
+            onedge = -1;
+            for (int i = 0; i < 3; ++i)
+                if (o[i] == 0.0) onedge = i;
+            m.last_tri = t;
+            return t;
+        }
+        int nt = T.n[cross];
+        if (nt < 0) return -1;
+        prev = t;
+        t = nt;
+    }
+}
+
+// --------------------------------------------------------------------- //
+// Bowyer-Watson insertion                                               //
+// --------------------------------------------------------------------- //
+// Insert existing vertex v located in triangle t0; appends created
+// triangles to out_newtris if non-null. Cavity growth never crosses
+// constrained edges, except the designated ``split_key`` edge (used when
+// splitting a constrained segment at a point on it -- the caller updates
+// segmap afterwards). Points exactly on a hull edge are supported: the
+// fan simply leaves the two half-edges open.
+bool insert_vertex(Mesh &m, int v, int t0, int onedge,
+                   std::vector<int> *out_newtris = nullptr,
+                   uint64_t split_key = ~uint64_t(0)) {
+    double p[2];
+    m.pt(v, p);
+
+    std::vector<int> cavity;
+    std::unordered_set<int> incav;
+    std::vector<int> stack;
+    stack.push_back(t0);
+    incav.insert(t0);
+    if (onedge >= 0) {
+        int nt = m.tris[t0].n[onedge];
+        int a = m.tris[t0].v[(onedge + 1) % 3];
+        int b = m.tris[t0].v[(onedge + 2) % 3];
+        bool crossable = !m.is_constrained(a, b) || ekey(a, b) == split_key;
+        if (nt >= 0 && crossable) {
+            stack.push_back(nt);
+            incav.insert(nt);
+        }
+    }
+    while (!stack.empty()) {
+        int t = stack.back();
+        stack.pop_back();
+        cavity.push_back(t);
+        for (int i = 0; i < 3; ++i) {
+            int nt = m.tris[t].n[i];
+            if (nt < 0 || incav.count(nt)) continue;
+            int a = m.tris[t].v[(i + 1) % 3];
+            int b = m.tris[t].v[(i + 2) % 3];
+            if (m.is_constrained(a, b) && ekey(a, b) != split_key) continue;
+            if (m.incircle_tri(nt, p) > 0.0) {
+                incav.insert(nt);
+                stack.push_back(nt);
+            }
+        }
+    }
+
+    struct BEdge {
+        int a, b, out, attr;
+        bool degenerate;  // p lies exactly on this (hull/constraint) edge
+    };
+    std::vector<BEdge> bedges;
+    auto build_bedges = [&]() {
+        bedges.clear();
+        for (int t : cavity) {
+            for (int i = 0; i < 3; ++i) {
+                int nt = m.tris[t].n[i];
+                if (nt >= 0 && incav.count(nt)) continue;
+                bedges.push_back({m.tris[t].v[(i + 1) % 3],
+                                  m.tris[t].v[(i + 2) % 3], nt,
+                                  m.tris[t].attr, false});
+            }
+        }
+    };
+    build_bedges();
+
+    // validity guard: every cavity boundary edge must see p strictly left.
+    // An edge containing p exactly (orient == 0) is marked degenerate and
+    // produces no fan triangle (the point splits that edge); a strictly
+    // negative edge shrinks the cavity (filtered-incircle slip guard).
+    bool again = true;
+    while (again) {
+        again = false;
+        for (auto &be : bedges) {
+            double o = m.orient_pt(be.a, be.b, p);
+            if (o == 0.0) {
+                be.degenerate = true;
+                continue;
+            }
+            if (o < 0.0) {
+                int owner = -1;
+                for (int t : cavity) {
+                    for (int i = 0; i < 3; ++i)
+                        if (m.tris[t].v[(i + 1) % 3] == be.a &&
+                            m.tris[t].v[(i + 2) % 3] == be.b) {
+                            owner = t;
+                            break;
+                        }
+                    if (owner >= 0) break;
+                }
+                if (owner < 0 || cavity.size() <= 1) return false;
+                incav.erase(owner);
+                cavity.erase(std::find(cavity.begin(), cavity.end(), owner));
+                build_bedges();
+                again = true;
+                break;
+            }
+        }
+    }
+    // a degenerate edge with a live neighbor outside the cavity cannot be
+    // split one-sidedly (would leave a T-junction): reject unless it is a
+    // hull edge
+    for (auto &be : bedges)
+        if (be.degenerate && be.out >= 0) return false;
+
+    for (int t : cavity) m.killtri(t);
+
+    std::vector<int> newtris;
+    newtris.reserve(bedges.size());
+    std::unordered_map<int, int> tri_by_a, tri_by_b;
+    for (auto &be : bedges) {
+        if (be.degenerate) continue;
+        int t = m.newtri(v, be.a, be.b, be.attr);
+        m.tris[t].n[0] = be.out;
+        if (be.out >= 0) {
+            for (int k = 0; k < 3; ++k) {
+                if (m.tris[be.out].v[(k + 1) % 3] == be.b &&
+                    m.tris[be.out].v[(k + 2) % 3] == be.a) {
+                    m.tris[be.out].n[k] = t;
+                    break;
+                }
+            }
+        }
+        tri_by_a[be.a] = t;
+        tri_by_b[be.b] = t;
+        newtris.push_back(t);
+    }
+    for (int t : newtris) {
+        int a = m.tris[t].v[1], b = m.tris[t].v[2];
+        auto it = tri_by_a.find(b);
+        m.tris[t].n[1] = (it != tri_by_a.end()) ? it->second : -1;
+        auto it2 = tri_by_b.find(a);
+        m.tris[t].n[2] = (it2 != tri_by_b.end()) ? it2->second : -1;
+    }
+    if (!newtris.empty()) m.last_tri = newtris[0];
+    if (out_newtris)
+        out_newtris->insert(out_newtris->end(), newtris.begin(),
+                            newtris.end());
+    return true;
+}
+
+// append + insert; returns vertex id, or -1 on failure/duplicate.
+// ``split_key``: constrained-edge key the point is being inserted onto
+// (enables crossing/splitting that one edge).
+int add_point(Mesh &m, double x, double y, int mark,
+              std::vector<int> *out_newtris = nullptr, int hint = -1,
+              uint64_t split_key = ~uint64_t(0)) {
+    double p[2] = {x, y};
+    int onedge = -1;
+    int t = locate(m, p, onedge, hint);
+    if (t < 0) return -1;
+    for (int i = 0; i < 3; ++i) {
+        int w = m.tris[t].v[i];
+        if (m.px[w] == x && m.py[w] == y) return -1;
+    }
+    // refuse inserting a refinement point exactly onto a constrained edge
+    // we are not allowed to split (the caller falls back to splitting it)
+    if (onedge >= 0) {
+        int a = m.tris[t].v[(onedge + 1) % 3];
+        int b = m.tris[t].v[(onedge + 2) % 3];
+        if (m.is_constrained(a, b) && ekey(a, b) != split_key) return -1;
+    }
+    int v = m.addv(x, y, mark);
+    if (!insert_vertex(m, v, t, onedge, out_newtris, split_key)) {
+        m.px.pop_back();
+        m.py.pop_back();
+        m.vmark.pop_back();
+        m.vtri.pop_back();
+        return -1;
+    }
+    return v;
+}
+
+// --------------------------------------------------------------------- //
+// constraint recovery                                                    //
+// --------------------------------------------------------------------- //
+
+// flip the edge opposite local vertex i of triangle t; returns the
+// (t,u) pair forming the new diagonal, or false if the quad is not
+// strictly convex.
+bool flip_edge(Mesh &m, int t, int i) {
+    int u = m.tris[t].n[i];
+    if (u < 0) return false;
+    int a = m.tris[t].v[(i + 1) % 3];
+    int b = m.tris[t].v[(i + 2) % 3];
+    int c = m.tris[t].v[i];
+    int j = -1;
+    for (int k = 0; k < 3; ++k)
+        if (m.tris[u].v[(k + 1) % 3] == b && m.tris[u].v[(k + 2) % 3] == a)
+            j = k;
+    if (j < 0) return false;
+    int d = m.tris[u].v[j];
+    if (m.orient(c, a, d) <= 0.0) return false;
+    if (m.orient(d, b, c) <= 0.0) return false;
+
+    int t_bc = m.tris[t].n[(i + 1) % 3];
+    int t_ca = m.tris[t].n[(i + 2) % 3];
+    int u_ad = m.tris[u].n[(j + 1) % 3];
+    int u_db = m.tris[u].n[(j + 2) % 3];
+
+    m.tris[t].v[0] = c;
+    m.tris[t].v[1] = a;
+    m.tris[t].v[2] = d;
+    m.tris[u].v[0] = d;
+    m.tris[u].v[1] = b;
+    m.tris[u].v[2] = c;
+    m.tris[t].n[0] = u_ad;
+    m.tris[t].n[1] = u;
+    m.tris[t].n[2] = t_ca;
+    m.tris[u].n[0] = t_bc;
+    m.tris[u].n[1] = t;
+    m.tris[u].n[2] = u_db;
+    m.relink(u_ad, u, t);
+    m.relink(t_bc, t, u);
+    m.vtri[a] = t;
+    m.vtri[b] = u;
+    m.vtri[c] = t;
+    m.vtri[d] = t;
+    return true;
+}
+
+bool recover_segment(Mesh &m, int a, int b, int marker, int depth = 0) {
+    if (a == b || depth > 64) return false;
+    if (m.edge_exists(a, b)) {
+        m.segmap[ekey(a, b)] = marker;
+        return true;
+    }
+    // a vertex exactly on the open segment splits the constraint
+    {
+        double ax = m.px[a], ay = m.py[a], bx = m.px[b], by = m.py[b];
+        double lox = std::fmin(ax, bx), hix = std::fmax(ax, bx);
+        double loy = std::fmin(ay, by), hiy = std::fmax(ay, by);
+        for (int v = 0; v < (int)m.px.size(); ++v) {
+            if (v == a || v == b || m.vtri[v] < 0) continue;
+            if (m.px[v] < lox || m.px[v] > hix || m.py[v] < loy ||
+                m.py[v] > hiy)
+                continue;
+            if (m.orient(a, b, v) == 0.0) {
+                double t = (hix - lox > hiy - loy)
+                               ? (m.px[v] - ax) / (bx - ax)
+                               : (m.py[v] - ay) / (by - ay);
+                if (t > 0.0 && t < 1.0)
+                    return recover_segment(m, a, v, marker, depth + 1) &&
+                           recover_segment(m, v, b, marker, depth + 1);
+            }
+        }
+    }
+    // iterative flipping of crossing edges, starting from the wedge at a
+    int guard = 0;
+    const int maxflips = int(m.tris.size()) * 16 + 4096;
+    while (!m.edge_exists(a, b)) {
+        if (++guard > maxflips) return false;
+        // find the triangle in a's star whose opposite edge crosses a->b
+        int t0 = m.vtri[a];
+        if (t0 < 0) return false;
+        int tcur = -1, icross = -1;
+        // collect star of a (walk both directions, bounded)
+        std::vector<int> star;
+        {
+            std::unordered_set<int> seen;
+            std::vector<int> st{t0};
+            while (!st.empty()) {
+                int t = st.back();
+                st.pop_back();
+                if (t < 0 || m.tris[t].dead || seen.count(t)) continue;
+                if (m.vidx(t, a) < 0) continue;
+                seen.insert(t);
+                star.push_back(t);
+                int ia = m.vidx(t, a);
+                st.push_back(m.tris[t].n[(ia + 1) % 3]);
+                st.push_back(m.tris[t].n[(ia + 2) % 3]);
+            }
+        }
+        for (int t : star) {
+            int ia = m.vidx(t, a);
+            int c = m.tris[t].v[(ia + 1) % 3];
+            int d = m.tris[t].v[(ia + 2) % 3];
+            // does a->b pass strictly through edge (c,d)?
+            double o_acb = m.orient(a, c, b);  // b left of a->c?
+            double o_adb = m.orient(a, d, b);
+            double o_cdb_a = m.orient(c, d, a);
+            double o_cdb_b = m.orient(c, d, b);
+            if (o_acb < 0.0 && o_adb > 0.0 &&
+                ((o_cdb_a > 0) != (o_cdb_b > 0)) && o_cdb_b != 0.0) {
+                tcur = t;
+                icross = ia;  // crossing edge is opposite a in t
+                break;
+            }
+        }
+        if (tcur < 0) return false;
+        int c = m.tris[tcur].v[(icross + 1) % 3];
+        int d = m.tris[tcur].v[(icross + 2) % 3];
+        if (m.is_constrained(c, d)) return false;  // PSLG self-intersection
+
+        if (!flip_edge(m, tcur, icross)) {
+            // nonconvex at the first crossing: walk the pipe to find any
+            // flippable crossing edge
+            bool flipped = false;
+            int t = m.tris[tcur].n[icross];
+            int prev = tcur;
+            int pg = 0;
+            while (t >= 0 && pg++ < maxflips) {
+                // find the crossing edge of t (an edge crossed by a->b,
+                // not shared with prev)
+                bool advanced = false;
+                for (int i = 0; i < 3 && !advanced; ++i) {
+                    if (m.tris[t].n[i] == prev) continue;
+                    int cc = m.tris[t].v[(i + 1) % 3];
+                    int dd2 = m.tris[t].v[(i + 2) % 3];
+                    if (cc == b || dd2 == b) {
+                        // reached b's triangle: try flipping the last edge
+                        break;
+                    }
+                    double o1 = m.orient(a, b, cc);
+                    double o2 = m.orient(a, b, dd2);
+                    if ((o1 > 0) != (o2 > 0) && o1 != 0 && o2 != 0) {
+                        if (m.is_constrained(cc, dd2)) return false;
+                        if (flip_edge(m, t, i)) {
+                            flipped = true;
+                        } else {
+                            prev = t;
+                            t = m.tris[t].n[i];
+                        }
+                        advanced = true;
+                    }
+                }
+                if (flipped || !advanced) break;
+            }
+            if (!flipped && guard > maxflips / 2) return false;
+        }
+    }
+    m.segmap[ekey(a, b)] = marker;
+    return true;
+}
+
+// --------------------------------------------------------------------- //
+// region classification                                                 //
+// --------------------------------------------------------------------- //
+void flood(Mesh &m, int seed, int attr) {
+    std::vector<int> stack{seed};
+    while (!stack.empty()) {
+        int t = stack.back();
+        stack.pop_back();
+        if (t < 0 || m.tris[t].dead || m.tris[t].attr != INT32_MIN) continue;
+        m.tris[t].attr = attr;
+        for (int i = 0; i < 3; ++i) {
+            int nt = m.tris[t].n[i];
+            if (nt < 0 || m.tris[nt].dead || m.tris[nt].attr != INT32_MIN)
+                continue;
+            int a = m.tris[t].v[(i + 1) % 3];
+            int b = m.tris[t].v[(i + 2) % 3];
+            if (m.is_constrained(a, b)) continue;
+            stack.push_back(nt);
+        }
+    }
+}
+
+// --------------------------------------------------------------------- //
+// refinement                                                            //
+// --------------------------------------------------------------------- //
+struct CircumData {
+    double cx, cy, r2, area, shortest2;
+    int se_a, se_b;
+};
+
+bool circum(const Mesh &m, int t, CircumData &cd) {
+    int A = m.tris[t].v[0], B = m.tris[t].v[1], C = m.tris[t].v[2];
+    double ax = m.px[A], ay = m.py[A];
+    double bx = m.px[B], by = m.py[B];
+    double cx = m.px[C], cy = m.py[C];
+    double d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by));
+    if (d == 0.0) return false;
+    double a2 = ax * ax + ay * ay, b2 = bx * bx + by * by,
+           c2 = cx * cx + cy * cy;
+    cd.cx = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d;
+    cd.cy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d;
+    double dx = cd.cx - ax, dy = cd.cy - ay;
+    cd.r2 = dx * dx + dy * dy;
+    cd.area = std::fabs(d) / 4.0;
+    double e0 = (bx - cx) * (bx - cx) + (by - cy) * (by - cy);
+    double e1 = (cx - ax) * (cx - ax) + (cy - ay) * (cy - ay);
+    double e2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by);
+    cd.shortest2 = e0;
+    cd.se_a = B;
+    cd.se_b = C;
+    if (e1 < cd.shortest2) {
+        cd.shortest2 = e1;
+        cd.se_a = C;
+        cd.se_b = A;
+    }
+    if (e2 < cd.shortest2) {
+        cd.shortest2 = e2;
+        cd.se_a = A;
+        cd.se_b = B;
+    }
+    return true;
+}
+
+inline bool in_diametral(const Mesh &m, int a, int b, double x, double y) {
+    return (m.px[a] - x) * (m.px[b] - x) + (m.py[a] - y) * (m.py[b] - y) <
+           0.0;
+}
+
+void refine(Mesh &m) {
+    double q = m.minangle * M_PI / 180.0;
+    double bound2 = 1e300;
+    if (m.minangle > 0) {
+        double s = 2.0 * std::sin(q);
+        bound2 = 1.0 / (s * s);
+    }
+
+    std::vector<int> queue;
+    for (int t = 0; t < (int)m.tris.size(); ++t)
+        if (!m.tris[t].dead && m.tris[t].attr > 0) queue.push_back(t);
+    std::deque<uint64_t> segqueue;
+    for (auto &kv : m.segmap)
+        if (!m.is_protected(kv.first)) segqueue.push_back(kv.first);
+
+    auto seg_adjacent_ok = [&](int a, int b, int &apex1, int &apex2) {
+        apex1 = apex2 = -1;
+        int t, i;
+        if (m.find_edge(a, b, t, i)) apex1 = m.tris[t].v[i];
+        if (m.find_edge(b, a, t, i)) apex2 = m.tris[t].v[i];
+        return apex1 >= 0 || apex2 >= 0;
+    };
+
+    auto split_segment = [&](int a, int b) -> int {
+        auto it = m.segmap.find(ekey(a, b));
+        if (it == m.segmap.end() || m.is_protected(ekey(a, b))) return -1;
+        int marker = it->second;
+        double dx = m.px[a] - m.px[b], dy = m.py[a] - m.py[b];
+        if (dx * dx + dy * dy == 0.0) return -1;
+        double mx = 0.5 * (m.px[a] + m.px[b]);
+        double my = 0.5 * (m.py[a] + m.py[b]);
+        std::vector<int> created;
+        int v = add_point(m, mx, my, marker, &created, m.vtri[a],
+                          ekey(a, b));
+        if (v < 0) return -1;
+        m.segmap.erase(ekey(a, b));
+        m.segmap[ekey(a, v)] = marker;
+        m.segmap[ekey(v, b)] = marker;
+        segqueue.push_back(ekey(a, v));
+        segqueue.push_back(ekey(v, b));
+        for (int t : created)
+            if (m.tris[t].attr > 0) queue.push_back(t);
+        return v;
+    };
+
+    size_t iterations = 0;
+    const size_t maxiter = 80u * 1000u * 1000u;
+    const bool dbg = getenv("TPUMESH_DEBUG") != nullptr;
+
+    // centroid fallback for area-driven splits whose circumcenter is
+    // blocked (escapes the region or encroaches a protected segment): the
+    // centroid is always strictly inside the triangle, so insertion cannot
+    // leak across constraints. Without this, "-Y" meshes keep arbitrarily
+    // large triangles next to curved protected boundaries.
+    auto insert_centroid = [&](int t) {
+        double gx = (m.px[m.tris[t].v[0]] + m.px[m.tris[t].v[1]] +
+                     m.px[m.tris[t].v[2]]) / 3.0;
+        double gy = (m.py[m.tris[t].v[0]] + m.py[m.tris[t].v[1]] +
+                     m.py[m.tris[t].v[2]]) / 3.0;
+        std::vector<int> created;
+        int v = add_point(m, gx, gy, 0, &created, t);
+        if (v >= 0)
+            for (int tt : created)
+                if (m.tris[tt].attr > 0) queue.push_back(tt);
+        return v;
+    };
+
+    while ((!queue.empty() || !segqueue.empty()) && ++iterations < maxiter) {
+        if (!segqueue.empty()) {
+            uint64_t key = segqueue.front();
+            segqueue.pop_front();
+            if (!m.segmap.count(key)) continue;
+            int a = int(key >> 32), b = int(key & 0xffffffffu);
+            int ap1, ap2;
+            if (!seg_adjacent_ok(a, b, ap1, ap2)) continue;
+            bool enc = false;
+            for (int apex : {ap1, ap2})
+                if (apex >= 0 &&
+                    in_diametral(m, a, b, m.px[apex], m.py[apex]))
+                    enc = true;
+            if (enc) split_segment(a, b);
+            continue;
+        }
+
+        int t = queue.back();
+        queue.pop_back();
+        if (t >= (int)m.tris.size() || m.tris[t].dead || m.tris[t].attr <= 0)
+            continue;
+
+        CircumData cd;
+        if (!circum(m, t, cd)) continue;
+        double maxarea = (m.tris[t].attr >= 1 &&
+                          m.tris[t].attr <= (int)m.region_maxarea.size())
+                             ? m.region_maxarea[m.tris[t].attr - 1]
+                             : 0.0;
+        bool bad_area = (maxarea > 0.0 && cd.area > maxarea);
+        bool bad_angle = (cd.r2 > bound2 * cd.shortest2);
+        // Give up on angle-driven refinement once the shortest edge is far
+        // below the region's area-constraint length scale: such skinny
+        // triangles are forced by small input features (e.g. the corner
+        // mesh-grading stubs) and chasing them grades the whole region to
+        // the feature scale. The reference's meshing kernel behaves the
+        // same way in practice (its TorqueBenchmark output bottoms out at
+        // ~21 degrees despite a 33-degree request).
+        if (bad_angle && !bad_area && maxarea > 0.0 &&
+            cd.shortest2 * 8.0 < maxarea)
+            bad_angle = false;
+        if (dbg)
+            fprintf(stderr,
+                    "pop t=%d v=(%d,%d,%d) area=%g badA=%d badQ=%d cc=(%g,%g)\n",
+                    t, m.tris[t].v[0], m.tris[t].v[1], m.tris[t].v[2],
+                    cd.area, bad_area, bad_angle, cd.cx, cd.cy);
+        if (!bad_area && !bad_angle) continue;
+
+        double ix = cd.cx, iy = cd.cy;
+        if (bad_angle && !bad_area) {
+            // off-center point (Ungor): stop along the bisector where the
+            // new triangle is just-good
+            double mx = 0.5 * (m.px[cd.se_a] + m.px[cd.se_b]);
+            double my = 0.5 * (m.py[cd.se_a] + m.py[cd.se_b]);
+            double dx = cd.cx - mx, dy = cd.cy - my;
+            double dlen = std::sqrt(dx * dx + dy * dy);
+            double ell = std::sqrt(cd.shortest2);
+            // place the apex so the new isoceles triangle sits exactly at
+            // the quality bound: R = beta*ell with beta = 1/(2 sin theta)
+            // => h = ell*(beta + sqrt(beta^2 - 1/4)). Insertion radius is
+            // then >= ell, so no edge shorter than the current shortest is
+            // created (termination).
+            double beta = std::sqrt(bound2);
+            double off = ell * (beta + std::sqrt(std::fmax(beta * beta - 0.25,
+                                                           0.0)));
+            if (dlen > off && dlen > 0.0) {
+                ix = mx + dx / dlen * off;
+                iy = my + dy / dlen * off;
+            }
+        }
+
+        double p[2] = {ix, iy};
+        int onedge = -1;
+        int tc = locate(m, p, onedge, t);
+        if (tc < 0 || m.tris[tc].dead || m.tris[tc].attr != m.tris[t].attr) {
+            // center escaped the region: split (immediately -- Ruppert's
+            // rule: a segment encroached by a proposed point is split
+            // unconditionally) the constrained edge of t that the proposed
+            // point encroaches
+            bool acted = false;
+            for (int i = 0; i < 3; ++i) {
+                int a = m.tris[t].v[(i + 1) % 3];
+                int b = m.tris[t].v[(i + 2) % 3];
+                if (m.is_constrained(a, b) &&
+                    in_diametral(m, a, b, ix, iy)) {
+                    if (split_segment(a, b) >= 0) {  // no-op when protected
+                        queue.push_back(t);
+                        acted = true;
+                    }
+                    break;
+                }
+            }
+            if (!acted && bad_area) insert_centroid(t);
+            continue;
+        }
+
+        // does the new point encroach any constrained edge near its cavity?
+        bool enc = false;
+        uint64_t enckey = 0;
+        {
+            std::vector<int> st{tc};
+            std::unordered_set<int> seen{tc};
+            while (!st.empty() && !enc) {
+                int tt = st.back();
+                st.pop_back();
+                for (int i = 0; i < 3; ++i) {
+                    int a = m.tris[tt].v[(i + 1) % 3];
+                    int b = m.tris[tt].v[(i + 2) % 3];
+                    int nt = m.tris[tt].n[i];
+                    if (m.is_constrained(a, b)) {
+                        if (in_diametral(m, a, b, ix, iy)) {
+                            enc = true;
+                            enckey = ekey(a, b);
+                            break;
+                        }
+                    } else if (nt >= 0 && !seen.count(nt) &&
+                               m.incircle_tri(nt, p) > 0.0) {
+                        seen.insert(nt);
+                        st.push_back(nt);
+                    }
+                }
+            }
+        }
+        if (enc) {
+            // The proposed point encroaches a constrained segment: split
+            // that segment instead of inserting (unconditional -- lazy
+            // apex-recheck would deadlock on area-driven splits). For
+            // PROTECTED ("-Y") segments splitting is forbidden:
+            // area-driven insertions proceed anyway (encroachment is not a
+            // constraint violation; this keeps area bounds satisfiable
+            // next to protected curved boundaries), angle-driven ones are
+            // skipped to keep refinement terminating.
+            if (!m.is_protected(enckey)) {
+                int a = int(enckey >> 32), b = int(enckey & 0xffffffffu);
+                int sv = split_segment(a, b);
+                if (dbg)
+                    fprintf(stderr, "  enc seg (%d,%d) -> split v=%d\n", a, b,
+                            sv);
+                if (sv >= 0) queue.push_back(t);
+                continue;
+            }
+            if (!bad_area) continue;
+            // fall through: insert the area-driven point despite the
+            // encroachment
+        }
+
+        std::vector<int> created;
+        int v = add_point(m, ix, iy, 0, &created, tc);
+        if (dbg) fprintf(stderr, "  insert (%g,%g) -> v=%d\n", ix, iy, v);
+        if (v < 0) {
+            if (bad_area) insert_centroid(t);
+            continue;
+        }
+        for (int tt : created)
+            if (m.tris[tt].attr > 0) queue.push_back(tt);
+    }
+}
+
+}  // namespace
+
+// ===================================================================== //
+// C ABI                                                                 //
+// ===================================================================== //
+
+extern "C" {
+
+// Returns 0 on success; nonzero codes: 1 bad input, 2 internal location
+// failure, 3 constraint recovery failure, 4 classification failure.
+// flags: bit0 = suppress boundary Steiner points (-Y),
+//        bit1 = prune unused vertices (-j).
+int tpumesh_triangulate(
+    int npoints, const double *pts, const int *ptmarkers,
+    int nsegs, const int *segs, const int *segmarkers,
+    int nholes, const double *holes,
+    int nregions, const double *regions,  // x,y,attr,maxarea per region
+    double minangle, int flags,
+    int *out_npoints, double **out_pts, int **out_ptmarkers,
+    int *out_ntris, int **out_tris, int **out_triattrs,
+    int *out_nedges, int **out_edges, int **out_edgemarkers,
+    int **out_vertexmap) {
+    if (npoints < 3) return 1;
+
+    Mesh m;
+    m.minangle = minangle;
+    m.no_boundary_steiner = (flags & 1) != 0;
+
+    double lox = pts[0], hix = pts[0], loy = pts[1], hiy = pts[1];
+    for (int i = 1; i < npoints; ++i) {
+        lox = std::fmin(lox, pts[2 * i]);
+        hix = std::fmax(hix, pts[2 * i]);
+        loy = std::fmin(loy, pts[2 * i + 1]);
+        hiy = std::fmax(hiy, pts[2 * i + 1]);
+    }
+    double w = std::fmax(hix - lox, hiy - loy);
+    if (w == 0) w = 1.0;
+    double cx = 0.5 * (lox + hix), cy = 0.5 * (loy + hiy);
+    double R = 64.0 * w;
+
+    // dedup exactly-equal input points (reference -j semantics)
+    std::vector<int> vmap(npoints, -1);
+    {
+        struct XY {
+            double x, y;
+            bool operator==(const XY &o) const {
+                return x == o.x && y == o.y;
+            }
+        };
+        struct XYh {
+            size_t operator()(const XY &p) const {
+                uint64_t a, b;
+                std::memcpy(&a, &p.x, 8);
+                std::memcpy(&b, &p.y, 8);
+                return size_t(a * 1000003u ^ (b + 0x9e3779b97f4a7c15ull));
+            }
+        };
+        std::unordered_map<XY, int, XYh> seen;
+        for (int i = 0; i < npoints; ++i) {
+            XY p{pts[2 * i], pts[2 * i + 1]};
+            auto it = seen.find(p);
+            if (it != seen.end()) {
+                vmap[i] = it->second;
+                continue;
+            }
+            vmap[i] = m.addv(p.x, p.y, ptmarkers ? ptmarkers[i] : 0);
+            seen.emplace(p, vmap[i]);
+        }
+    }
+    int ninput = int(m.px.size());
+    int s0 = m.addv(cx - 2.0 * R, cy - R, 0);
+    int s1 = m.addv(cx + 2.0 * R, cy - R, 0);
+    int s2 = m.addv(cx, cy + 2.0 * R, 0);
+    m.nsuper0 = ninput;
+    m.newtri(s0, s1, s2, 0);
+
+    for (int i = 0; i < ninput; ++i) {
+        double p[2] = {m.px[i], m.py[i]};
+        int onedge = -1;
+        int t = locate(m, p, onedge);
+        if (t < 0) return 2;
+        insert_vertex(m, i, t, onedge);
+    }
+
+    for (int i = 0; i < nsegs; ++i) {
+        int a = vmap[segs[2 * i]], b = vmap[segs[2 * i + 1]];
+        if (a == b) continue;
+        if (!recover_segment(m, a, b, segmarkers ? segmarkers[i] : 0))
+            return 3;
+    }
+
+    for (auto &t : m.tris)
+        if (!t.dead) t.attr = INT32_MIN;
+    for (int t = 0; t < (int)m.tris.size(); ++t) {
+        if (m.tris[t].dead || m.tris[t].attr != INT32_MIN) continue;
+        bool touches_super = false;
+        for (int i = 0; i < 3; ++i)
+            if (m.tris[t].v[i] >= m.nsuper0) touches_super = true;
+        if (touches_super) flood(m, t, 0);
+    }
+    for (int h = 0; h < nholes; ++h) {
+        double p[2] = {holes[2 * h], holes[2 * h + 1]};
+        int onedge = -1;
+        int t = locate(m, p, onedge);
+        if (t >= 0 && m.tris[t].attr == INT32_MIN) flood(m, t, 0);
+    }
+    int maxattr = 0;
+    for (int r = 0; r < nregions; ++r)
+        maxattr = std::max(maxattr, int(regions[4 * r + 2]));
+    m.region_maxarea.assign(maxattr, 0.0);
+    for (int r = 0; r < nregions; ++r) {
+        double p[2] = {regions[4 * r], regions[4 * r + 1]};
+        int attr = int(regions[4 * r + 2]);
+        if (attr >= 1) m.region_maxarea[attr - 1] = regions[4 * r + 3];
+        int onedge = -1;
+        int t = locate(m, p, onedge);
+        if (t >= 0 && m.tris[t].attr == INT32_MIN) flood(m, t, attr);
+    }
+    for (auto &t : m.tris)
+        if (!t.dead && t.attr == INT32_MIN) t.attr = 0;
+    for (int t = 0; t < (int)m.tris.size(); ++t)
+        if (!m.tris[t].dead && m.tris[t].attr == 0) m.killtri(t);
+    // vtri pointers and neighbor links may now reference dead triangles
+    // (whose slots the freelist will recycle): rebuild/clear them
+    std::fill(m.vtri.begin(), m.vtri.end(), -1);
+    for (int t = 0; t < (int)m.tris.size(); ++t) {
+        if (m.tris[t].dead) continue;
+        for (int i = 0; i < 3; ++i) {
+            m.vtri[m.tris[t].v[i]] = t;
+            int nt = m.tris[t].n[i];
+            if (nt >= 0 && m.tris[nt].dead) m.tris[t].n[i] = -1;
+        }
+    }
+    m.last_tri = -1;
+
+    // "-Y": protect exterior/hole-boundary segments (those with fewer than
+    // two live adjacent triangles) from splitting; interior constrained
+    // segments stay refinable, matching triangle's -Y semantics.
+    if (m.no_boundary_steiner) {
+        for (auto &kv : m.segmap) {
+            int a = int(kv.first >> 32), b = int(kv.first & 0xffffffffu);
+            int t, i, count = 0;
+            if (m.find_edge(a, b, t, i)) ++count;
+            if (m.find_edge(b, a, t, i)) ++count;
+            if (count < 2) m.protected_segs.insert(kv.first);
+        }
+    }
+
+    refine(m);
+
+    // ---- outputs ----
+    int nverts = int(m.px.size());
+    std::vector<char> used(nverts, 0);
+    for (auto &t : m.tris)
+        if (!t.dead)
+            for (int i = 0; i < 3; ++i) used[t.v[i]] = 1;
+    bool prune = (flags & 2) != 0;
+    std::vector<int> newid(nverts, -1);
+    int nout = 0;
+    for (int v = 0; v < nverts; ++v) {
+        bool is_super = (v >= m.nsuper0 && v < m.nsuper0 + 3);
+        if (is_super) {
+            if (used[v]) {
+                if (getenv("TPUMESH_DEBUG")) {
+                    for (int t = 0; t < (int)m.tris.size(); ++t)
+                        if (!m.tris[t].dead && m.vidx(t, v) >= 0)
+                            fprintf(stderr,
+                                    "super v%d in tri %d (%d,%d,%d) attr %d\n",
+                                    v, t, m.tris[t].v[0], m.tris[t].v[1],
+                                    m.tris[t].v[2], m.tris[t].attr);
+                }
+                return 4;
+            }
+            continue;
+        }
+        if (prune && !used[v]) continue;
+        newid[v] = nout++;
+    }
+
+    *out_npoints = nout;
+    *out_pts = (double *)malloc(sizeof(double) * 2 * nout);
+    *out_ptmarkers = (int *)malloc(sizeof(int) * nout);
+    for (int v = 0; v < nverts; ++v) {
+        int nv = newid[v];
+        if (nv < 0) continue;
+        (*out_pts)[2 * nv] = m.px[v];
+        (*out_pts)[2 * nv + 1] = m.py[v];
+        (*out_ptmarkers)[nv] = m.vmark[v];
+    }
+    *out_vertexmap = (int *)malloc(sizeof(int) * npoints);
+    for (int i = 0; i < npoints; ++i)
+        (*out_vertexmap)[i] = newid[vmap[i]];
+
+    int ntris = 0;
+    for (auto &t : m.tris)
+        if (!t.dead) ++ntris;
+    *out_ntris = ntris;
+    *out_tris = (int *)malloc(sizeof(int) * 3 * ntris);
+    *out_triattrs = (int *)malloc(sizeof(int) * ntris);
+    {
+        int k = 0;
+        for (auto &t : m.tris) {
+            if (t.dead) continue;
+            for (int i = 0; i < 3; ++i) (*out_tris)[3 * k + i] = newid[t.v[i]];
+            (*out_triattrs)[k] = t.attr;
+            ++k;
+        }
+    }
+
+    std::unordered_map<uint64_t, int> edgeset;
+    for (auto &t : m.tris) {
+        if (t.dead) continue;
+        for (int i = 0; i < 3; ++i) {
+            int a = t.v[(i + 1) % 3], b = t.v[(i + 2) % 3];
+            uint64_t k = ekey(a, b);
+            if (edgeset.count(k)) continue;
+            auto it = m.segmap.find(k);
+            edgeset[k] = (it != m.segmap.end()) ? it->second : 0;
+        }
+    }
+    *out_nedges = int(edgeset.size());
+    *out_edges = (int *)malloc(sizeof(int) * 2 * edgeset.size());
+    *out_edgemarkers = (int *)malloc(sizeof(int) * edgeset.size());
+    {
+        int k = 0;
+        for (auto &kv : edgeset) {
+            int a = int(kv.first >> 32), b = int(kv.first & 0xffffffffu);
+            (*out_edges)[2 * k] = newid[a];
+            (*out_edges)[2 * k + 1] = newid[b];
+            (*out_edgemarkers)[k] = kv.second;
+            ++k;
+        }
+    }
+    return 0;
+}
+
+void tpumesh_free(void *p) { free(p); }
+int tpumesh_version() { return 1; }
+
+}  // extern "C"
