@@ -24,3 +24,7 @@ FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 @pytest.fixture(scope="session")
 def fixtures() -> pathlib.Path:
     return FIXTURES
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running accuracy sweeps")

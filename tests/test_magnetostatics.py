@@ -1,0 +1,75 @@
+"""Magnetostatic solver validation against the reference implementation.
+
+Golden data: tests/fixtures/Temp.ans.golden was produced by running the
+reference fsolver binary (built unmodified from /root/reference) on the
+checked-in premeshed Temp fixture, so both solvers see the identical mesh.
+Temp exercises nonlinear B-H (Newton), periodic BCs, and circuits.
+
+The TorqueBenchmark test reproduces the reference's north-star accuracy
+check (cfemm/femmcli/test/femmcli_TorqueBenchmark.lua): air-gap torque vs
+the analytic sin(angle) with abs tol 4.2e-5 N*m / rel tol 0.006%.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+from xfemm_tpu.geometry import femfile
+from xfemm_tpu.io import ansfile
+from xfemm_tpu.mesh import mesher
+from xfemm_tpu.mesh.meshdata import read_mesh_files
+from xfemm_tpu.models import magnetostatics
+from xfemm_tpu.post.fpproc import MagPostProcessor
+
+TQ_REF = {0: 0.0, 10: 0.173648, 20: 0.342020, 30: 0.5, 40: 0.642788,
+          50: 0.766044, 60: 0.866025, 70: 0.939693, 80: 0.984808, 90: 1.0}
+
+
+def test_temp_matches_reference(fixtures):
+    p = femfile.load(str(fixtures / "Temp.fem"))
+    mesh = read_mesh_files(str(fixtures / "Temp"))
+    sol = magnetostatics.solve(p, mesh)
+
+    g = ansfile.read_ans(str(fixtures / "Temp.ans.golden"))
+    # reference renumbers nodes (Cuthill-McKee): match by coordinates
+    tree = cKDTree(mesh.nodes)
+    d, idx = tree.query(g.mesh.nodes)
+    assert d.max() < 1e-12
+    Ag = np.real(g.values)
+    scale = np.abs(Ag).max()
+    assert np.abs(sol.A[idx] - Ag).max() / scale < 1e-05
+    # circuit case/current results match exactly
+    assert np.allclose(sol.label_case, g.label_case, rtol=1e-09, atol=1e-300)
+
+
+def _torque_at(fixtures, deg: float) -> float:
+    p = femfile.load(str(fixtures / "TorqueBenchmark.fem"))
+    for bp in p.lineproplist:
+        if bp.name == "AGE":
+            bp.InnerAngle = deg
+            bp.OuterAngle = 0.0
+    mesh = mesher.mesh_problem(p)
+    sol = magnetostatics.solve(p, mesh)
+    post = MagPostProcessor(p, mesh, sol.A, sol.label_case)
+    return post.gap_dc_torque("AGE")
+
+
+@pytest.mark.parametrize("deg", [0, 30, 80])
+def test_torque_benchmark_quick(fixtures, deg):
+    tq = _torque_at(fixtures, deg)
+    diff = tq - TQ_REF[deg]
+    rel = 100.0 * diff / TQ_REF[deg] if TQ_REF[deg] else 0.0
+    assert abs(diff) <= 4.2e-05, f"torque {tq} vs {TQ_REF[deg]}"
+    assert abs(rel) <= 0.006
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("deg", [10, 20, 40, 50, 60, 70, 90])
+def test_torque_benchmark_full(fixtures, deg):
+    tq = _torque_at(fixtures, deg)
+    diff = tq - TQ_REF[deg]
+    rel = 100.0 * diff / TQ_REF[deg] if TQ_REF[deg] else 0.0
+    assert abs(diff) <= 4.2e-05
+    assert abs(rel) <= 0.006

@@ -614,90 +614,103 @@ bool recover_segment(Mesh &m, int a, int b, int marker, int depth = 0) {
             }
         }
     }
-    // iterative flipping of crossing edges, starting from the wedge at a
-    int guard = 0;
-    const int maxflips = int(m.tris.size()) * 16 + 4096;
-    while (!m.edge_exists(a, b)) {
-        if (++guard > maxflips) return false;
-        // find the triangle in a's star whose opposite edge crosses a->b
+    // Queue-based crossing-edge flipping (Anglada's CDT edge insertion):
+    // collect the edges crossed by a->b, then repeatedly flip; edges whose
+    // quad is nonconvex or whose flip still crosses go to the back.
+    auto crosses_ab = [&](int c, int d) {
+        double o1 = m.orient(a, b, c);
+        double o2 = m.orient(a, b, d);
+        if (o1 == 0.0 || o2 == 0.0 || (o1 > 0) == (o2 > 0)) return false;
+        double o3 = m.orient(c, d, a);
+        double o4 = m.orient(c, d, b);
+        return o3 != 0.0 && o4 != 0.0 && (o3 > 0) != (o4 > 0);
+    };
+
+    // initial crossing edge from a's wedge
+    std::deque<uint64_t> cross;
+    {
         int t0 = m.vtri[a];
         if (t0 < 0) return false;
-        int tcur = -1, icross = -1;
-        // collect star of a (walk both directions, bounded)
-        std::vector<int> star;
-        {
-            std::unordered_set<int> seen;
-            std::vector<int> st{t0};
-            while (!st.empty()) {
-                int t = st.back();
-                st.pop_back();
-                if (t < 0 || m.tris[t].dead || seen.count(t)) continue;
-                if (m.vidx(t, a) < 0) continue;
-                seen.insert(t);
-                star.push_back(t);
-                int ia = m.vidx(t, a);
-                st.push_back(m.tris[t].n[(ia + 1) % 3]);
-                st.push_back(m.tris[t].n[(ia + 2) % 3]);
-            }
-        }
-        for (int t : star) {
+        std::unordered_set<int> seen;
+        std::vector<int> st{t0};
+        int c0 = -1, d0 = -1;
+        while (!st.empty()) {
+            int t = st.back();
+            st.pop_back();
+            if (t < 0 || m.tris[t].dead || seen.count(t)) continue;
             int ia = m.vidx(t, a);
+            if (ia < 0) continue;
+            seen.insert(t);
             int c = m.tris[t].v[(ia + 1) % 3];
             int d = m.tris[t].v[(ia + 2) % 3];
-            // does a->b pass strictly through edge (c,d)?
-            double o_acb = m.orient(a, c, b);  // b left of a->c?
-            double o_adb = m.orient(a, d, b);
-            double o_cdb_a = m.orient(c, d, a);
-            double o_cdb_b = m.orient(c, d, b);
-            if (o_acb < 0.0 && o_adb > 0.0 &&
-                ((o_cdb_a > 0) != (o_cdb_b > 0)) && o_cdb_b != 0.0) {
-                tcur = t;
-                icross = ia;  // crossing edge is opposite a in t
+            if (crosses_ab(c, d)) {
+                c0 = c;
+                d0 = d;
                 break;
             }
+            st.push_back(m.tris[t].n[(ia + 1) % 3]);
+            st.push_back(m.tris[t].n[(ia + 2) % 3]);
         }
-        if (tcur < 0) return false;
-        int c = m.tris[tcur].v[(icross + 1) % 3];
-        int d = m.tris[tcur].v[(icross + 2) % 3];
-        if (m.is_constrained(c, d)) return false;  // PSLG self-intersection
-
-        if (!flip_edge(m, tcur, icross)) {
-            // nonconvex at the first crossing: walk the pipe to find any
-            // flippable crossing edge
-            bool flipped = false;
-            int t = m.tris[tcur].n[icross];
-            int prev = tcur;
-            int pg = 0;
-            while (t >= 0 && pg++ < maxflips) {
-                // find the crossing edge of t (an edge crossed by a->b,
-                // not shared with prev)
-                bool advanced = false;
-                for (int i = 0; i < 3 && !advanced; ++i) {
-                    if (m.tris[t].n[i] == prev) continue;
-                    int cc = m.tris[t].v[(i + 1) % 3];
-                    int dd2 = m.tris[t].v[(i + 2) % 3];
-                    if (cc == b || dd2 == b) {
-                        // reached b's triangle: try flipping the last edge
-                        break;
-                    }
-                    double o1 = m.orient(a, b, cc);
-                    double o2 = m.orient(a, b, dd2);
-                    if ((o1 > 0) != (o2 > 0) && o1 != 0 && o2 != 0) {
-                        if (m.is_constrained(cc, dd2)) return false;
-                        if (flip_edge(m, t, i)) {
-                            flipped = true;
-                        } else {
-                            prev = t;
-                            t = m.tris[t].n[i];
-                        }
-                        advanced = true;
-                    }
+        if (c0 < 0) return false;
+        // walk the pipe collecting all crossing edges. The wedge triangle
+        // holds the directed edge (c0,d0), so the far side holds (d0,c0).
+        cross.push_back(ekey(c0, d0));
+        int te, ie;
+        if (!m.find_edge(d0, c0, te, ie)) return false;
+        int guard2 = 0;
+        int t = te;
+        while (guard2++ < (int)m.tris.size() + 16) {
+            if (m.vidx(t, b) >= 0) break;  // reached b
+            bool advanced = false;
+            for (int i = 0; i < 3 && !advanced; ++i) {
+                int cc = m.tris[t].v[(i + 1) % 3];
+                int dd2 = m.tris[t].v[(i + 2) % 3];
+                uint64_t k = ekey(cc, dd2);
+                if (!cross.empty() && k == cross.back()) continue;
+                if (crosses_ab(cc, dd2)) {
+                    cross.push_back(k);
+                    t = m.tris[t].n[i];
+                    if (t < 0) return false;
+                    advanced = true;
                 }
-                if (flipped || !advanced) break;
             }
-            if (!flipped && guard > maxflips / 2) return false;
+            if (!advanced) break;
         }
     }
+
+    int guard = 0;
+    const int maxflips = int(m.tris.size()) * 64 + 65536;
+    while (!cross.empty()) {
+        if (++guard > maxflips) return false;
+        uint64_t key = cross.front();
+        cross.pop_front();
+        int c = int(key >> 32), d = int(key & 0xffffffffu);
+        int t, i;
+        if (!m.find_edge(c, d, t, i) && !m.find_edge(d, c, t, i))
+            continue;  // edge no longer present
+        c = m.tris[t].v[(i + 1) % 3];
+        d = m.tris[t].v[(i + 2) % 3];
+        if (!crosses_ab(c, d)) continue;
+        if (m.is_constrained(c, d)) return false;  // PSLG self-intersection
+        int apex_t = m.tris[t].v[i];
+        int u = m.tris[t].n[i];
+        if (u < 0) return false;
+        int j = -1;
+        for (int k2 = 0; k2 < 3; ++k2)
+            if (m.tris[u].v[(k2 + 1) % 3] == d &&
+                m.tris[u].v[(k2 + 2) % 3] == c)
+                j = k2;
+        int apex_u = j >= 0 ? m.tris[u].v[j] : -1;
+        if (!flip_edge(m, t, i)) {
+            cross.push_back(ekey(c, d));  // retry later
+            continue;
+        }
+        // new diagonal is (apex_t, apex_u); still crossing? requeue it
+        if (apex_u >= 0 && apex_t != a && apex_t != b && apex_u != a &&
+            apex_u != b && crosses_ab(apex_t, apex_u))
+            cross.push_back(ekey(apex_t, apex_u));
+    }
+    if (!m.edge_exists(a, b)) return false;
     m.segmap[ekey(a, b)] = marker;
     return true;
 }
@@ -875,7 +888,7 @@ void refine(Mesh &m) {
         // same way in practice (its TorqueBenchmark output bottoms out at
         // ~21 degrees despite a 33-degree request).
         if (bad_angle && !bad_area && maxarea > 0.0 &&
-            cd.shortest2 * 8.0 < maxarea)
+            cd.shortest2 * 64.0 < maxarea)
             bad_angle = false;
         if (dbg)
             fprintf(stderr,
@@ -1081,8 +1094,14 @@ int tpumesh_triangulate(
     for (int i = 0; i < nsegs; ++i) {
         int a = vmap[segs[2 * i]], b = vmap[segs[2 * i + 1]];
         if (a == b) continue;
-        if (!recover_segment(m, a, b, segmarkers ? segmarkers[i] : 0))
+        if (!recover_segment(m, a, b, segmarkers ? segmarkers[i] : 0)) {
+            if (getenv("TPUMESH_DEBUG"))
+                fprintf(stderr,
+                        "constraint recovery failed: seg %d (%d,%d) "
+                        "(%g,%g)-(%g,%g)\n",
+                        i, a, b, m.px[a], m.py[a], m.px[b], m.py[b]);
             return 3;
+        }
     }
 
     for (auto &t : m.tris)

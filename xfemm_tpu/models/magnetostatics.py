@@ -1,0 +1,661 @@
+"""Nonlinear 2-D magnetostatics solver (planar), TPU-native.
+
+Functional equivalent of the reference's ``FSolver::Static2D``
+(cfemm/fsolver/static2d.cpp:53-1033): same unit conventions (coordinates in
+cm, scaled potential ``V = A / c`` with ``c = 4e-5*pi``), same circuit
+preprocessing, magnetization/current sources, boundary conditions, Newton
+matrices, and adaptive relaxation -- but as batched device arrays: element
+assembly is one fused set of (T,3,3) einsums, the linear solve is the
+matrix-free Jacobi-PCG of ops/solver.py, and periodic/antiperiodic
+constraints are folded into a prolongation (index+sign) map built on host
+instead of mutating matrix rows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import C_APOT, DEG, LENGTH_TO_CM, MU0, PI, ProblemType, \
+    CoordinateSystem
+from ..geometry.problem import BdryFormat, Problem
+from ..materials.magnetic import MagneticMaterial
+from ..mesh.meshdata import MeshData
+from ..ops import assembly, solver
+from ..ops.solver import ElementBlock
+from ..utils.luaexpr import eval_magdir
+
+
+# ---------------------------------------------------------------------- #
+# constraint prolongation                                                #
+# ---------------------------------------------------------------------- #
+
+def build_prolongation(n: int, pbc_pairs: np.ndarray):
+    """Union-find with signs over (anti)periodic node pairs.
+
+    Returns (ridx, rsign, nreduced): full node -> reduced DOF index and
+    +-1 sign, replicating the row/column folding of spars.cpp:366-474 via
+    a master/slave map (exact for the converged solution).
+    """
+    parent = np.arange(n)
+    sign = np.ones(n, np.int8)
+
+    def find(i):
+        root = i
+        s = 1
+        while parent[root] != root:
+            s *= sign[root]
+            root = parent[root]
+        # path compression
+        j = i
+        s2 = 1
+        while parent[j] != j:
+            nxt = parent[j]
+            snxt = sign[j]
+            parent[j] = root
+            sign[j] = s
+            s = s // snxt if snxt in (1, -1) else s
+            # recompute properly below
+            j = nxt
+        return root
+
+    # simple two-pass find without fancy compression (n is small enough)
+    def find_with_sign(i):
+        s = 1
+        while parent[i] != i:
+            s *= sign[i]
+            i = parent[i]
+        return i, s
+
+    for a, b, t in pbc_pairs:
+        ra, sa = find_with_sign(int(a))
+        rb, sb = find_with_sign(int(b))
+        rel = -1 if t else 1  # value[a] = rel * value[b]
+        if ra == rb:
+            continue
+        # attach rb under ra: value[rb] = sign_rb_to_ra * value[ra]
+        # value[a] = sa*value[ra]; value[b] = sb*value[rb]
+        # constraint: sa*value[ra] = rel * sb * value[rb]
+        parent[rb] = ra
+        sign[rb] = rel * sa * sb  # value[rb] = (sa/ (rel*sb)) ... signs are +-1
+    ridx = np.zeros(n, np.int64)
+    rsign = np.zeros(n, np.float64)
+    roots = {}
+    for i in range(n):
+        r, s = find_with_sign(i)
+        if r not in roots:
+            roots[r] = len(roots)
+        ridx[i] = roots[r]
+        rsign[i] = s
+    return ridx, rsign, len(roots)
+
+
+# ---------------------------------------------------------------------- #
+# air gap element matrix                                                 #
+# ---------------------------------------------------------------------- #
+
+def age_matrix(ci: float, co: float, K: float) -> np.ndarray:
+    """10x10 air-gap quad element stiffness in the shift parameters
+    (ci, co), transcribed from static2d.cpp:220-274. ``K = dr/(R*dtta)``,
+    with the reference's normalization applied by the caller."""
+    Ki = 1.0 / K
+    P = lambda x, n: x ** n
+    MG = np.zeros((10, 10))
+    MG[0][0] = (5*P(-1 + ci,2)*P(ci,4)*(K + Ki))/48.
+    MG[0][1] = -((-1 + ci)*P(ci,3)*(5*(-1 + ci*(-5 + 4*ci))*K + (-5 + ci*(-19 + 14*ci))*Ki))/48.
+    MG[0][2] = ((-1 + ci)*P(ci,2)*(5*(2 + ci*(-1 - 9*ci + 6*P(ci,2)))*K + (10 + ci*(1 + 3*ci*(-7 + 4*ci)))*Ki))/48.
+    MG[0][3] = -(P(-1 + ci,2)*P(ci,2)*(5*(-2 + ci*(-3 + 4*ci))*K + (2 + ci*(-3 + 2*ci))*Ki))/48.
+    MG[0][4] = (P(-1 + ci,3)*P(ci,3)*(5*K - Ki))/48.
+    MG[0][5] = ((-1 + ci)*P(ci,2)*(-1 + co)*P(co,2)*(K - 5*Ki))/48.
+    MG[0][6] = -((-1 + ci)*P(ci,2)*co*((-1 + co*(-5 + 4*co))*K + (5 + (19 - 14*co)*co)*Ki))/48.
+    MG[0][7] = ((-1 + ci)*P(ci,2)*((2 + co*(-1 - 9*co + 6*P(co,2)))*K - (10 + co*(1 + 3*co*(-7 + 4*co)))*Ki))/48.
+    MG[0][8] = -((-1 + ci)*P(ci,2)*(-1 + co)*((-2 + co*(-3 + 4*co))*K + (-2 + (3 - 2*co)*co)*Ki))/48.
+    MG[0][9] = ((-1 + ci)*P(ci,2)*P(-1 + co,2)*co*(K + Ki))/48.
+    MG[1][1] = (P(ci,2)*(5*P(1 + (5 - 4*ci)*ci,2)*K + (5 + ci*(38 + ci*(49 + 4*ci*(-29 + 11*ci))))*Ki))/48.
+    MG[1][2] = (-5*ci*(-1 + 2*ci)*(-2 + 3*(-1 + ci)*ci)*(-1 + ci*(-5 + 4*ci))*K + ci*(10 + ci*(39 - ci*(50 + ci*(85 + 6*ci*(-23 + 8*ci)))))*Ki)/48.
+    MG[1][3] = ((-1 + ci)*ci*(5*(2 + ci*(13 + ci*(3 + 16*(-2 + ci)*ci)))*K + (-2 + 5*ci*(1 + ci*(3 + 4*(-2 + ci)*ci)))*Ki))/48.
+    MG[1][4] = -(P(-1 + ci,2)*P(ci,2)*(5*(-1 + ci*(-5 + 4*ci))*K + Ki + ci*(-1 + 2*ci)*Ki))/48.
+    MG[1][5] = -(ci*(-1 + co)*P(co,2)*((-1 + ci*(-5 + 4*ci))*K + (5 + (19 - 14*ci)*ci)*Ki))/48.
+    MG[1][6] = (ci*co*((-1 + ci*(-5 + 4*ci))*(-1 + co*(-5 + 4*co))*K + (-5 + ci*(-19 + 14*ci) - 19*co + ci*(-77 + 58*ci)*co + 2*(7 + (29 - 22*ci)*ci)*P(co,2))*Ki))/48.
+    MG[1][7] = (-(ci*(-1 + ci*(-5 + 4*ci))*(2 + co*(-1 - 9*co + 6*P(co,2)))*K) + ci*(-10 + co*(-1 + 3*(7 - 4*co)*co) + ci*(-38 + co + 99*P(co,2) - 60*P(co,3)) + P(ci,2)*(28 + 2*co*(-1 + 3*co*(-13 + 8*co))))*Ki)/48.
+    MG[1][8] = (ci*(-1 + co)*((-1 + ci*(-5 + 4*ci))*(-2 + co*(-3 + 4*co))*K + (2 + co*(-3 + 2*co) + P(ci,2)*(4 + 2*(9 - 10*co)*co) + ci*(-2 + co*(-21 + 22*co)))*Ki))/48.
+    MG[1][9] = -(ci*P(-1 + co,2)*co*((-1 + ci*(-5 + 4*ci))*K + (-1 + ci - 2*P(ci,2))*Ki))/48.
+    MG[2][2] = (5*P(-2 + ci + 9*P(ci,2) - 6*P(ci,3),2)*K + (20 + (-1 + ci)*ci*(-4 + 3*(-1 + ci)*ci*(-25 + 24*(-1 + ci)*ci)))*Ki)/48.
+    MG[2][3] = (-5*(4 + P(ci,2)*(-33 + ci*(18 + ci*(65 + 6*ci*(-13 + 4*ci)))))*K + (4 + P(ci,2)*(39 - ci*(30 + ci*(115 + 6*ci*(-25 + 8*ci)))))*Ki)/48.
+    MG[2][4] = (P(-1 + ci,2)*ci*(5*(2 + ci*(-1 - 9*ci + 6*P(ci,2)))*K + (-2 + ci*(-5 + 3*ci*(-5 + 4*ci)))*Ki))/48.
+    MG[2][5] = ((-1 + co)*P(co,2)*((2 + ci*(-1 - 9*ci + 6*P(ci,2)))*K - (10 + ci*(1 + 3*ci*(-7 + 4*ci)))*Ki))/48.
+    MG[2][6] = (-((2 + ci*(-1 - 9*ci + 6*P(ci,2)))*co*(-1 + co*(-5 + 4*co))*K) + co*(-10 - 38*co + 28*P(co,2) + P(ci,2)*(21 + 99*co - 78*P(co,2)) + ci*(-1 + co - 2*P(co,2)) + 12*P(ci,3)*(-1 + co*(-5 + 4*co)))*Ki)/48.
+    MG[2][7] = ((2 + ci*(-1 - 9*ci + 6*P(ci,2)))*(2 + co*(-1 - 9*co + 6*P(co,2)))*K - (2*(10 + co) + 6*P(co,2)*(-7 + 4*co) + 3*P(ci,2)*(-14 + co*(5 + (55 - 36*co)*co)) + ci*(2 + co*(5 + 3*(5 - 4*co)*co)) + 12*P(ci,3)*(2 + co*(-1 - 9*co + 6*P(co,2))))*Ki)/48.
+    MG[2][8] = (-((2 + ci*(-1 - 9*ci + 6*P(ci,2)))*(2 + co - 7*P(co,2) + 4*P(co,3))*K) + (-1 + co)*(4 + 2*ci*(5 + 3*(5 - 4*ci)*ci) + 3*(-2 + ci*(3 + (17 - 12*ci)*ci))*co + 2*(2 + ci*(-7 + 3*ci*(-11 + 8*ci)))*P(co,2))*Ki)/48.
+    MG[2][9] = (P(-1 + co,2)*co*((2 + ci*(-1 - 9*ci + 6*P(ci,2)))*K + (2 + ci*(5 + 3*(5 - 4*ci)*ci))*Ki))/48.
+    MG[3][3] = (P(-1 + ci,2)*(5*P(2 + (3 - 4*ci)*ci,2)*K + (20 + ci*(36 + ci*(-35 - 60*ci + 44*P(ci,2))))*Ki))/48.
+    MG[3][4] = -(P(-1 + ci,3)*ci*(5*(-2 + ci*(-3 + 4*ci))*K + (-10 + ci*(-9 + 14*ci))*Ki))/48.
+    MG[3][5] = -((-1 + ci)*(-1 + co)*P(co,2)*((-2 + ci*(-3 + 4*ci))*K + (-2 + (3 - 2*ci)*ci)*Ki))/48.
+    MG[3][6] = ((-1 + ci)*co*((-2 + ci*(-3 + 4*ci))*(-1 + co*(-5 + 4*co))*K + (2 + ci*(-3 + 2*ci) - 2*co + ci*(-21 + 22*ci)*co + 2*(2 + (9 - 10*ci)*ci)*P(co,2))*Ki))/48.
+    MG[3][7] = (-((2 + ci - 7*P(ci,2) + 4*P(ci,3))*(2 + co*(-1 - 9*co + 6*P(co,2)))*K) + (-1 + ci)*(4 + 2*co*(5 + 3*(5 - 4*co)*co) + ci*(-6 + 3*co*(3 + (17 - 12*co)*co)) + 2*P(ci,2)*(2 + co*(-7 + 3*co*(-11 + 8*co))))*Ki)/48.
+    MG[3][8] = ((-1 + ci)*(-1 + co)*((-2 + ci*(-3 + 4*ci))*(-2 + co*(-3 + 4*co))*K + (-20 + 3*ci*(1 + 2*co)*(-6 + 5*co) + 2*co*(-9 + 14*co) + P(ci,2)*(28 + 30*co - 44*P(co,2)))*Ki))/48.
+    MG[3][9] = -((-1 + ci)*P(-1 + co,2)*co*((-2 + ci*(-3 + 4*ci))*K + (10 + (9 - 14*ci)*ci)*Ki))/48.
+    MG[4][4] = (5*P(-1 + ci,4)*P(ci,2)*(K + Ki))/48.
+    MG[4][5] = (P(-1 + ci,2)*ci*(-1 + co)*P(co,2)*(K + Ki))/48.
+    MG[4][6] = -(P(-1 + ci,2)*ci*co*((-1 + co*(-5 + 4*co))*K + (-1 + co - 2*P(co,2))*Ki))/48.
+    MG[4][7] = (P(-1 + ci,2)*ci*((2 + co*(-1 - 9*co + 6*P(co,2)))*K + (2 + co*(5 + 3*(5 - 4*co)*co))*Ki))/48.
+    MG[4][8] = -(P(-1 + ci,2)*ci*(-1 + co)*((-2 + co*(-3 + 4*co))*K + (10 + (9 - 14*co)*co)*Ki))/48.
+    MG[4][9] = (P(-1 + ci,2)*ci*P(-1 + co,2)*co*(K - 5*Ki))/48.
+    MG[5][5] = (5*P(-1 + co,2)*P(co,4)*(K + Ki))/48.
+    MG[5][6] = -((-1 + co)*P(co,3)*(5*(-1 + co*(-5 + 4*co))*K + (-5 + co*(-19 + 14*co))*Ki))/48.
+    MG[5][7] = ((-1 + co)*P(co,2)*(5*(2 + co*(-1 - 9*co + 6*P(co,2)))*K + (10 + co*(1 + 3*co*(-7 + 4*co)))*Ki))/48.
+    MG[5][8] = -(P(-1 + co,2)*P(co,2)*(5*(-2 + co*(-3 + 4*co))*K + (2 + co*(-3 + 2*co))*Ki))/48.
+    MG[5][9] = (P(-1 + co,3)*P(co,3)*(5*K - Ki))/48.
+    MG[6][6] = (P(co,2)*(5*P(1 + (5 - 4*co)*co,2)*K + (5 + co*(38 + co*(49 + 4*co*(-29 + 11*co))))*Ki))/48.
+    MG[6][7] = (-5*co*(-1 + 2*co)*(-2 + 3*(-1 + co)*co)*(-1 + co*(-5 + 4*co))*K + co*(10 + co*(39 - co*(50 + co*(85 + 6*co*(-23 + 8*co)))))*Ki)/48.
+    MG[6][8] = ((-1 + co)*co*(5*(2 + co*(13 + co*(3 + 16*(-2 + co)*co)))*K + (-2 + 5*co*(1 + co*(3 + 4*(-2 + co)*co)))*Ki))/48.
+    MG[6][9] = -(P(-1 + co,2)*P(co,2)*(5*(-1 + co*(-5 + 4*co))*K + Ki + co*(-1 + 2*co)*Ki))/48.
+    MG[7][7] = (5*P(-2 + co + 9*P(co,2) - 6*P(co,3),2)*K + (20 + (-1 + co)*co*(-4 + 3*(-1 + co)*co*(-25 + 24*(-1 + co)*co)))*Ki)/48.
+    MG[7][8] = (-5*(4 + P(co,2)*(-33 + co*(18 + co*(65 + 6*co*(-13 + 4*co)))))*K + (4 + P(co,2)*(39 - co*(30 + co*(115 + 6*co*(-25 + 8*co)))))*Ki)/48.
+    MG[7][9] = (P(-1 + co,2)*co*(5*(2 + co*(-1 - 9*co + 6*P(co,2)))*K + (-2 + co*(-5 + 3*co*(-5 + 4*co)))*Ki))/48.
+    MG[8][8] = (P(-1 + co,2)*(5*P(2 + (3 - 4*co)*co,2)*K + (20 + co*(36 + co*(-35 - 60*co + 44*P(co,2))))*Ki))/48.
+    MG[8][9] = -(P(-1 + co,3)*co*(5*(-2 + co*(-3 + 4*co))*K + (-10 + co*(-9 + 14*co))*Ki))/48.
+    MG[9][9] = (5*P(-1 + co,4)*P(co,2)*(K + Ki))/48.
+    # symmetrize (reference assembles upper triangle into symmetric storage)
+    MG = MG + np.triu(MG, 1).T
+    return MG
+
+
+def age_blocks(mesh: MeshData):
+    """Expand each air-gap element into (node-ids, weights, MG) batched
+    arrays following the gather pattern of static2d.cpp:277-348."""
+    blocks = []
+    for age in mesh.airgaps:
+        n = age.totalArcElements
+        dt = (PI / 180.0) * (age.totalArcLength / n)
+        K = 2.0 * (age.ro - age.ri) / (dt * (age.ro + age.ri))
+        ci = age.InnerShift
+        co = age.OuterShift
+        if ci > co:
+            ci, co = ci - co, 0.0
+        else:
+            ci, co = 1.0 - co + ci, 1.0
+        MG = age_matrix(ci, co, K)
+        qn = age.quad_nodes
+        qw = age.quad_weights
+        nn = np.zeros((n, 10), np.int64)
+        ww = np.zeros((n, 10))
+        for k in range(n):
+            km1 = k - 1 if k - 1 >= 0 else n - 1
+            kp2 = 1 if (k + 2) > n else k + 2
+            nn[k] = [qn[km1][0], qn[k][0], qn[k][1], qn[k + 1][1], qn[kp2][1],
+                     qn[km1][2], qn[k][2], qn[k][3], qn[k + 1][3], qn[kp2][3]]
+            ww[k] = [qw[km1][0], qw[k][0], qw[k][1], qw[k + 1][1], qw[kp2][1],
+                     qw[km1][2], qw[k][2], qw[k][3], qw[k + 1][3], qw[kp2][3]]
+            if k == 0 and age.BdryFormat == 1:
+                ww[k][0] = -ww[k][0]
+                ww[k][5] = -ww[k][5]
+            if k + 1 == n and age.BdryFormat == 1:
+                ww[k][4] = -ww[k][4]
+                ww[k][9] = -ww[k][9]
+        mats = MG[None, :, :] * ww[:, :, None] * ww[:, None, :]
+        blocks.append((nn, mats))
+    return blocks
+
+
+# ---------------------------------------------------------------------- #
+# packing                                                                #
+# ---------------------------------------------------------------------- #
+
+@dataclass
+class PackedMagnetostatic:
+    """Host-built arrays for the device solve (planar magnetostatics)."""
+
+    problem: Problem
+    mesh: MeshData
+    units: float                     # problem units -> cm
+    xy: np.ndarray                   # (N,2) node coords in cm
+    tris: np.ndarray                 # (T,3)
+    ridx: np.ndarray                 # (N,) reduced DOF
+    rsign: np.ndarray                # (N,)
+    nreduced: int
+    # element-gathered material data
+    lbl: np.ndarray                  # (T,) label index
+    blk: np.ndarray                  # (T,) material index
+    mu_x: np.ndarray
+    mu_y: np.ndarray
+    lam_type: np.ndarray
+    lam_fill: np.ndarray
+    nonlinear: np.ndarray            # (T,) bool
+    Jre: np.ndarray                  # block current density
+    Hc: np.ndarray
+    magdir: np.ndarray               # degrees (functional dirs evaluated)
+    Cduct: np.ndarray                # effective (0 if wound)
+    circuit: np.ndarray              # (T,) expanded circuit index or -1
+    # padded B-H tables gathered per element (Tn, K): only nonlinear rows
+    bh_B: np.ndarray
+    bh_H: np.ndarray
+    bh_S: np.ndarray
+    # boundary conditions
+    fixed_mask: np.ndarray           # (nreduced,)
+    fixed_vals: np.ndarray           # (nreduced,) in V units (A/c)
+    b_extra: np.ndarray              # (nreduced,) point currents etc.
+    robin: list                      # [(nodes(2,), length, c0re, c1re, mult)]
+    age: list                        # [(nn (K,10), mats (K,10,10))]
+    # expanded circuits (series unrolled), Case/J/dV solved on host
+    circuits: list = field(default_factory=list)
+
+
+def _eval_magdirs(problem: Problem, mesh: MeshData, units: float):
+    """Per-element magnetization direction, evaluating functional
+    directions at element centroids (static2d.cpp:510-598).
+    Centroids are converted back to problem units for the expression."""
+    T = mesh.num_elements
+    out = np.zeros(T)
+    labels = [l for l in problem.labellist if not l.is_hole()]
+    cents = mesh.nodes[mesh.elements].mean(axis=1)
+    for t in range(T):
+        lab = labels[mesh.element_labels[t]]
+        if lab.MagDirFctn:
+            x, y = cents[t]
+            out[t] = eval_magdir(lab.MagDirFctn, x, y)
+        else:
+            out[t] = lab.MagDir
+    return out
+
+
+def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
+    units = LENGTH_TO_CM[problem.LengthUnits]
+    xy = mesh.nodes * units
+    tris = mesh.elements
+    N = mesh.num_nodes
+    T = mesh.num_elements
+
+    labels = [l for l in problem.labellist if not l.is_hole()]
+    mats: list[MagneticMaterial] = problem.blockproplist
+    for m in mats:
+        if m.BHpoints > 0 and not m.slope:
+            m.get_slopes(problem.Frequency * 2.0 * PI)
+            m.MuMax = 0.0
+
+    # series-circuit expansion (fsolver.cpp:280-317)
+    import copy
+    circuits = [copy.copy(c) for c in problem.circproplist]
+    label_circuit = np.full(len(labels), -1, np.int64)
+    for k, lab in enumerate(labels):
+        ic = lab.InCircuit
+        if ic < 0:
+            continue
+        if circuits[ic].CircType == 1:
+            nc = copy.copy(circuits[ic])
+            nc.Amps = nc.Amps * lab.Turns
+            circuits.append(nc)
+            label_circuit[k] = len(circuits) - 1
+        else:
+            label_circuit[k] = ic
+    for c in circuits:
+        c.CircType = 0 if c.CircType == 1 else c.CircType
+
+    lbl = mesh.element_labels.astype(np.int64)
+    blk = np.array([labels[i].BlockType for i in lbl], np.int64)
+    is_wound = np.array(
+        [abs(labels[i].Turns) > 1 or mats[labels[i].BlockType].LamType > 2
+         for i in lbl], bool)
+
+    mu_x = np.array([mats[b].mu_x for b in blk])
+    mu_y = np.array([mats[b].mu_y for b in blk])
+    lam_type = np.array([mats[b].LamType for b in blk], np.int64)
+    lam_fill = np.array([mats[b].LamFill for b in blk])
+    nonlinear = np.array([mats[b].BHpoints > 0 for b in blk], bool)
+    Jre = np.array([mats[b].J.real for b in blk])
+    Hc = np.array([mats[b].H_c for b in blk])
+    Cduct = np.array([mats[b].Cduct for b in blk])
+    Cduct[is_wound] = 0.0  # wound coils have zero bulk conductivity
+    circuit = label_circuit[lbl]
+    magdir = _eval_magdirs(problem, mesh, units)
+
+    # padded B-H tables per material, gathered per element
+    Kmax = max((m.BHpoints for m in mats if m.BHpoints > 0), default=2) + 1
+    nmats = len(mats)
+    tbl_B = np.zeros((nmats, Kmax))
+    tbl_H = np.zeros((nmats, Kmax))
+    tbl_S = np.ones((nmats, Kmax))
+    for i, m in enumerate(mats):
+        if m.BHpoints == 0:
+            tbl_B[i] = np.arange(Kmax)
+            continue
+        Bd, Hd, Sl = m.knot_arrays()
+        k = len(Bd)
+        tbl_B[i, :k] = Bd
+        tbl_H[i, :k] = Hd
+        tbl_S[i, :k] = Sl
+        # linear-extension padding: lookups beyond the last knot
+        # extrapolate with the final slope (CMaterialProp.cpp:1030-1037)
+        for j in range(k, Kmax):
+            tbl_B[i, j] = tbl_B[i, j - 1] + 1.0
+            tbl_H[i, j] = tbl_H[i, j - 1] + Sl[-1]
+            tbl_S[i, j] = Sl[-1]
+    bh_B = tbl_B[blk]
+    bh_H = tbl_H[blk]
+    bh_S = tbl_S[blk]
+
+    # prolongation from (anti)periodic pairs
+    ridx, rsign, nreduced = build_prolongation(N, mesh.pbc_pairs)
+
+    # Dirichlet + point sources from node markers (marker>=2 ->
+    # pointprop index marker-2, fsolver.cpp:382-384)
+    fixed_mask = np.zeros(nreduced, bool)
+    fixed_vals = np.zeros(nreduced)
+    b_extra = np.zeros(nreduced)
+    pp_idx = (mesh.node_markers & 0xFFFF).astype(np.int64) - 2
+    for i in range(N):
+        j = pp_idx[i]
+        if j < 0 or j >= len(problem.nodeproplist):
+            continue
+        pp = problem.nodeproplist[j]
+        if pp.J != 0:
+            # point current source (static2d.cpp:819-825)
+            b_extra[ridx[i]] += 0.01 * pp.J.real * rsign[i]
+        else:
+            fixed_mask[ridx[i]] = True
+            fixed_vals[ridx[i]] = pp.A.real / C_APOT * rsign[i]
+
+    # Dirichlet / Robin boundary edges from edge markers
+    robin = []
+    edge_adj = {}
+    for tri in tris:
+        for i in range(3):
+            key = tuple(sorted((int(tri[i]), int(tri[(i + 1) % 3]))))
+            edge_adj[key] = edge_adj.get(key, 0) + 1
+    for (a, b), mk in zip(mesh.edges, mesh.edge_markers):
+        if mk >= 0:
+            continue
+        bidx = -(int(mk) + 2)
+        if bidx >= len(problem.lineproplist):
+            continue
+        bp = problem.lineproplist[bidx]
+        if bp.BdryFormat == BdryFormat.PRESCRIBED_A:
+            for node in (a, b):
+                x, y = xy[node]
+                xo, yo = x / units, y / units
+                if problem.Coords == CoordinateSystem.CARTESIAN:
+                    val = bp.A0 + bp.A1 * xo + bp.A2 * yo
+                else:
+                    r = math.hypot(xo, yo)
+                    th = math.degrees(math.atan2(yo, xo)) if (xo, yo) != (0, 0) else 0.0
+                    val = bp.A0 + bp.A1 * r + bp.A2 * th
+                val *= math.cos(bp.phi * DEG)
+                fixed_mask[ridx[node]] = True
+                fixed_vals[ridx[node]] = val / C_APOT * rsign[node]
+        elif bp.BdryFormat == BdryFormat.MIXED:
+            length = float(np.hypot(*(xy[b] - xy[a])))
+            mult = edge_adj.get(tuple(sorted((int(a), int(b)))), 1)
+            robin.append(((int(a), int(b)), length, bp.c0.real, bp.c1.real,
+                          mult))
+
+    return PackedMagnetostatic(
+        problem=problem, mesh=mesh, units=units, xy=xy, tris=tris,
+        ridx=ridx, rsign=rsign, nreduced=nreduced, lbl=lbl, blk=blk,
+        mu_x=mu_x, mu_y=mu_y, lam_type=lam_type, lam_fill=lam_fill,
+        nonlinear=nonlinear, Jre=Jre, Hc=Hc, magdir=magdir, Cduct=Cduct,
+        circuit=circuit, bh_B=bh_B, bh_H=bh_H, bh_S=bh_S,
+        fixed_mask=fixed_mask, fixed_vals=fixed_vals, b_extra=b_extra,
+        robin=robin, age=age_blocks(mesh), circuits=circuits)
+
+
+# ---------------------------------------------------------------------- #
+# solve                                                                  #
+# ---------------------------------------------------------------------- #
+
+@dataclass
+class MagSolution:
+    """Solved magnetostatic problem: A in the reference's output units
+    (the quantity written to .ans, = c * V)."""
+
+    problem: Problem
+    mesh: MeshData
+    A: np.ndarray                    # (N,) nodal vector potential
+    circuits: list                   # expanded circuit list w/ Case, J, dV
+    label_case: np.ndarray           # per-label (case, value) pairs
+    iterations: int = 0
+    residual: float = 0.0
+
+
+def _circuit_preprocess(pk: PackedMagnetostatic, geom):
+    """Case selection and per-circuit J / dV (static2d.cpp:85-167)."""
+    area = np.asarray(geom.area)
+    nc = len(pk.circuits)
+    if nc == 0:
+        return
+    i1 = np.zeros(nc)
+    i2 = np.zeros(nc)
+    i3 = np.zeros(nc)
+    for c, a, cd, j in zip(pk.circuit, area, pk.Cduct, pk.Jre):
+        if c >= 0:
+            i1[c] += a
+            i2[c] += a * cd
+            i3[c] += j * a * 100.0
+    for k, c in enumerate(pk.circuits):
+        if c.CircType == 0:
+            if i2[k] == 0:
+                c.Case = 1
+                c.J = 0.0 if i1[k] == 0 else 0.01 * (c.Amps.real - i3[k]) / i1[k]
+            else:
+                c.Case = 0
+                c.dV = -0.01 * (c.Amps.real - i3[k]) / i2[k]
+        else:
+            c.Case = 0
+            c.dV = c.dVolts.real
+
+
+def _element_blocks(pk: PackedMagnetostatic, Me):
+    """Assemble device blocks: volume elements (sign convention: the
+    global matrix gets -Me, static2d.cpp:807-815), Robin edges, AGEs."""
+    elem_ridx = pk.ridx[pk.tris]
+    elem_sign = pk.rsign[pk.tris]
+    blocks = [ElementBlock(idx=jnp.asarray(elem_ridx),
+                           sign=jnp.asarray(elem_sign),
+                           mat=-Me)]
+    if pk.robin:
+        c = C_APOT
+        idx = np.array([[pk.ridx[a], pk.ridx[b]] for (a, b), *_ in pk.robin])
+        sgn = np.array([[pk.rsign[a], pk.rsign[b]] for (a, b), *_ in pk.robin])
+        mats = np.zeros((len(pk.robin), 2, 2))
+        for i, (_, length, c0re, c1re, mult) in enumerate(pk.robin):
+            Km = -0.0001 * c * c0re * length / 6.0
+            mats[i] = -mult * Km * np.array([[2.0, 1.0], [1.0, 2.0]])
+        blocks.append(ElementBlock(idx=jnp.asarray(idx),
+                                   sign=jnp.asarray(sgn),
+                                   mat=jnp.asarray(mats)))
+    for nn, mats in pk.age:
+        blocks.append(ElementBlock(idx=jnp.asarray(pk.ridx[nn]),
+                                   sign=jnp.asarray(pk.rsign[nn]),
+                                   mat=jnp.asarray(mats)))
+    return blocks
+
+
+def _rhs(pk: PackedMagnetostatic, geom, be):
+    """Scatter -be plus point currents and Robin c1 terms."""
+    b = jnp.zeros(pk.nreduced, jnp.asarray(be).dtype)
+    flat_idx = pk.ridx[pk.tris].reshape(-1)
+    flat_sgn = pk.rsign[pk.tris].reshape(-1)
+    b = b.at[flat_idx].add(-flat_sgn * be.reshape(-1))
+    b = b + jnp.asarray(pk.b_extra)
+    # Robin RHS: be[j] += c1*l/2*1e-4 then global b -= be
+    # (static2d.cpp:475-477 with the :814 sign convention)
+    for (a, bb), length, c0re, c1re, mult in pk.robin:
+        Kb = (c1re * length / 2.0) * 0.0001 * mult
+        b = b.at[pk.ridx[a]].add(-pk.rsign[a] * Kb)
+        b = b.at[pk.ridx[bb]].add(-pk.rsign[bb] * Kb)
+    return b
+
+
+def solve(problem: Problem, mesh: MeshData,
+          max_newton: int = 100) -> MagSolution:
+    """Planar nonlinear magnetostatic solve (Static2D semantics)."""
+    assert problem.ProblemType == ProblemType.PLANAR, \
+        "axisymmetric path in models/axisymmetric.py"
+    pk = pack(problem, mesh)
+    c = C_APOT
+    geom = assembly.tri_geometry(jnp.asarray(pk.xy), jnp.asarray(pk.tris))
+    _circuit_preprocess(pk, geom)
+    Mx, My, Mxy = assembly.curl_matrices(geom)
+
+    T = pk.tris.shape[0]
+    area = geom.area
+
+    # element source current density t (circuit contribution)
+    t_src = np.zeros(T)
+    for e in range(T):
+        ci = pk.circuit[e]
+        if ci >= 0:
+            circ = pk.circuits[ci]
+            if circ.Case == 1:
+                t_src[e] = circ.J.real if isinstance(circ.J, complex) else circ.J
+            else:
+                t_src[e] = -circ.dV.real * pk.Cduct[e] if isinstance(circ.dV, complex) else -circ.dV * pk.Cduct[e]
+    t_src = jnp.asarray(t_src)
+
+    # static RHS pieces: sources (static2d.cpp:483-507) and magnetization
+    # (static2d.cpp:584-598). Edge-j magnetization term K_j adds to the
+    # endpoints j and j+1, so be[j] = src + K_j + K_{j-1}.
+    src = -(jnp.asarray(pk.Jre) + t_src) * area / 3.0
+    v = pk.xy[pk.tris]  # (T,3,2)
+    nxt = np.roll(np.arange(3), -1)
+    prv_of = np.array([2, 0, 1])
+    dxe = jnp.asarray(v[:, nxt, 0] - v[:, :, 0])
+    dye = jnp.asarray(v[:, nxt, 1] - v[:, :, 1])
+    th = jnp.asarray(pk.magdir) * PI / 180.0
+    Kmag = 0.0001 * jnp.asarray(pk.Hc)[:, None] * (
+        jnp.cos(th)[:, None] * dxe + jnp.sin(th)[:, None] * dye) / 2.0
+    be_static = src[:, None] + Kmag + Kmag[:, prv_of]
+
+    # initial permeabilities (static2d.cpp:603-631)
+    lt = pk.lam_type
+    f = pk.lam_fill
+    mu1 = np.where(lt == 0, pk.mu_x * f + (1 - f),
+                   np.where(lt == 1, pk.mu_x * f + (1 - f),
+                            np.where(lt == 2,
+                                     pk.mu_y / (f + pk.mu_y * (1 - f)), 1.0)))
+    mu2 = np.where(lt == 0, pk.mu_y * f + (1 - f),
+                   np.where(lt == 1, pk.mu_x / (f + pk.mu_x * (1 - f)),
+                            np.where(lt == 2, pk.mu_y * f + (1 - f), 1.0)))
+    mu1 = jnp.asarray(mu1)
+    mu2 = jnp.asarray(mu2)
+
+    nonlinear = bool(pk.nonlinear.any())
+    nl = jnp.asarray(pk.nonlinear)
+    bh_B = jnp.asarray(pk.bh_B)
+    bh_H = jnp.asarray(pk.bh_H)
+    bh_S = jnp.asarray(pk.bh_S)
+    lt_j = jnp.asarray(lt)
+    f_j = jnp.asarray(f)
+
+    fixed_mask = jnp.asarray(pk.fixed_mask)
+    fixed_vals = jnp.asarray(pk.fixed_vals)
+
+    V = jnp.zeros(pk.nreduced)
+    relax = 1.0
+    res = 0.0
+    lastres = 0.0
+    iters_total = 0
+    rel_resid = 0.0
+
+    for it in range(max_newton if nonlinear else 1):
+        Mn = jnp.zeros((T, 3, 3))
+        be = be_static
+        if it > 0:
+            # element B from current solution (static2d.cpp:691-697)
+            Vl = (pk.rsign[pk.tris] * np.asarray(V)[pk.ridx[pk.tris]])
+            Vl = jnp.asarray(Vl)
+            B1 = jnp.sum(Vl * geom.q, axis=1)
+            B2 = jnp.sum(Vl * geom.p, axis=1)
+            # LamType 1/2 variants scale one component by 1/fill
+            B1 = jnp.where(lt_j == 2, B1 / f_j, B1)
+            B2 = jnp.where(lt_j == 1, B2 / f_j, B2)
+            Bmag = c * jnp.sqrt(B1 ** 2 + B2 ** 2) / (0.02 * area)
+            vv, dv = assembly.hermite_vdv(Bmag, bh_B, bh_H, bh_S)
+            mu_el = 1.0 / (MU0 * vv)
+            mu1_new = jnp.where(lt_j == 0, mu_el,
+                                jnp.where(lt_j == 1, mu_el * f_j,
+                                          mu_el / (f_j + mu_el * (1 - f_j))))
+            mu2_new = jnp.where(lt_j == 0, mu_el,
+                                jnp.where(lt_j == 1,
+                                          mu_el / (f_j + mu_el * (1 - f_j)),
+                                          mu_el * f_j))
+            mu1 = jnp.where(nl, mu1_new, mu1)
+            mu2 = jnp.where(nl, mu2_new, mu2)
+            # Newton matrices (static2d.cpp:700-796)
+            MxMy = Mx + My
+            vvec0 = jnp.einsum("tjw,tw->tj", MxMy, Vl)
+            Mn0 = (-200.0 * c ** 3 * dv / area)[:, None, None] * \
+                vvec0[:, :, None] * vvec0[:, None, :]
+            # LamType 1: v = (My/t + Mx) V, u = (My/t + t*Mx) V
+            v1 = jnp.einsum("tjw,tw->tj", My / f_j[:, None, None] + Mx, Vl)
+            u1 = jnp.einsum("tjw,tw->tj",
+                            My / f_j[:, None, None]
+                            + f_j[:, None, None] * Mx, Vl)
+            Mn1 = (-100.0 * c ** 3 * dv / area)[:, None, None] * (
+                v1[:, :, None] * u1[:, None, :]
+                + v1[:, None, :] * u1[:, :, None])
+            v2 = jnp.einsum("tjw,tw->tj", Mx / f_j[:, None, None] + My, Vl)
+            u2 = jnp.einsum("tjw,tw->tj",
+                            Mx / f_j[:, None, None]
+                            + f_j[:, None, None] * My, Vl)
+            Mn2 = (-100.0 * c ** 3 * dv / area)[:, None, None] * (
+                v2[:, :, None] * u2[:, None, :]
+                + v2[:, None, :] * u2[:, :, None])
+            Mn = jnp.where((lt_j == 0)[:, None, None], Mn0,
+                           jnp.where((lt_j == 1)[:, None, None], Mn1, Mn2))
+            Mn = jnp.where(nl[:, None, None], Mn, 0.0)
+            be = be + jnp.einsum("tjk,tk->tj", Mn, Vl)
+
+        Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None] + Mn)
+        blocks = _element_blocks(pk, Me)
+        b = _rhs(pk, geom, be)
+
+        V_old = V
+        V, rel_resid, cg_iters = solver.solve(
+            blocks, b, fixed_mask, fixed_vals, problem.Precision,
+            x0=V if it > 0 else None)
+        iters_total += int(cg_iters)
+
+        if not nonlinear:
+            break
+        num = float(jnp.sum((V - V_old) ** 2))
+        den = float(jnp.sum(V ** 2))
+        if den == 0:
+            break
+        lastres = res
+        res = math.sqrt(num / den)
+        if it > 5:
+            if res > lastres and relax > 0.125:
+                relax /= 2.0
+            else:
+                relax += 0.1 * (1.0 - relax)
+            V = relax * V + (1.0 - relax) * V_old
+        if res < 100.0 * problem.Precision and it > 0:
+            break
+
+    # expand back to full nodes, convert to A (static2d.cpp:1018-1021)
+    Vfull = np.asarray(V)[pk.ridx] * pk.rsign
+    A = Vfull * c
+
+    # per-label circuit info (WriteStatic2D:1122-1148)
+    labels = [l for l in problem.labellist if not l.is_hole()]
+    label_case = np.zeros((len(labels), 2))
+    seen = {}
+    for e in range(T):
+        seen[int(pk.lbl[e])] = int(pk.circuit[e])
+    for k in range(len(labels)):
+        ci = seen.get(k, -1)
+        if ci < 0:
+            label_case[k] = (1, 0.0)
+        else:
+            circ = pk.circuits[ci]
+            if circ.Case == 0:
+                label_case[k] = (0, circ.dV.real if isinstance(circ.dV, complex) else circ.dV)
+            else:
+                label_case[k] = (1, circ.J.real if isinstance(circ.J, complex) else circ.J)
+
+    return MagSolution(problem=problem, mesh=mesh, A=A,
+                       circuits=pk.circuits, label_case=label_case,
+                       iterations=iters_total, residual=float(rel_resid))

@@ -1,0 +1,717 @@
+"""Magnetics postprocessor (the reference FPProc re-built on arrays).
+
+Computes element flux densities, air-gap-element harmonic decompositions
+and gap force/torque integrals, block integrals (energy, losses, Lorentz
+and weighted-stress-tensor forces), and point values. Reference anchors:
+
+* element B: cfemm/fpproc/fpproc.cpp:2970 ``GetElementB``
+* AGE harmonics: fpproc.cpp:1391-1615 (10-node quad B_r/B_t + sine/cosine
+  convolution into brc/brs/btc/bts)
+* gap integrals: fpproc.cpp:5418-5700
+* block integrals: fpproc.cpp:3642 ``BlockIntegral`` (31 types)
+* weighted stress tensor: the Henrotte mask field (makemask.cpp:48) is a
+  Laplace solve on the same PCG stack, then forces integrate
+  grad-mask-weighted stress over all elements (fpproc.cpp:3984-4074)
+
+Everything runs as vectorized reductions; the harmonic decomposition is a
+plain matmul (elements x harmonics) that maps to the MXU.
+"""
+
+from __future__ import annotations
+
+import cmath
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import (FileType, LENGTH_TO_METERS, MU0, PI, ProblemType)
+from ..geometry.problem import Problem
+from ..materials.magnetic import MagneticMaterial
+from ..mesh.meshdata import AirGapElement, MeshData
+from ..models.magnetostatics import _eval_magdirs
+
+
+@dataclass
+class AgeHarmonics:
+    nh: np.ndarray      # harmonic numbers
+    brc: np.ndarray     # cosine/sine amplitudes of B_r, B_t (complex)
+    brs: np.ndarray
+    btc: np.ndarray
+    bts: np.ndarray
+    br: np.ndarray      # per-gap-element field samples
+    bt: np.ndarray
+    aco: complex        # mean A in the gap (periodic only)
+
+
+class MagPostProcessor:
+    """Postprocessor over an in-memory solution.
+
+    ``A`` is the nodal potential in .ans units (Wb/m for planar problems);
+    mesh coordinates are in problem units. ``label_case`` carries the
+    per-label circuit results echoed into the solution file.
+    """
+
+    def __init__(self, problem: Problem, mesh: MeshData, A: np.ndarray,
+                 label_case: np.ndarray | None = None,
+                 Aprev: np.ndarray | None = None):
+        self.problem = problem
+        self.mesh = mesh
+        self.A = np.asarray(A)
+        self.Aprev = Aprev
+        self.lc = LENGTH_TO_METERS[problem.LengthUnits]
+        self.depth = 1.0 if problem.Depth == -1 else problem.Depth * self.lc
+        self.frequency = problem.Frequency
+        self.labels = [l for l in problem.labellist if not l.is_hole()]
+        self.mats: list[MagneticMaterial] = problem.blockproplist
+        for m in self.mats:
+            if m.BHpoints > 0 and not m.slope:
+                m.get_slopes(problem.Frequency * 2.0 * PI)
+        if label_case is None:
+            label_case = np.tile([1.0, 0.0], (len(self.labels), 1))
+        self.label_case = label_case
+        self.magdir = _eval_magdirs(problem, mesh, 1.0)
+
+        self._geom()
+        self.age = [self._age_harmonics(a) for a in mesh.airgaps]
+        self._mask: np.ndarray | None = None
+
+    # ------------------------------------------------------------------ #
+    def _geom(self):
+        xy = self.mesh.nodes
+        tris = self.mesh.elements
+        v = xy[tris]
+        x = v[:, :, 0]
+        y = v[:, :, 1]
+        nxt = np.roll(np.arange(3), -1)
+        prv = np.roll(np.arange(3), 1)
+        self.b = y[:, nxt] - y[:, prv]      # (T,3)
+        self.c = x[:, prv] - x[:, nxt]
+        self.da = (self.b[:, 0] * self.c[:, 1] - self.b[:, 1] * self.c[:, 0])
+        self.ctr = v.mean(axis=1)           # problem units
+        self.area_m2 = 0.5 * np.abs(self.da) * self.lc ** 2
+        self.blk = np.array([self.labels[i].BlockType
+                             for i in self.mesh.element_labels], np.int64)
+        self._element_B()
+
+    def _element_B(self):
+        """GetElementB (planar + axisymmetric), fpproc.cpp:2970."""
+        A = self.A[self.mesh.elements]      # (T,3)
+        lc = self.lc
+        if self.problem.ProblemType == ProblemType.PLANAR:
+            self.B1 = (A * self.c).sum(axis=1) / (self.da * lc)
+            self.B2 = -(A * self.b).sum(axis=1) / (self.da * lc)
+            return
+        # axisymmetric: construct mid-side values weighted by radius
+        xy = self.mesh.nodes[self.mesh.elements]
+        R = xy[:, :, 0]
+        r = R.mean(axis=1)
+        v0, v2, v4 = A[:, 0], A[:, 1], A[:, 2]
+
+        def mid(Ra, Rb, va, vb):
+            deg = (Ra < 1e-06) & (Rb < 1e-06)
+            safe = np.where(deg, 1.0, 4.0 * (Ra + Rb))
+            out = (Rb * (3.0 * va + vb) + Ra * (va + 3.0 * vb)) / safe
+            return np.where(deg, (va + vb) / 2.0, out)
+
+        v1 = mid(R[:, 0], R[:, 1], v0, v2)
+        v3 = mid(R[:, 1], R[:, 2], v2, v4)
+        v5 = mid(R[:, 2], R[:, 0], v4, v0)
+        dp = (-v0 + v2 + 4.0 * v3 - 4.0 * v5) / 3.0
+        dq = (-v0 - 4.0 * v1 + 4.0 * v3 + v4) / 3.0
+        da = self.da * 2.0 * PI * r * lc * lc
+        self.B1 = -(self.c[:, 1] * dp + self.c[:, 2] * dq) / da
+        self.B2 = (self.b[:, 1] * dp + self.b[:, 2] * dq) / da
+
+    # ------------------------------------------------------------------ #
+    # air gap harmonics (fpproc.cpp:1391-1615)                            #
+    # ------------------------------------------------------------------ #
+    def _age_gather(self, age: AirGapElement):
+        n = age.totalArcElements
+        qn, qw = age.quad_nodes, age.quad_weights
+        nn = np.zeros((n, 10), np.int64)
+        ww = np.zeros((n, 10))
+        for k in range(n):
+            km1 = k - 1 if k - 1 >= 0 else n - 1
+            kp2 = 1 if (k + 2) > n else k + 2
+            nn[k] = [qn[km1][0], qn[k][0], qn[k][1], qn[k + 1][1],
+                     qn[kp2][1], qn[km1][2], qn[k][2], qn[k][3],
+                     qn[k + 1][3], qn[kp2][3]]
+            ww[k] = [qw[km1][0], qw[k][0], qw[k][1], qw[k + 1][1],
+                     qw[kp2][1], qw[km1][2], qw[k][2], qw[k][3],
+                     qw[k + 1][3], qw[kp2][3]]
+            if k == 0 and age.BdryFormat == 1:
+                ww[k][0] = -ww[k][0]
+                ww[k][5] = -ww[k][5]
+            if k + 1 == n and age.BdryFormat == 1:
+                ww[k][4] = -ww[k][4]
+                ww[k][9] = -ww[k][9]
+        return nn, ww
+
+    def _age_harmonics(self, age: AirGapElement) -> AgeHarmonics:
+        n = age.totalArcElements
+        R = (age.ri + age.ro) / 2.0
+        dr = age.ro - age.ri
+        dt = (PI / 180.0) * age.totalArcLength / n
+        ci = age.InnerShift
+        co = age.OuterShift
+
+        nn, ww = self._age_gather(age)
+        a = self.A[nn] * ww                      # (n, 10)
+        a0, a1, a2, a3, a4, a5, a6, a7, a8, a9 = [a[:, i] for i in range(10)]
+
+        br = (-(ci * a1) - 2 * a2 + 2 * a3 + ci * (a2 + a3 - a4)
+              - ci ** 3 * (a0 - 4 * a1 + 6 * a2 - 4 * a3 + a4)
+              + ci ** 2 * (a0 - 5 * a1 + 9 * a2 - 7 * a3 + 2 * a4)
+              - 2 * a7 + 2 * a8 + co * (-a6 + a7 + a8 - a9)
+              - co ** 3 * (a5 - 4 * a6 + 6 * a7 - 4 * a8 + a9)
+              + co ** 2 * (a5 - 5 * a6 + 9 * a7 - 7 * a8 + 2 * a9)) \
+            / (4 * dt * R)
+        bt = (ci * a1 + 2 * a2 + 2 * a3
+              - ci ** 2 * (a0 - 3 * a1 + a2 + 3 * a3 - 2 * a4)
+              + ci * (a2 - a3 - a4)
+              + ci ** 3 * (a0 - 2 * a1 + 2 * a3 - a4)
+              - co * a6 + (-2 + co) * (1 + co) * a7 - 2 * a8
+              + co * (a8 + co * (a5 - 3 * a6 + 3 * a8 - 2 * a9) + a9
+                      + co ** 2 * (-a5 + 2 * a6 - 2 * a8 + a9))) / (4 * dr)
+
+        if age.BdryFormat == 0:
+            nn_count = n // 2 + 1
+            m = int(round(360.0 / age.totalArcLength))
+            nh = m * np.arange(nn_count)
+            ac = (2 * a2 + 2 * a3 + 2 * a7 + 2 * a8 + a1 * ci
+                  + (a2 - a3 - a4) * ci
+                  - (a0 - 3 * a1 + a2 + 3 * a3 - 2 * a4) * ci ** 2
+                  + (a0 - 2 * a1 + 2 * a3 - a4) * ci ** 3
+                  + (a6 + a7 - a8 - a9) * co
+                  - (a5 - 3 * a6 + a7 + 3 * a8 - 2 * a9) * co ** 2
+                  + (a5 - 2 * a6 + 2 * a8 - a9) * co ** 3) / 8.0
+            aco = complex(ac.mean())
+        else:
+            nn_count = (n + 1) // 2
+            m = int(round(180.0 / age.totalArcLength))
+            nh = m * (2 * np.arange(nn_count) + 1)
+            aco = 0.0
+
+        tta = (np.arange(n) + 0.5) * dt          # (n,)
+        angles = nh[:, None] * tta[None, :]      # (H, n)  -- MXU matmul
+        cos_m = np.cos(angles)
+        sin_m = np.sin(angles)
+        brc = cos_m @ br
+        brs = sin_m @ br
+        btc = cos_m @ bt
+        bts = sin_m @ bt
+        norm = np.full(nn_count, n / 2.0)
+        for j in range(nn_count):
+            if nh[j] == 0 or (j == nn_count - 1 and age.BdryFormat == 0
+                              and n % 2 == 0):
+                norm[j] = n
+        brc /= norm
+        brs /= norm
+        btc /= norm
+        bts /= norm
+        return AgeHarmonics(nh=nh, brc=brc, brs=brs, btc=btc, bts=bts,
+                            br=br, bt=bt, aco=aco)
+
+    def _age_index(self, name: str) -> int:
+        for i, a in enumerate(self.mesh.airgaps):
+            if a.name == name:
+                return i
+        raise KeyError(f"no air gap boundary named {name!r}")
+
+    # gap integrals (fpproc.cpp:5418-5700) ----------------------------- #
+    def gap_dc_torque(self, name: str) -> float:
+        i = self._age_index(name)
+        h = self.age[i]
+        R = (self.mesh.airgaps[i].ri + self.mesh.airgaps[i].ro) / 2.0
+        tq = float(np.sum(np.real(h.brc * np.conj(h.btc)
+                                  + h.brs * np.conj(h.bts))))
+        tq *= PI * R * R * self.depth / MU0
+        if self.frequency != 0:
+            tq /= 2.0
+        return tq
+
+    def gap_2x_torque(self, name: str) -> complex:
+        i = self._age_index(name)
+        h = self.age[i]
+        R = (self.mesh.airgaps[i].ri + self.mesh.airgaps[i].ro) / 2.0
+        if self.frequency == 0:
+            return 0.0
+        tq = np.sum(h.brc * h.btc + h.brs * h.bts)
+        return complex(tq * PI * R * R * self.depth / (2.0 * MU0))
+
+    def gap_dc_force(self, name: str) -> tuple[float, float]:
+        i = self._age_index(name)
+        age = self.mesh.airgaps[i]
+        h = self.age[i]
+        R = (age.ri + age.ro) / 2.0
+        fx = fy = 0.0
+        if round(age.totalArcLength) == 360:
+            for k in range(1, len(h.nh)):
+                dfx = ((h.brs[k] + h.btc[k]) * np.conj(h.brs[k - 1] - h.btc[k - 1])
+                       + (h.brs[k - 1] - h.btc[k - 1]) * np.conj(h.brs[k] + h.btc[k])
+                       + (h.brc[k] - h.bts[k]) * np.conj(h.brc[k - 1] + h.bts[k - 1])
+                       + (h.brc[k - 1] + h.bts[k - 1]) * np.conj(h.brc[k] - h.bts[k]))
+                dfy = ((-h.brc[k] + h.bts[k]) * np.conj(h.brs[k - 1] - h.btc[k - 1])
+                       + (h.brc[k - 1] + h.bts[k - 1]) * np.conj(h.brs[k] + h.btc[k])
+                       + (h.brs[k] + h.btc[k]) * np.conj(h.brc[k - 1] + h.bts[k - 1])
+                       + (-h.brs[k - 1] + h.btc[k - 1]) * np.conj(h.brc[k] - h.bts[k]))
+                fx += dfx.real
+                fy += dfy.real
+            fx *= self.depth * PI * R / (4.0 * MU0)
+            fy *= self.depth * PI * R / (4.0 * MU0)
+            if self.frequency != 0:
+                fx /= 2.0
+                fy /= 2.0
+        return fx, fy
+
+    def gap_time_avg_stored_energy(self, name: str) -> float:
+        i = self._age_index(name)
+        age = self.mesh.airgaps[i]
+        h = self.age[i]
+        R = (age.ri + age.ro) / 2.0
+        g = age.ro - age.ri
+        e = float(np.sum(np.real(h.brc * np.conj(h.brc)
+                                 + h.brs * np.conj(h.brs)
+                                 + h.btc * np.conj(h.btc)
+                                 + h.bts * np.conj(h.bts))))
+        e *= PI * R * g * self.depth / (2.0 * MU0)
+        if self.frequency != 0:
+            e /= 2.0
+        return e
+
+    def gap_integral(self, name: str, inttype: int):
+        """mo_gapintegral dispatch (LuaMagneticsCommands luaGapIntegral):
+        0 torque, 1 force, 2 2x torque, 3 2x force, 4 stored energy."""
+        if inttype == 0:
+            return self.gap_dc_torque(name)
+        if inttype == 1:
+            return self.gap_dc_force(name)
+        if inttype == 2:
+            return self.gap_2x_torque(name)
+        if inttype == 4:
+            return self.gap_time_avg_stored_energy(name)
+        raise NotImplementedError(f"gap integral type {inttype}")
+
+    # ------------------------------------------------------------------ #
+    # current density (GetJA, fpproc.cpp)                                #
+    # ------------------------------------------------------------------ #
+    def element_JA(self):
+        """Per-element nodal J (MA/m^2) and A arrays, (T,3) each."""
+        T = self.mesh.num_elements
+        tris = self.mesh.elements
+        if self.problem.ProblemType == ProblemType.PLANAR:
+            Aface = self.A[tris].astype(complex)
+        else:
+            rn = self.mesh.nodes[tris][:, :, 0] * self.lc
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Aface = np.where(np.abs(rn / self.lc) < 1e-06, 0.0,
+                                 self.A[tris] / (2.0 * PI * rn))
+        J = np.zeros((T, 3), complex)
+        lbl = self.mesh.element_labels
+        for t in range(T):
+            mat = self.mats[self.blk[t]]
+            Jt = mat.J
+            c = mat.Cduct
+            if mat.Lam_d != 0 and mat.LamType == 0:
+                c = 0.0
+            lab = self.labels[lbl[t]]
+            if abs(lab.Turns) > 1 or mat.LamType > 2:
+                c = 0.0
+            row = np.full(3, Jt, complex)
+            if self.frequency != 0:
+                row = row - 1j * self.frequency * 2.0 * PI * c * Aface[t]
+            case, value = self.label_case[lbl[t]]
+            if lab.InCircuit >= 0:
+                if case == 0:
+                    row = row - c * value
+                else:
+                    row = row + value
+            J[t] = row
+        return J, Aface
+
+    # ------------------------------------------------------------------ #
+    # weighted stress tensor mask (makemask.cpp:48)                      #
+    # ------------------------------------------------------------------ #
+    def make_mask(self, selected_labels: set[int]) -> np.ndarray:
+        """Solve the Laplace 'mask' problem: 1 on nodes of the selected
+        region(s), 0 on nodes attached only to far air, harmonic in
+        between; used by the Henrotte weighted-stress-tensor force."""
+        import jax.numpy as jnp
+        from ..ops import assembly as dev_assembly
+        from ..ops import solver as dev_solver
+
+        mesh = self.mesh
+        N = mesh.num_nodes
+        # nodes on selected blocks are 1; nodes on non-air, non-selected
+        # blocks are 0 ("collars"); air nodes float (makemask.cpp:48-140)
+        is_air = np.array([
+            self.mats[l.BlockType].isAir() if hasattr(self.mats[l.BlockType], "isAir")
+            else _mat_is_air(self.mats[l.BlockType])
+            for l in self.labels])
+        sel = np.zeros(len(self.labels), bool)
+        for k in selected_labels:
+            sel[k] = True
+        fixed = np.zeros(N, bool)
+        vals = np.zeros(N)
+        for t in range(mesh.num_elements):
+            lab = mesh.element_labels[t]
+            if sel[lab]:
+                fixed[mesh.elements[t]] = True
+                vals[mesh.elements[t]] = 1.0
+        for t in range(mesh.num_elements):
+            lab = mesh.element_labels[t]
+            if not sel[lab] and not is_air[lab]:
+                for nd in mesh.elements[t]:
+                    if not (fixed[nd] and vals[nd] == 1.0):
+                        fixed[nd] = True
+                        vals[nd] = 0.0
+        # exterior boundary nodes are grounded
+        edge_count = {}
+        for tri in mesh.elements:
+            for i in range(3):
+                key = tuple(sorted((int(tri[i]), int(tri[(i + 1) % 3]))))
+                edge_count[key] = edge_count.get(key, 0) + 1
+        for (a, b), cnt in edge_count.items():
+            if cnt == 1:
+                for nd in (a, b):
+                    if not (fixed[nd] and vals[nd] == 1.0):
+                        fixed[nd] = True
+                        vals[nd] = 0.0
+
+        geom = dev_assembly.tri_geometry(jnp.asarray(mesh.nodes),
+                                         jnp.asarray(mesh.elements))
+        Mx, My, _ = dev_assembly.curl_matrices(geom)
+        Me = Mx + My
+        blocks = [dev_solver.ElementBlock(
+            idx=jnp.asarray(mesh.elements),
+            sign=jnp.ones_like(jnp.asarray(mesh.elements), jnp.float64),
+            mat=-Me)]
+        x, _, _ = dev_solver.solve(
+            blocks, jnp.zeros(N), jnp.asarray(fixed), jnp.asarray(vals),
+            1e-08)
+        return np.asarray(x)
+
+    def _henrotte_vector(self, mask: np.ndarray):
+        """grad of the mask per element (fpproc.cpp:3614)."""
+        msk = mask[self.mesh.elements]
+        gx = -(msk * self.b).sum(axis=1) / (self.da * self.lc)
+        gy = -(msk * self.c).sum(axis=1) / (self.da * self.lc)
+        return gx, gy
+
+    # ------------------------------------------------------------------ #
+    # block integrals (fpproc.cpp:3642)                                  #
+    # ------------------------------------------------------------------ #
+    def block_integral(self, inttype: int, selected_labels: set[int]):
+        sel_el = np.isin(self.mesh.element_labels, list(selected_labels))
+        a = self.area_m2
+        B1, B2 = self.B1.astype(complex), self.B2.astype(complex)
+        planar = self.problem.ProblemType == ProblemType.PLANAR
+        depth = self.depth
+        if planar:
+            Rc = None
+            vol = a * depth
+        else:
+            r3 = self.mesh.nodes[self.mesh.elements][:, :, 0] * self.lc
+            Rm = r3.mean(axis=1)
+            vol = a * 2.0 * PI * Rm
+
+        if inttype == 6:
+            return (self.block_integral(3, selected_labels)
+                    + self.block_integral(4, selected_labels))
+
+        if inttype == 5:   # cross-section area
+            return complex(a[sel_el].sum())
+        if inttype == 10:  # volume
+            return complex(vol[sel_el].sum())
+        if inttype == 8:
+            return complex((vol[sel_el] * B1[sel_el]).sum())
+        if inttype == 9:
+            return complex((vol[sel_el] * B2[sel_el]).sum())
+        if inttype == 25:  # centroid
+            asum = a[sel_el].sum()
+            cx = (self.ctr[sel_el, 0] * a[sel_el]).sum() / asum
+            cy = (self.ctr[sel_el, 1] * a[sel_el]).sum() / asum
+            return complex(cx, cy)
+        if inttype == 24:  # moment of inertia about z (or r=0)
+            if planar:
+                U = self.mesh.nodes[self.mesh.elements][:, :, 0] * self.lc
+                V = self.mesh.nodes[self.mesh.elements][:, :, 1] * self.lc
+                y = (U ** 2).sum(axis=1) + U[:, 0] * U[:, 1] \
+                    + U[:, 0] * U[:, 2] + U[:, 1] * U[:, 2]
+                y = y + (V ** 2).sum(axis=1) + V[:, 0] * V[:, 1] \
+                    + V[:, 0] * V[:, 2] + V[:, 1] * V[:, 2]
+                return complex((y[sel_el] * a[sel_el] * depth / 6.0).sum())
+            raise NotImplementedError
+
+        J, Aface = self.element_JA()
+        Javg = J.mean(axis=1)
+
+        def pln_int(af, u, v):
+            z0 = 2 * u[:, 0] + u[:, 1] + u[:, 2]
+            z1 = u[:, 0] + 2 * u[:, 1] + u[:, 2]
+            z2 = u[:, 0] + u[:, 1] + 2 * u[:, 2]
+            return af * (v[:, 0] * z0 + v[:, 1] * z1 + v[:, 2] * z2) / 12.0
+
+        if inttype == 0:   # A.J
+            if planar:
+                y = pln_int(a, Aface, np.conj(J)) * depth
+                return complex(y[sel_el].sum())
+            raise NotImplementedError
+        if inttype == 1:   # integral of A
+            if planar:
+                y = a * depth * Aface.mean(axis=1)
+                return complex(y[sel_el].sum())
+            raise NotImplementedError
+        if inttype == 7:   # total current
+            return complex((a[sel_el] * Javg[sel_el]).sum())
+        if inttype == 2 or inttype == 17:  # stored energy / coenergy
+            total = 0.0
+            idx = np.where(sel_el)[0]
+            for t in idx:
+                mat = self.mats[self.blk[t]]
+                b1 = self.B1[t]
+                b2 = self.B2[t]
+                af = vol[t]
+                if self.frequency == 0:
+                    if inttype == 17:
+                        y = _do_coenergy(mat, b1.real, b2.real)
+                    elif mat.H_c != 0:
+                        y = _energy_pm(mat, b1.real, b2.real,
+                                       self.magdir[t])
+                    else:
+                        y = _do_energy(mat, b1.real, b2.real)
+                else:
+                    y = _do_energy_ac(mat, b1, b2)
+                total += af * y * self._aecf(t)
+            return complex(total)
+        if inttype == 4:   # resistive losses
+            total = 0.0
+            idx = np.where(sel_el)[0]
+            for t in idx:
+                mat = self.mats[self.blk[t]]
+                if mat.Cduct == 0 or (mat.Lam_d != 0 and mat.LamType == 0):
+                    continue
+                sig = mat.Cduct * 1e06
+                if planar:
+                    V = np.conj(J[t]) / sig
+                    z0 = 2 * J[t][0] + J[t][1] + J[t][2]
+                    z1 = J[t][0] + 2 * J[t][1] + J[t][2]
+                    z2 = J[t][0] + J[t][1] + 2 * J[t][2]
+                    y = a[t] * (V[0] * z0 + V[1] * z1 + V[2] * z2) / 12.0 \
+                        * depth * 1e12
+                else:
+                    raise NotImplementedError
+                if self.frequency != 0:
+                    y /= 2.0
+                total += y.real
+            return complex(total)
+        if inttype in (11, 12, 15):  # Lorentz force / torque (SS)
+            # J in MA/m^2 -> 1e6 factor folds into the integral
+            total = 0.0
+            idx = np.where(sel_el)[0]
+            for t in idx:
+                if inttype == 11:
+                    y = -(B2[t].real * Javg[t].real
+                          + B2[t].imag * Javg[t].imag)
+                    if not planar:
+                        y = 0.0
+                    else:
+                        y *= depth
+                    if self.frequency != 0:
+                        y *= 0.5
+                    total += a[t] * y * 1e06
+                elif inttype == 12:
+                    U = np.ones((1, 3))
+                    V = np.real(B1[t] * np.conj(J[t]))
+                    z0 = 2 * U[0][0] + U[0][1] + U[0][2]
+                    y = a[t] * (V * np.array([4.0, 4.0, 4.0])).sum() / 12.0
+                    y *= depth
+                    if self.frequency != 0:
+                        y *= 0.5
+                    total += y * 1e06
+                else:  # 15 torque
+                    cx, cy = self.ctr[t] * self.lc
+                    y = cy * (B2[t].real * Javg[t].real
+                              + B2[t].imag * Javg[t].imag) \
+                        + cx * (B1[t].real * Javg[t].real
+                                + B1[t].imag * Javg[t].imag)
+                    if self.frequency != 0:
+                        y *= 0.5
+                    total += a[t] * y * depth * 1e06
+            return complex(total)
+        if inttype in (18, 19, 22):
+            # Henrotte (weighted stress tensor) force/torque, SS part --
+            # integrates over ALL elements; requires make_mask() first
+            if self._mask is None:
+                self._mask = self.make_mask(selected_labels)
+            gx, gy = self._henrotte_vector(self._mask)
+            F1 = ((B1 * np.conj(B1) - B2 * np.conj(B2)).real * gx
+                  + 2.0 * np.real(B1 * np.conj(B2)) * gy) / (2.0 * MU0)
+            F2 = ((B2 * np.conj(B2) - B1 * np.conj(B1)).real * gy
+                  + 2.0 * np.real(B1 * np.conj(B2)) * gx) / (2.0 * MU0)
+            aecf = np.array([self._aecf(t)
+                             for t in range(self.mesh.num_elements)])
+            w = vol * aecf
+            if self.frequency != 0:
+                w = w / 2.0
+            if inttype == 18:
+                return complex((w * F1).sum())
+            if inttype == 19:
+                return complex((w * F2).sum())
+            cx = self.ctr[:, 0] * self.lc
+            cy = self.ctr[:, 1] * self.lc
+            return complex((w * (cx * F2 - cy * F1)).sum())
+        raise NotImplementedError(f"block integral {inttype}")
+
+    def _aecf(self, t: int) -> float:
+        """Axisymmetric external-region correction (fpproc.cpp AECF)."""
+        if self.problem.ProblemType != ProblemType.AXISYMMETRIC:
+            return 1.0
+        lab = self.labels[self.mesh.element_labels[t]]
+        if not lab.IsExternal:
+            return 1.0
+        p = self.problem
+        cx, cy = self.ctr[t]
+        r = math.hypot(cx, cy - p.extZo)
+        return (r * r * p.extRi) / (p.extRo ** 3)
+
+    # ------------------------------------------------------------------ #
+    # point values                                                       #
+    # ------------------------------------------------------------------ #
+    def find_element(self, x: float, y: float) -> int:
+        """Triangle containing (x, y) in problem units (linear scan with
+        barycentric test; callers needing speed should batch)."""
+        xy = self.mesh.nodes[self.mesh.elements]
+        v0 = xy[:, 0]
+        d1 = xy[:, 1] - v0
+        d2 = xy[:, 2] - v0
+        det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+        px = x - v0[:, 0]
+        py = y - v0[:, 1]
+        s = (px * d2[:, 1] - py * d2[:, 0]) / det
+        t = (py * d1[:, 0] - px * d1[:, 1]) / det
+        ok = (s >= -1e-12) & (t >= -1e-12) & (s + t <= 1 + 1e-12)
+        idx = np.where(ok)[0]
+        if len(idx) == 0:
+            return -1
+        return int(idx[0])
+
+    def get_point_values(self, x: float, y: float) -> dict:
+        """A, B, H, mu, J at a point (subset of CMPointVals,
+        fpproc.cpp:2257 GetPointValues), non-smoothed element fields."""
+        t = self.find_element(x, y)
+        if t < 0:
+            return {}
+        tris = self.mesh.elements[t]
+        xy = self.mesh.nodes[tris]
+        # barycentric interpolation of A
+        d1 = xy[1] - xy[0]
+        d2 = xy[2] - xy[0]
+        det = d1[0] * d2[1] - d1[1] * d2[0]
+        s = ((x - xy[0][0]) * d2[1] - (y - xy[0][1]) * d2[0]) / det
+        u = ((y - xy[0][1]) * d1[0] - (x - xy[0][0]) * d1[1]) / det
+        A = (1 - s - u) * self.A[tris[0]] + s * self.A[tris[1]] \
+            + u * self.A[tris[2]]
+        mat = self.mats[self.blk[t]]
+        b1, b2 = self.B1[t], self.B2[t]
+        mu1, mu2 = _get_mu(mat, b1, b2)
+        J, _ = self.element_JA()
+        return {
+            "A": A,
+            "B1": b1, "B2": b2,
+            "mu1": mu1, "mu2": mu2,
+            "H1": b1 / (mu1 * MU0), "H2": b2 / (mu2 * MU0),
+            "Je": complex(J[t].mean()),
+        }
+
+
+def _mat_is_air(mat: MagneticMaterial) -> bool:
+    """CMMaterialProp::isAir (CMaterialProp.cpp:698)."""
+    return (mat.mu_x == 1 and mat.mu_y == 1 and mat.BHpoints == 0
+            and mat.LamType == 0 and mat.H_c == 0 and mat.J == 0
+            and mat.Cduct == 0 and mat.Theta_hn == 0 and mat.Theta_hx == 0
+            and mat.Theta_hy == 0)
+
+
+def _do_energy(mat: MagneticMaterial, b1: float, b2: float) -> float:
+    """CMMaterialProp::DoEnergy, DC (CMaterialProp.cpp:595)."""
+    if mat.BHpoints == 0:
+        if mat.LamType == 0:
+            h1 = b1 / ((1 + mat.LamFill * (mat.mu_x - 1)) * MU0)
+            h2 = b2 / ((1 + mat.LamFill * (mat.mu_y - 1)) * MU0)
+        elif mat.LamType == 1:
+            h1 = b1 / ((1 + mat.LamFill * (mat.mu_x - 1)) * MU0)
+            h2 = b1 * (mat.LamFill / (mat.mu_y * MU0)
+                       + (1 - mat.LamFill) / MU0)
+        elif mat.LamType == 2:
+            h2 = b1 / ((1 + mat.LamFill * (mat.mu_y - 1)) * MU0)
+            h1 = b1 * (mat.LamFill / (mat.mu_x * MU0)
+                       + (1 - mat.LamFill) / MU0)
+        else:
+            h1 = b1 / MU0
+            h2 = b2 / MU0
+        return (h1 * b1 + h2 * b2) / 2.0
+    f = mat.LamFill
+    if mat.LamType == 0:
+        return mat.get_energy(math.hypot(b1, b2))
+    if mat.LamType == 1:
+        biron = math.hypot(b1 / f, b2)
+        return f * mat.get_energy(biron) + (1 - f) * b2 * b2 / (2 * MU0)
+    if mat.LamType == 2:
+        biron = math.hypot(b2 / f, b1)
+        return f * mat.get_energy(biron) + (1 - f) * b1 * b1 / (2 * MU0)
+    return 0.0
+
+
+def _do_coenergy(mat: MagneticMaterial, b1: float, b2: float) -> float:
+    if mat.BHpoints == 0:
+        return _do_energy(mat, b1, b2)
+    f = mat.LamFill
+    if mat.LamType == 0:
+        return mat.get_coenergy(math.hypot(b1, b2))
+    if mat.LamType == 1:
+        biron = math.hypot(b1 / f, b2)
+        return f * mat.get_coenergy(biron) + (1 - f) * b2 * b2 / (2 * MU0)
+    if mat.LamType == 2:
+        biron = math.hypot(b2 / f, b1)
+        return f * mat.get_coenergy(biron) + (1 - f) * b1 * b1 / (2 * MU0)
+    return 0.0
+
+
+def _energy_pm(mat: MagneticMaterial, b1: float, b2: float,
+               magdir: float) -> float:
+    """Stored-energy correction for permanent magnets
+    (fpproc.cpp:3783-3809)."""
+    if mat.BHpoints == 0:
+        mu1 = mat.mu_x
+        mu2 = mat.mu_y
+        hc = mat.H_c * cmath.exp(1j * PI * magdir / 180.0)
+        h1 = b1 / (mu1 * MU0) - hc.real
+        h2 = b2 / (mu2 * MU0) - hc.imag
+        return 0.5 * MU0 * (mu1 * h1 * h1 + mu2 * h2 * h2)
+    y = _do_energy(mat, b1, b2)
+    y += mat.Nrg - mat.H_c * (complex(b1, b2)
+                              / cmath.exp(1j * PI * magdir / 180.0)).real
+    return y
+
+
+def _get_mu(mat: MagneticMaterial, b1, b2):
+    """DC GetMu (CMaterialProp.cpp:775), relative permeabilities."""
+    if mat.BHpoints == 0:
+        if mat.LamType == 0:
+            return (1 + mat.LamFill * (mat.mu_x - 1),
+                    1 + mat.LamFill * (mat.mu_y - 1))
+        if mat.LamType == 1:
+            return (mat.LamFill * mat.mu_x + 1 - mat.LamFill,
+                    mat.mu_x / (mat.LamFill + mat.mu_x * (1 - mat.LamFill)))
+        if mat.LamType == 2:
+            return (mat.mu_y / (mat.LamFill + mat.mu_y * (1 - mat.LamFill)),
+                    mat.LamFill * mat.mu_y + 1 - mat.LamFill)
+        return 1.0, 1.0
+    b = abs(math.hypot(abs(b1), abs(b2)))
+    if b < 1e-08:
+        mu = 1.0 / mat.slope[0].real
+    else:
+        mu = b / mat.get_H(b).real
+    return mu / MU0, mu / MU0
