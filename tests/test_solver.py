@@ -1,0 +1,53 @@
+"""Solver-level tests: direct f64 path vs f32 iterative refinement.
+
+On TPU hardware float64 silently truncates to f32, so the production
+solve path is mixed-precision refinement (ops/solver.py). These tests
+force that path on CPU and check it still meets the reference's
+convergence contract (relative preconditioned residual <= Precision,
+spars.cpp:300-313) and agrees with the native-f64 solve.
+"""
+
+import numpy as np
+import pytest
+
+from xfemm_tpu.mesh import mesher
+from xfemm_tpu.models import benchprob, magnetostatics
+from xfemm_tpu.ops import solver
+
+
+@pytest.fixture(scope="module")
+def small_system():
+    p = benchprob.build(1200)
+    mesh = mesher.mesh_problem(p)
+    return p, mesh
+
+
+def test_mixed_precision_matches_direct(small_system, monkeypatch):
+    p, mesh = small_system
+    sol64 = magnetostatics.solve(p, mesh)
+    assert sol64.residual <= p.Precision
+
+    monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    solmx = magnetostatics.solve(p, mesh)
+    assert solmx.residual <= p.Precision
+    scale = np.abs(sol64.A).max()
+    assert np.abs(solmx.A - sol64.A).max() / scale < 1e-7
+
+
+def test_mixed_precision_fixed_values(monkeypatch):
+    # tiny 1-D Laplace chain with inhomogeneous Dirichlet ends
+    n = 64
+    idx = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    sign = np.ones_like(idx, float)
+    mat = np.tile(np.array([[1.0, -1.0], [-1.0, 1.0]]), (n - 1, 1, 1))
+    blocks = [solver.ElementBlock(idx=idx, sign=sign, mat=mat)]
+    fixed = np.zeros(n, bool)
+    fixed[[0, -1]] = True
+    vals = np.zeros(n)
+    vals[-1] = 2.0
+
+    monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    x, relres, _ = solver.solve(blocks, np.zeros(n), fixed, vals, 1e-12)
+    x = np.asarray(x)
+    expect = 2.0 * np.arange(n) / (n - 1)
+    assert np.abs(x - expect).max() < 1e-10

@@ -1,1 +1,32 @@
+"""xfemm_tpu: a TPU-native 2-D finite-element electromagnetics framework.
 
+Re-implements the capabilities of xfemm (FEMM 4.2 lineage: magnetostatics,
+AC magnetics, heat flow, electrostatics on first-order triangle meshes)
+as a JAX library: host-side geometry/meshing/packing, device-side batched
+assembly + preconditioned CG, shard_map domain decomposition for
+multi-chip.
+"""
+
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: TPU compiles here cost tens of
+    seconds through the device tunnel, so cache them across processes."""
+    if _os.environ.get("XFEMM_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+    cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "xfemm_tpu",
+                      "xla_cache"))
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # cache is an optimization, never a hard failure
+        pass
+
+
+_enable_compile_cache()

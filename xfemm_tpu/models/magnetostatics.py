@@ -447,13 +447,11 @@ def _circuit_preprocess(pk: PackedMagnetostatic, geom):
 
 
 def _element_blocks(pk: PackedMagnetostatic, Me):
-    """Assemble device blocks: volume elements (sign convention: the
+    """Assemble host-f64 blocks: volume elements (sign convention: the
     global matrix gets -Me, static2d.cpp:807-815), Robin edges, AGEs."""
     elem_ridx = pk.ridx[pk.tris]
     elem_sign = pk.rsign[pk.tris]
-    blocks = [ElementBlock(idx=jnp.asarray(elem_ridx),
-                           sign=jnp.asarray(elem_sign),
-                           mat=-Me)]
+    blocks = [ElementBlock(idx=elem_ridx, sign=elem_sign, mat=-Me)]
     if pk.robin:
         c = C_APOT
         idx = np.array([[pk.ridx[a], pk.ridx[b]] for (a, b), *_ in pk.robin])
@@ -462,29 +460,26 @@ def _element_blocks(pk: PackedMagnetostatic, Me):
         for i, (_, length, c0re, c1re, mult) in enumerate(pk.robin):
             Km = -0.0001 * c * c0re * length / 6.0
             mats[i] = -mult * Km * np.array([[2.0, 1.0], [1.0, 2.0]])
-        blocks.append(ElementBlock(idx=jnp.asarray(idx),
-                                   sign=jnp.asarray(sgn),
-                                   mat=jnp.asarray(mats)))
+        blocks.append(ElementBlock(idx=idx, sign=sgn, mat=mats))
     for nn, mats in pk.age:
-        blocks.append(ElementBlock(idx=jnp.asarray(pk.ridx[nn]),
-                                   sign=jnp.asarray(pk.rsign[nn]),
-                                   mat=jnp.asarray(mats)))
+        blocks.append(ElementBlock(idx=pk.ridx[nn], sign=pk.rsign[nn],
+                                   mat=mats))
     return blocks
 
 
 def _rhs(pk: PackedMagnetostatic, geom, be):
-    """Scatter -be plus point currents and Robin c1 terms."""
-    b = jnp.zeros(pk.nreduced, jnp.asarray(be).dtype)
+    """Scatter -be plus point currents and Robin c1 terms (host f64)."""
+    b = np.zeros(pk.nreduced)
     flat_idx = pk.ridx[pk.tris].reshape(-1)
     flat_sgn = pk.rsign[pk.tris].reshape(-1)
-    b = b.at[flat_idx].add(-flat_sgn * be.reshape(-1))
-    b = b + jnp.asarray(pk.b_extra)
+    np.add.at(b, flat_idx, -flat_sgn * np.asarray(be).reshape(-1))
+    b = b + pk.b_extra
     # Robin RHS: be[j] += c1*l/2*1e-4 then global b -= be
     # (static2d.cpp:475-477 with the :814 sign convention)
     for (a, bb), length, c0re, c1re, mult in pk.robin:
         Kb = (c1re * length / 2.0) * 0.0001 * mult
-        b = b.at[pk.ridx[a]].add(-pk.rsign[a] * Kb)
-        b = b.at[pk.ridx[bb]].add(-pk.rsign[bb] * Kb)
+        b[pk.ridx[a]] += -pk.rsign[a] * Kb
+        b[pk.ridx[bb]] += -pk.rsign[bb] * Kb
     return b
 
 
@@ -495,7 +490,7 @@ def solve(problem: Problem, mesh: MeshData,
         "axisymmetric path in models/axisymmetric.py"
     pk = pack(problem, mesh)
     c = C_APOT
-    geom = assembly.tri_geometry(jnp.asarray(pk.xy), jnp.asarray(pk.tris))
+    geom = assembly.tri_geometry(pk.xy, pk.tris)
     _circuit_preprocess(pk, geom)
     Mx, My, Mxy = assembly.curl_matrices(geom)
 
@@ -512,20 +507,19 @@ def solve(problem: Problem, mesh: MeshData,
                 t_src[e] = circ.J.real if isinstance(circ.J, complex) else circ.J
             else:
                 t_src[e] = -circ.dV.real * pk.Cduct[e] if isinstance(circ.dV, complex) else -circ.dV * pk.Cduct[e]
-    t_src = jnp.asarray(t_src)
 
     # static RHS pieces: sources (static2d.cpp:483-507) and magnetization
     # (static2d.cpp:584-598). Edge-j magnetization term K_j adds to the
     # endpoints j and j+1, so be[j] = src + K_j + K_{j-1}.
-    src = -(jnp.asarray(pk.Jre) + t_src) * area / 3.0
+    src = -(pk.Jre + t_src) * area / 3.0
     v = pk.xy[pk.tris]  # (T,3,2)
     nxt = np.roll(np.arange(3), -1)
     prv_of = np.array([2, 0, 1])
-    dxe = jnp.asarray(v[:, nxt, 0] - v[:, :, 0])
-    dye = jnp.asarray(v[:, nxt, 1] - v[:, :, 1])
-    th = jnp.asarray(pk.magdir) * PI / 180.0
-    Kmag = 0.0001 * jnp.asarray(pk.Hc)[:, None] * (
-        jnp.cos(th)[:, None] * dxe + jnp.sin(th)[:, None] * dye) / 2.0
+    dxe = v[:, nxt, 0] - v[:, :, 0]
+    dye = v[:, nxt, 1] - v[:, :, 1]
+    th = pk.magdir * PI / 180.0
+    Kmag = 0.0001 * pk.Hc[:, None] * (
+        np.cos(th)[:, None] * dxe + np.sin(th)[:, None] * dye) / 2.0
     be_static = src[:, None] + Kmag + Kmag[:, prv_of]
 
     # initial permeabilities (static2d.cpp:603-631)
@@ -538,21 +532,11 @@ def solve(problem: Problem, mesh: MeshData,
     mu2 = np.where(lt == 0, pk.mu_y * f + (1 - f),
                    np.where(lt == 1, pk.mu_x / (f + pk.mu_x * (1 - f)),
                             np.where(lt == 2, pk.mu_y * f + (1 - f), 1.0)))
-    mu1 = jnp.asarray(mu1)
-    mu2 = jnp.asarray(mu2)
 
     nonlinear = bool(pk.nonlinear.any())
-    nl = jnp.asarray(pk.nonlinear)
-    bh_B = jnp.asarray(pk.bh_B)
-    bh_H = jnp.asarray(pk.bh_H)
-    bh_S = jnp.asarray(pk.bh_S)
-    lt_j = jnp.asarray(lt)
-    f_j = jnp.asarray(f)
+    nl = pk.nonlinear
 
-    fixed_mask = jnp.asarray(pk.fixed_mask)
-    fixed_vals = jnp.asarray(pk.fixed_vals)
-
-    V = jnp.zeros(pk.nreduced)
+    V = np.zeros(pk.nreduced)
     relax = 1.0
     res = 0.0
     lastres = 0.0
@@ -560,53 +544,50 @@ def solve(problem: Problem, mesh: MeshData,
     rel_resid = 0.0
 
     for it in range(max_newton if nonlinear else 1):
-        Mn = jnp.zeros((T, 3, 3))
+        Mn = np.zeros((T, 3, 3))
         be = be_static
         if it > 0:
             # element B from current solution (static2d.cpp:691-697)
-            Vl = (pk.rsign[pk.tris] * np.asarray(V)[pk.ridx[pk.tris]])
-            Vl = jnp.asarray(Vl)
-            B1 = jnp.sum(Vl * geom.q, axis=1)
-            B2 = jnp.sum(Vl * geom.p, axis=1)
+            Vl = pk.rsign[pk.tris] * V[pk.ridx[pk.tris]]
+            B1 = np.sum(Vl * geom.q, axis=1)
+            B2 = np.sum(Vl * geom.p, axis=1)
             # LamType 1/2 variants scale one component by 1/fill
-            B1 = jnp.where(lt_j == 2, B1 / f_j, B1)
-            B2 = jnp.where(lt_j == 1, B2 / f_j, B2)
-            Bmag = c * jnp.sqrt(B1 ** 2 + B2 ** 2) / (0.02 * area)
-            vv, dv = assembly.hermite_vdv(Bmag, bh_B, bh_H, bh_S)
+            B1 = np.where(lt == 2, B1 / f, B1)
+            B2 = np.where(lt == 1, B2 / f, B2)
+            Bmag = c * np.sqrt(B1 ** 2 + B2 ** 2) / (0.02 * area)
+            vv, dv = assembly.hermite_vdv(Bmag, pk.bh_B, pk.bh_H, pk.bh_S)
             mu_el = 1.0 / (MU0 * vv)
-            mu1_new = jnp.where(lt_j == 0, mu_el,
-                                jnp.where(lt_j == 1, mu_el * f_j,
-                                          mu_el / (f_j + mu_el * (1 - f_j))))
-            mu2_new = jnp.where(lt_j == 0, mu_el,
-                                jnp.where(lt_j == 1,
-                                          mu_el / (f_j + mu_el * (1 - f_j)),
-                                          mu_el * f_j))
-            mu1 = jnp.where(nl, mu1_new, mu1)
-            mu2 = jnp.where(nl, mu2_new, mu2)
+            mu1_new = np.where(lt == 0, mu_el,
+                               np.where(lt == 1, mu_el * f,
+                                        mu_el / (f + mu_el * (1 - f))))
+            mu2_new = np.where(lt == 0, mu_el,
+                               np.where(lt == 1,
+                                        mu_el / (f + mu_el * (1 - f)),
+                                        mu_el * f))
+            mu1 = np.where(nl, mu1_new, mu1)
+            mu2 = np.where(nl, mu2_new, mu2)
             # Newton matrices (static2d.cpp:700-796)
             MxMy = Mx + My
-            vvec0 = jnp.einsum("tjw,tw->tj", MxMy, Vl)
+            vvec0 = np.einsum("tjw,tw->tj", MxMy, Vl)
             Mn0 = (-200.0 * c ** 3 * dv / area)[:, None, None] * \
                 vvec0[:, :, None] * vvec0[:, None, :]
             # LamType 1: v = (My/t + Mx) V, u = (My/t + t*Mx) V
-            v1 = jnp.einsum("tjw,tw->tj", My / f_j[:, None, None] + Mx, Vl)
-            u1 = jnp.einsum("tjw,tw->tj",
-                            My / f_j[:, None, None]
-                            + f_j[:, None, None] * Mx, Vl)
+            v1 = np.einsum("tjw,tw->tj", My / f[:, None, None] + Mx, Vl)
+            u1 = np.einsum("tjw,tw->tj",
+                           My / f[:, None, None] + f[:, None, None] * Mx, Vl)
             Mn1 = (-100.0 * c ** 3 * dv / area)[:, None, None] * (
                 v1[:, :, None] * u1[:, None, :]
                 + v1[:, None, :] * u1[:, :, None])
-            v2 = jnp.einsum("tjw,tw->tj", Mx / f_j[:, None, None] + My, Vl)
-            u2 = jnp.einsum("tjw,tw->tj",
-                            Mx / f_j[:, None, None]
-                            + f_j[:, None, None] * My, Vl)
+            v2 = np.einsum("tjw,tw->tj", Mx / f[:, None, None] + My, Vl)
+            u2 = np.einsum("tjw,tw->tj",
+                           Mx / f[:, None, None] + f[:, None, None] * My, Vl)
             Mn2 = (-100.0 * c ** 3 * dv / area)[:, None, None] * (
                 v2[:, :, None] * u2[:, None, :]
                 + v2[:, None, :] * u2[:, :, None])
-            Mn = jnp.where((lt_j == 0)[:, None, None], Mn0,
-                           jnp.where((lt_j == 1)[:, None, None], Mn1, Mn2))
-            Mn = jnp.where(nl[:, None, None], Mn, 0.0)
-            be = be + jnp.einsum("tjk,tk->tj", Mn, Vl)
+            Mn = np.where((lt == 0)[:, None, None], Mn0,
+                          np.where((lt == 1)[:, None, None], Mn1, Mn2))
+            Mn = np.where(nl[:, None, None], Mn, 0.0)
+            be = be + np.einsum("tjk,tk->tj", Mn, Vl)
 
         Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None] + Mn)
         blocks = _element_blocks(pk, Me)
@@ -614,14 +595,15 @@ def solve(problem: Problem, mesh: MeshData,
 
         V_old = V
         V, rel_resid, cg_iters = solver.solve(
-            blocks, b, fixed_mask, fixed_vals, problem.Precision,
+            blocks, b, pk.fixed_mask, pk.fixed_vals, problem.Precision,
             x0=V if it > 0 else None)
+        V = np.asarray(V)
         iters_total += int(cg_iters)
 
         if not nonlinear:
             break
-        num = float(jnp.sum((V - V_old) ** 2))
-        den = float(jnp.sum(V ** 2))
+        num = float(np.sum((V - V_old) ** 2))
+        den = float(np.sum(V ** 2))
         if den == 0:
             break
         lastres = res
@@ -636,7 +618,7 @@ def solve(problem: Problem, mesh: MeshData,
             break
 
     # expand back to full nodes, convert to A (static2d.cpp:1018-1021)
-    Vfull = np.asarray(V)[pk.ridx] * pk.rsign
+    Vfull = V[pk.ridx] * pk.rsign
     A = Vfull * c
 
     # per-label circuit info (WriteStatic2D:1122-1148)

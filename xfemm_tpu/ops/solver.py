@@ -2,16 +2,25 @@
 
 Replaces the reference's linked-list SSOR-PCG (cfemm/libfemm/spars.cpp:238
 ``CBigLinProb::PCGSolve``) with a matrix-free Jacobi-preconditioned CG under
-``jax.jit``: the matrix never materializes -- each iteration gathers nodal
-values per element, applies the batched 3x3 (or 10x10 air-gap) element
-blocks on the VPU/MXU, and scatter-adds with ``segment_sum``-style
-index-add. Element blocks are pytree inputs, so Newton iterations reuse one
-compiled executable.
+``jax.jit``: the matrix never materializes on device -- each iteration
+gathers nodal values per element, applies the batched 3x3 (or 10x10
+air-gap) element blocks on the VPU/MXU, and scatter-adds with index-add.
+Element blocks are pytree inputs, so Newton iterations reuse one compiled
+executable.
 
 Convergence contract matches the reference: iterate until
 ``sqrt(z.r / z0.b) <= tol`` where ``z = M^-1 r`` (spars.cpp:300-313). SSOR's
 sequential triangular sweeps do not map to TPU; only the tolerance is the
 contract, so the preconditioner is Jacobi with the same stopping metric.
+
+Precision: TPUs have no float64, but the contract asks for relative
+residuals of 1e-8..1e-10. When the device cannot hold f64 the solve runs
+**mixed-precision iterative refinement**: the element matrices stay on the
+host in f64 (as a scipy CSR used only for residuals and the stopping
+metric), the device iterates CG in f32 on correction systems
+``A d = r/||r||``, and the f64 solution accumulates on host. Each
+refinement pass contracts the true residual by the inner f32 tolerance, so
+2-4 passes reach 1e-10 while every FLOP-heavy iteration stays on the TPU.
 """
 
 from __future__ import annotations
@@ -19,6 +28,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -30,12 +40,12 @@ class ElementBlock(NamedTuple):
     ``sign``: (E, K) +-1 prolongation signs (antiperiodic folds),
     ``mat``: (E, K, K) element matrices. The assembled operator is
     ``y += P^T (mat @ (P x))`` summed over blocks, with P the index/sign
-    prolongation.
+    prolongation. Arrays may be NumPy (host f64 canon) or jax arrays.
     """
 
-    idx: jnp.ndarray
-    sign: jnp.ndarray
-    mat: jnp.ndarray
+    idx: "np.ndarray"
+    sign: "np.ndarray"
+    mat: "np.ndarray"
 
 
 def block_matvec(block: ElementBlock, x: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -58,14 +68,19 @@ def apply_blocks(blocks, x, n):
 
 
 def assembled_diag(blocks, n, fixed_mask):
-    d = jnp.zeros(n, blocks[0].mat.dtype)
+    d = jnp.zeros(n, jnp.asarray(blocks[0].mat).dtype)
     for b in blocks:
         d = d + block_diag(b, n)
     return jnp.where(fixed_mask, 1.0, d)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter",))
-def _pcg_impl(blocks, b, diag, fixed_mask, tol, x0, max_iter):
+@functools.partial(jax.jit, static_argnames=("max_iter", "stall_window"))
+def _pcg_impl(blocks, b, diag, fixed_mask, tol, x0, max_iter,
+              stall_window: int = 250):
+    """Device Jacobi-PCG with a stagnation guard: exits early when the
+    preconditioned residual has not improved by 1% in ``stall_window``
+    iterations (the roundoff floor of the working dtype); the host-side
+    refinement driver then restarts from the true residual."""
     n = b.shape[0]
 
     def op(x):
@@ -84,12 +99,13 @@ def _pcg_impl(blocks, b, diag, fixed_mask, tol, x0, max_iter):
     res = jnp.dot(z, r)
 
     def cond(state):
-        _, _, _, res, it = state
-        return jnp.logical_and(jnp.sqrt(jnp.abs(res) / res0) > tol,
-                               it < max_iter)
+        _, _, _, res, it, best, since = state
+        return jnp.logical_and(
+            jnp.sqrt(jnp.abs(res) / res0) > tol,
+            jnp.logical_and(it < max_iter, since < stall_window))
 
     def body(state):
-        x, r, p, res, it = state
+        x, r, p, res, it, best, since = state
         u = op(p)
         pap = jnp.dot(p, u)
         delta = res / pap
@@ -98,30 +114,136 @@ def _pcg_impl(blocks, b, diag, fixed_mask, tol, x0, max_iter):
         z = invd * r
         res_new = jnp.dot(z, r)
         p = z + (res_new / res) * p
-        return x, r, p, res_new, it + 1
+        improved = jnp.abs(res_new) < 0.99 * best
+        best = jnp.where(improved, jnp.abs(res_new), best)
+        since = jnp.where(improved, 0, since + 1)
+        return x, r, p, res_new, it + 1, best, since
 
-    x, r, p, res, it = jax.lax.while_loop(
-        cond, body, (x0, r, p, res, jnp.array(0, jnp.int32)))
+    state = (x0, r, p, res, jnp.array(0, jnp.int32), jnp.abs(res),
+             jnp.array(0, jnp.int32))
+    x, r, p, res, it, _, _ = jax.lax.while_loop(cond, body, state)
     return x, jnp.sqrt(jnp.abs(res) / res0), it
 
 
-def solve(blocks, b, fixed_mask, fixed_values, tol,
-          x0=None, max_iter: int = 200000):
+@functools.lru_cache(maxsize=1)
+def device_f64_ok() -> bool:
+    """True if the default device natively holds float64 (CPU yes; TPU
+    truncates f64 to f32 even under jax_enable_x64)."""
+    if not jax.config.jax_enable_x64:
+        return False
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return jnp.zeros((), jnp.float64).dtype == jnp.float64
+
+
+def _to_device_blocks(blocks, dtype):
+    return tuple(ElementBlock(idx=jnp.asarray(np.asarray(b.idx)),
+                              sign=jnp.asarray(np.asarray(b.sign), dtype),
+                              mat=jnp.asarray(np.asarray(b.mat), dtype))
+                 for b in blocks)
+
+
+def blocks_to_csr(blocks, n: int):
+    """Assemble host-side f64 CSR from element blocks (residual path)."""
+    import scipy.sparse as sp
+    rows, cols, data = [], [], []
+    for b in blocks:
+        idx = np.asarray(b.idx)
+        sign = np.asarray(b.sign, np.float64)
+        mat = np.asarray(b.mat, np.float64)
+        E, K = idx.shape
+        rows.append(np.broadcast_to(idx[:, :, None], (E, K, K)).ravel())
+        cols.append(np.broadcast_to(idx[:, None, :], (E, K, K)).ravel())
+        data.append((sign[:, :, None] * sign[:, None, :] * mat).ravel())
+    A = sp.coo_matrix((np.concatenate(data),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n)).tocsr()
+    return A
+
+
+def solve(blocks, b, fixed_mask, fixed_vals, tol,
+          x0=None, max_iter: int = 200000,
+          inner_tol: float | None = None, inner_iter: int = 20000):
     """Solve the assembled system with Dirichlet values via projection.
 
     Periodic/antiperiodic folds are already encoded in the blocks'
     index/sign maps; fixed DOFs carry ``fixed_values`` exactly. Returns
     (x, relative_residual, iterations).
+
+    One driver for every device dtype: the true residual and the
+    reference stopping metric (spars.cpp:300-313) are evaluated on host
+    in f64 from a CSR of the blocks; the device runs Jacobi-PCG
+    correction solves in its native dtype (f64 on CPU, f32 on TPU) with
+    a stagnation guard, and the host restarts from the exact residual
+    until the metric meets ``tol``. On f64 devices the first pass almost
+    always finishes; on f32 devices this is classic mixed-precision
+    iterative refinement.
     """
     blocks = tuple(blocks)
-    n = b.shape[0]
-    diag = assembled_diag(blocks, n, fixed_mask)
-    g = jnp.where(fixed_mask, fixed_values, 0.0)
-    bg = apply_blocks(blocks, g, n)
-    rhs = jnp.where(fixed_mask, fixed_values, b - bg)
-    if x0 is None:
-        x0 = g
-    else:
-        x0 = jnp.where(fixed_mask, fixed_values, x0)
-    return _pcg_impl(blocks, rhs, diag, fixed_mask,
-                     jnp.asarray(tol, b.dtype), x0, max_iter)
+    n = int(np.asarray(b).shape[0])
+    fixed = np.asarray(fixed_mask, bool)
+    fvals = np.asarray(fixed_vals, np.float64)
+    b64 = np.asarray(b, np.float64)
+
+    dev_dtype = jnp.float64 if device_f64_ok() else jnp.float32
+    if inner_tol is None:
+        inner_tol = max(tol, 1e-5) if dev_dtype == jnp.float32 else tol
+
+    A = blocks_to_csr(blocks, n)
+    diag64 = np.asarray(A.diagonal())
+    diag64[fixed] = 1.0
+    zero_d = diag64 == 0.0
+    if zero_d.any():                      # singularity guard (spars.cpp:245)
+        diag64[zero_d] = 1.0
+
+    # rhs with Dirichlet elimination: fixed rows become identity rows
+    g = np.where(fixed, fvals, 0.0)
+    rhs = np.where(fixed, fvals, b64 - A @ g)
+    invd = 1.0 / diag64
+    res0 = float(np.dot(invd * rhs, rhs))
+    if res0 == 0.0:
+        res0 = 1.0
+
+    x = g.copy() if x0 is None else np.where(fixed, fvals,
+                                             np.asarray(x0, np.float64))
+
+    def residual(x):
+        Ax = A @ np.where(fixed, 0.0, x)
+        return np.where(fixed, fvals - x, rhs - Ax)
+
+    dblocks = _to_device_blocks(blocks, dev_dtype)
+    diag_d = jnp.asarray(diag64, dev_dtype)
+    fixed_j = jnp.asarray(fixed)
+    zeros_d = jnp.zeros(n, dev_dtype)
+    tol_d = jnp.asarray(inner_tol, dev_dtype)
+
+    total_it = 0
+    metric = np.inf
+    best = (x, np.inf)
+    for _ in range(60):
+        r = residual(x)
+        metric = float(np.sqrt(abs(np.dot(invd * r, r)) / res0))
+        if metric < best[1]:
+            best = (x.copy(), metric)
+        if metric <= tol or total_it >= max_iter:
+            break
+        scale = np.abs(r).max()
+        if scale == 0.0:
+            break
+        # inner_iter stays constant across passes: it is a static jit arg
+        # and varying it would recompile the CG executable every pass
+        r_d = jnp.asarray(r / scale, dev_dtype)
+        d_d, rr, it = _pcg_impl(dblocks, r_d, diag_d, fixed_j,
+                                tol_d, zeros_d, int(inner_iter))
+        total_it += int(it)
+        x = x + scale * np.asarray(d_d, np.float64)
+        new_r = residual(x)
+        new_metric = float(np.sqrt(abs(np.dot(invd * new_r, new_r)) / res0))
+        if new_metric >= metric * 0.9:    # dtype floor reached -- stop
+            if new_metric < best[1]:
+                best = (x.copy(), new_metric)
+            break
+    x, metric = best if best[1] < metric else (x, metric)
+    out = jnp.asarray(x, jnp.float64) if jax.config.jax_enable_x64 else x
+    return out, metric, total_it
