@@ -16,10 +16,14 @@ def _enable_compile_cache() -> None:
     if _os.environ.get("XFEMM_TPU_NO_COMPILE_CACHE"):
         return
     import jax
+    # separate cache dirs per platform: executables AOT-compiled by a
+    # remote compile service must not be loaded by the local CPU backend
+    # (machine-feature mismatch -> potential SIGILL)
+    platform = _os.environ.get("JAX_PLATFORMS", "default") or "default"
     cache = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "xfemm_tpu",
-                      "xla_cache"))
+                      f"xla_cache_{platform.replace(',', '_')}"))
     try:
         _os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

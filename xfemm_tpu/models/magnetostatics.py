@@ -342,6 +342,7 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
 
     # Dirichlet + point sources from node markers (marker>=2 ->
     # pointprop index marker-2, fsolver.cpp:382-384)
+    axi = problem.ProblemType == ProblemType.AXISYMMETRIC
     fixed_mask = np.zeros(nreduced, bool)
     fixed_vals = np.zeros(nreduced)
     b_extra = np.zeros(nreduced)
@@ -352,11 +353,19 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
             continue
         pp = problem.nodeproplist[j]
         if pp.J != 0:
-            # point current source (static2d.cpp:819-825)
-            b_extra[ridx[i]] += 0.01 * pp.J.real * rsign[i]
+            # point current source (static2d.cpp:819-825; axisymmetric
+            # carries the 2*pi*r loop factor, staticaxi.cpp:637-642)
+            amp = 0.01 * pp.J.real * (2.0 * xy[i, 0] if axi else 1.0)
+            b_extra[ridx[i]] += amp * rsign[i]
         else:
             fixed_mask[ridx[i]] = True
             fixed_vals[ridx[i]] = pp.A.real / C_APOT * rsign[i]
+    if axi:
+        # on-axis nodes pinned to zero potential (staticaxi.cpp:645-646)
+        on_axis = np.abs(xy[:, 0]) < units * 1e-06
+        for i in np.nonzero(on_axis)[0]:
+            fixed_mask[ridx[i]] = True
+            fixed_vals[ridx[i]] = 0.0
 
     # Dirichlet / Robin boundary edges from edge markers
     robin = []
@@ -375,6 +384,8 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
         if bp.BdryFormat == BdryFormat.PRESCRIBED_A:
             for node in (a, b):
                 x, y = xy[node]
+                if axi and x == 0.0:
+                    continue  # on-axis stays pinned (staticaxi.cpp:701)
                 xo, yo = x / units, y / units
                 if problem.Coords == CoordinateSystem.CARTESIAN:
                     val = bp.A0 + bp.A1 * xo + bp.A2 * yo
@@ -388,8 +399,12 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
         elif bp.BdryFormat == BdryFormat.MIXED:
             length = float(np.hypot(*(xy[b] - xy[a])))
             mult = edge_adj.get(tuple(sorted((int(a), int(b)))), 1)
-            robin.append(((int(a), int(b)), length, bp.c0.real, bp.c1.real,
-                          mult))
+            # axisymmetric Robin terms carry the loop factor 2*r_mid
+            # (staticaxi.cpp:315-333); fold it into the coefficients so
+            # the downstream assembly is geometry-agnostic
+            scale = (xy[a, 0] + xy[b, 0]) if axi else 1.0
+            robin.append(((int(a), int(b)), length, bp.c0.real * scale,
+                          bp.c1.real * scale, mult))
 
     return PackedMagnetostatic(
         problem=problem, mesh=mesh, units=units, xy=xy, tris=tris,
@@ -536,6 +551,11 @@ def solve(problem: Problem, mesh: MeshData,
     nonlinear = bool(pk.nonlinear.any())
     nl = pk.nonlinear
 
+    # representative coordinates per reduced DOF (AMG aggregation)
+    dof_coords = np.zeros((pk.nreduced, 2))
+    dof_coords[pk.ridx] = pk.xy
+
+    sess = solver.Session()
     V = np.zeros(pk.nreduced)
     relax = 1.0
     res = 0.0
@@ -596,7 +616,7 @@ def solve(problem: Problem, mesh: MeshData,
         V_old = V
         V, rel_resid, cg_iters = solver.solve(
             blocks, b, pk.fixed_mask, pk.fixed_vals, problem.Precision,
-            x0=V if it > 0 else None)
+            x0=V if it > 0 else None, coords=dof_coords, session=sess)
         V = np.asarray(V)
         iters_total += int(cg_iters)
 

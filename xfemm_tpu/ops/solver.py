@@ -144,9 +144,7 @@ def _to_device_blocks(blocks, dtype):
                  for b in blocks)
 
 
-def blocks_to_csr(blocks, n: int):
-    """Assemble host-side f64 CSR from element blocks (residual path)."""
-    import scipy.sparse as sp
+def _blocks_coo(blocks):
     rows, cols, data = [], [], []
     for b in blocks:
         idx = np.asarray(b.idx)
@@ -156,15 +154,117 @@ def blocks_to_csr(blocks, n: int):
         rows.append(np.broadcast_to(idx[:, :, None], (E, K, K)).ravel())
         cols.append(np.broadcast_to(idx[:, None, :], (E, K, K)).ravel())
         data.append((sign[:, :, None] * sign[:, None, :] * mat).ravel())
-    A = sp.coo_matrix((np.concatenate(data),
-                       (np.concatenate(rows), np.concatenate(cols))),
-                      shape=(n, n)).tocsr()
-    return A
+    return np.concatenate(rows), np.concatenate(cols), np.concatenate(data)
+
+
+def blocks_to_csr(blocks, n: int):
+    """Assemble host-side f64 CSR from element blocks (residual path)."""
+    import scipy.sparse as sp
+    rows, cols, data = _blocks_coo(blocks)
+    return sp.coo_matrix((data, (rows, cols)), shape=(n, n)).tocsr()
+
+
+class Session:
+    """Per-(problem, mesh) solver state reused across Newton iterations.
+
+    Caches everything shape-dependent so repeated ``solve`` calls do
+    value-only work: the COO->CSR dedup map (bincount-based assembly),
+    the ELLPACK slot map, and the frozen AMG hierarchy. Freezing the
+    hierarchy keeps device array shapes identical across Newton
+    iterations -- one compiled CG executable for the whole solve (vital
+    on TPU, where each new shape costs a full XLA compile). The
+    hierarchy refreshes only if the inner iteration count degrades
+    past ``refresh_factor`` times the first iteration's count.
+    """
+
+    def __init__(self, refresh_factor: float = 3.0):
+        self.refresh_factor = refresh_factor
+        self.pattern = None      # (sort_inv, indptr, indices, nnz)
+        self.ell_map = None      # (rows, pos, D)
+        self.amg = None          # DeviceAMG
+        self.amg_csr = None      # host levels for refresh decisions
+        self.ell_vals_dev = None
+        self.ell_cols_dev = None
+        self.first_iters = None
+        self.last_iters = None
+
+    def csr_values(self, blocks, n):
+        """CSR of the blocks using the cached pattern (values only)."""
+        import scipy.sparse as sp
+        rows, cols, data = _blocks_coo(blocks)
+        if self.pattern is None:
+            A = sp.coo_matrix((data, (rows, cols)), shape=(n, n)).tocsr()
+            A.sum_duplicates()
+            # map every COO entry to its CSR slot for later rebuilds
+            order = np.lexsort((cols, rows))
+            srows = rows[order]
+            scols = cols[order]
+            newgrp = np.empty(len(order), bool)
+            newgrp[0] = True
+            newgrp[1:] = (srows[1:] != srows[:-1]) | (scols[1:] != scols[:-1])
+            grp = np.cumsum(newgrp) - 1
+            slot = np.empty(len(order), np.int64)
+            slot[order] = grp
+            self.pattern = (slot, A.indptr.copy(), A.indices.copy(), A.nnz)
+            return A
+        slot, indptr, indices, nnz = self.pattern
+        vals = np.bincount(slot, weights=data, minlength=nnz)
+        return sp.csr_matrix((vals, indices, indptr), shape=(n, n))
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "stall_window"))
+def _pcg_amg_impl(amg, ell_vals, ell_cols, b, tol, x0, max_iter,
+                  stall_window: int = 120):
+    """Device AMG-preconditioned CG on a Dirichlet-eliminated ELLPACK
+    operator. Same stopping metric as _pcg_impl but with z = M^-1 r from
+    the V-cycle; stagnation guard for the dtype floor."""
+    from . import amg as amg_mod
+
+    def op(x):
+        return amg_mod.ell_matvec(ell_vals, ell_cols, x)
+
+    def prec(r):
+        return amg_mod.vcycle(amg, r)
+
+    z0 = prec(b)
+    res0 = jnp.dot(z0, b)
+    res0 = jnp.where(res0 == 0.0, 1.0, res0)
+
+    r = b - op(x0)
+    z = prec(r)
+    p = z
+    res = jnp.dot(z, r)
+
+    def cond(state):
+        _, _, _, res, it, best, since = state
+        return jnp.logical_and(
+            jnp.sqrt(jnp.abs(res) / res0) > tol,
+            jnp.logical_and(it < max_iter, since < stall_window))
+
+    def body(state):
+        x, r, p, res, it, best, since = state
+        u = op(p)
+        delta = res / jnp.dot(p, u)
+        x = x + delta * p
+        r = r - delta * u
+        z = prec(r)
+        res_new = jnp.dot(z, r)
+        p = z + (res_new / res) * p
+        improved = jnp.abs(res_new) < 0.99 * best
+        best = jnp.where(improved, jnp.abs(res_new), best)
+        since = jnp.where(improved, 0, since + 1)
+        return x, r, p, res_new, it + 1, best, since
+
+    state = (x0, r, p, res, jnp.array(0, jnp.int32), jnp.abs(res),
+             jnp.array(0, jnp.int32))
+    x, r, p, res, it, _, _ = jax.lax.while_loop(cond, body, state)
+    return x, jnp.sqrt(jnp.abs(res) / res0), it
 
 
 def solve(blocks, b, fixed_mask, fixed_vals, tol,
           x0=None, max_iter: int = 200000,
-          inner_tol: float | None = None, inner_iter: int = 20000):
+          inner_tol: float | None = None, inner_iter: int = 20000,
+          coords=None, session: "Session | None" = None):
     """Solve the assembled system with Dirichlet values via projection.
 
     Periodic/antiperiodic folds are already encoded in the blocks'
@@ -180,6 +280,10 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
     always finishes; on f32 devices this is classic mixed-precision
     iterative refinement.
     """
+    import scipy.sparse as sp
+
+    from . import amg as amg_mod
+
     blocks = tuple(blocks)
     n = int(np.asarray(b).shape[0])
     fixed = np.asarray(fixed_mask, bool)
@@ -190,12 +294,19 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
     if inner_tol is None:
         inner_tol = max(tol, 1e-5) if dev_dtype == jnp.float32 else tol
 
-    A = blocks_to_csr(blocks, n)
-    diag64 = np.asarray(A.diagonal())
-    diag64[fixed] = 1.0
+    if session is None:
+        session = Session()
+    A = session.csr_values(blocks, n)
+    # Dirichlet elimination in the matrix itself: zero fixed rows/cols,
+    # unit diagonal -- the operator becomes a plain SpMV (the reference
+    # instead mutates rows at SetValue time, spars.cpp:318)
+    keep = sp.diags((~fixed).astype(np.float64))
+    At = (keep @ A @ keep + sp.diags(fixed.astype(np.float64))).tocsr()
+    diag64 = np.asarray(At.diagonal())
     zero_d = diag64 == 0.0
     if zero_d.any():                      # singularity guard (spars.cpp:245)
         diag64[zero_d] = 1.0
+        At = (At + sp.diags(zero_d.astype(np.float64))).tocsr()
 
     # rhs with Dirichlet elimination: fixed rows become identity rows
     g = np.where(fixed, fvals, 0.0)
@@ -209,12 +320,28 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                                              np.asarray(x0, np.float64))
 
     def residual(x):
-        Ax = A @ np.where(fixed, 0.0, x)
-        return np.where(fixed, fvals - x, rhs - Ax)
+        return rhs - At @ x
 
-    dblocks = _to_device_blocks(blocks, dev_dtype)
-    diag_d = jnp.asarray(diag64, dev_dtype)
-    fixed_j = jnp.asarray(fixed)
+    np_dtype = np.float64 if dev_dtype == jnp.float64 else np.float32
+    if coords is not None:
+        stale = (session.first_iters is not None
+                 and session.last_iters is not None
+                 and session.last_iters
+                 > session.refresh_factor * max(session.first_iters, 1))
+        if session.amg is None or stale:
+            host_levels = amg_mod.setup(At, coords, fixed)
+            if host_levels is not None:
+                session.amg = amg_mod.to_device(host_levels, np_dtype)
+                session.first_iters = None
+    use_amg = coords is not None and session.amg is not None
+    if use_amg:
+        ell = amg_mod.csr_to_ell(At, np_dtype)
+        ell_vals = jnp.asarray(ell.vals)
+        ell_cols = jnp.asarray(ell.cols)
+    else:
+        dblocks = _to_device_blocks(blocks, dev_dtype)
+        diag_d = jnp.asarray(diag64, dev_dtype)
+        fixed_j = jnp.asarray(fixed)
     zeros_d = jnp.zeros(n, dev_dtype)
     tol_d = jnp.asarray(inner_tol, dev_dtype)
 
@@ -234,9 +361,17 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
         # inner_iter stays constant across passes: it is a static jit arg
         # and varying it would recompile the CG executable every pass
         r_d = jnp.asarray(r / scale, dev_dtype)
-        d_d, rr, it = _pcg_impl(dblocks, r_d, diag_d, fixed_j,
-                                tol_d, zeros_d, int(inner_iter))
+        if use_amg:
+            d_d, rr, it = _pcg_amg_impl(session.amg, ell_vals, ell_cols,
+                                        r_d, tol_d, zeros_d,
+                                        int(inner_iter))
+        else:
+            d_d, rr, it = _pcg_impl(dblocks, r_d, diag_d, fixed_j,
+                                    tol_d, zeros_d, int(inner_iter))
         total_it += int(it)
+        if session.first_iters is None:
+            session.first_iters = int(it)
+        session.last_iters = int(it)
         x = x + scale * np.asarray(d_d, np.float64)
         new_r = residual(x)
         new_metric = float(np.sqrt(abs(np.dot(invd * new_r, new_r)) / res0))
