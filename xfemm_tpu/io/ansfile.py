@@ -123,10 +123,15 @@ def read_ans(path: str) -> SolutionFile:
         labels[i] = int(parts[3])
 
     nlab = int(next(lines).split()[0])
-    label_case = np.zeros((nlab, 2))
+    label_case = np.zeros((nlab, 2), complex if is_harmonic else float)
     for i in range(nlab):
         parts = next(lines).split()
-        label_case[i] = [int(parts[0]), float(parts[1])]
+        if is_harmonic and len(parts) > 2:
+            # harmonic: case, Re(value), Im(value) (WriteHarmonic2D)
+            label_case[i] = [int(parts[0]),
+                             complex(float(parts[1]), float(parts[2]))]
+        else:
+            label_case[i] = [int(parts[0]), float(parts[1])]
 
     pbc = np.zeros((0, 3), np.int64)
     airgaps = []

@@ -414,6 +414,13 @@ class MagneticMaterial:
                 np.asarray([h.real for h in self.Hdata], dtype=np.float64),
                 np.asarray([s.real for s in self.slope], dtype=np.float64))
 
+    def knot_arrays_complex(self):
+        """(Bdata, Hdata, slope) with complex H for the harmonic
+        (doctored B-H curve) path."""
+        return (np.asarray(self.Bdata, dtype=np.float64),
+                np.asarray(self.Hdata, dtype=np.complex128),
+                np.asarray(self.slope, dtype=np.complex128))
+
 
 def bh_props_vec(B, Bdata, Hdata, slope):
     """Vectorized (v, dv) lookup over an array of |B| values.

@@ -13,6 +13,7 @@ instead of mutating matrix rows.
 
 from __future__ import annotations
 
+import cmath
 import math
 from dataclasses import dataclass, field
 
@@ -225,7 +226,8 @@ class PackedMagnetostatic:
     lam_type: np.ndarray
     lam_fill: np.ndarray
     nonlinear: np.ndarray            # (T,) bool
-    Jre: np.ndarray                  # block current density
+    Jre: np.ndarray                  # block current density (real part)
+    Jim: np.ndarray                  # block current density (imag part)
     Hc: np.ndarray
     magdir: np.ndarray               # degrees (functional dirs evaluated)
     Cduct: np.ndarray                # effective (0 if wound)
@@ -238,7 +240,10 @@ class PackedMagnetostatic:
     fixed_mask: np.ndarray           # (nreduced,)
     fixed_vals: np.ndarray           # (nreduced,) in V units (A/c)
     b_extra: np.ndarray              # (nreduced,) point currents etc.
-    robin: list                      # [(nodes(2,), length, c0re, c1re, mult)]
+    fixed_vals_c: np.ndarray         # (nreduced,) complex (harmonic phases)
+    b_extra_c: np.ndarray            # (nreduced,) complex point currents
+    robin: list                      # [(nodes(2,), length, c0, c1, mult)]
+    ssd: list                        # [(nodes(2,), length, Sig, Mu, mult)]
     age: list                        # [(nn (K,10), mats (K,10,10))]
     # expanded circuits (series unrolled), Case/J/dV solved on host
     circuits: list = field(default_factory=list)
@@ -306,6 +311,7 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
     lam_fill = np.array([mats[b].LamFill for b in blk])
     nonlinear = np.array([mats[b].BHpoints > 0 for b in blk], bool)
     Jre = np.array([mats[b].J.real for b in blk])
+    Jim = np.array([mats[b].J.imag for b in blk])
     Hc = np.array([mats[b].H_c for b in blk])
     Cduct = np.array([mats[b].Cduct for b in blk])
     Cduct[is_wound] = 0.0  # wound coils have zero bulk conductivity
@@ -345,7 +351,9 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
     axi = problem.ProblemType == ProblemType.AXISYMMETRIC
     fixed_mask = np.zeros(nreduced, bool)
     fixed_vals = np.zeros(nreduced)
+    fixed_vals_c = np.zeros(nreduced, complex)
     b_extra = np.zeros(nreduced)
+    b_extra_c = np.zeros(nreduced, complex)
     pp_idx = (mesh.node_markers & 0xFFFF).astype(np.int64) - 2
     for i in range(N):
         j = pp_idx[i]
@@ -357,9 +365,11 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
             # carries the 2*pi*r loop factor, staticaxi.cpp:637-642)
             amp = 0.01 * pp.J.real * (2.0 * xy[i, 0] if axi else 1.0)
             b_extra[ridx[i]] += amp * rsign[i]
+            b_extra_c[ridx[i]] += 0.01 * pp.J * rsign[i]
         else:
             fixed_mask[ridx[i]] = True
             fixed_vals[ridx[i]] = pp.A.real / C_APOT * rsign[i]
+            fixed_vals_c[ridx[i]] = pp.A / C_APOT * rsign[i]
     if axi:
         # on-axis nodes pinned to zero potential (staticaxi.cpp:645-646)
         on_axis = np.abs(xy[:, 0]) < units * 1e-06
@@ -367,8 +377,9 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
             fixed_mask[ridx[i]] = True
             fixed_vals[ridx[i]] = 0.0
 
-    # Dirichlet / Robin boundary edges from edge markers
+    # Dirichlet / Robin / small-skin-depth boundary edges from markers
     robin = []
+    ssd = []
     edge_adj = {}
     for tri in tris:
         for i in range(3):
@@ -393,9 +404,11 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
                     r = math.hypot(xo, yo)
                     th = math.degrees(math.atan2(yo, xo)) if (xo, yo) != (0, 0) else 0.0
                     val = bp.A0 + bp.A1 * r + bp.A2 * th
-                val *= math.cos(bp.phi * DEG)
                 fixed_mask[ridx[node]] = True
-                fixed_vals[ridx[node]] = val / C_APOT * rsign[node]
+                fixed_vals[ridx[node]] = \
+                    val * math.cos(bp.phi * DEG) / C_APOT * rsign[node]
+                fixed_vals_c[ridx[node]] = \
+                    val * cmath.exp(1j * bp.phi * DEG) / C_APOT * rsign[node]
         elif bp.BdryFormat == BdryFormat.MIXED:
             length = float(np.hypot(*(xy[b] - xy[a])))
             mult = edge_adj.get(tuple(sorted((int(a), int(b)))), 1)
@@ -403,17 +416,25 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
             # (staticaxi.cpp:315-333); fold it into the coefficients so
             # the downstream assembly is geometry-agnostic
             scale = (xy[a, 0] + xy[b, 0]) if axi else 1.0
-            robin.append(((int(a), int(b)), length, bp.c0.real * scale,
-                          bp.c1.real * scale, mult))
+            robin.append(((int(a), int(b)), length, bp.c0 * scale,
+                          bp.c1 * scale, mult))
+        elif bp.BdryFormat == BdryFormat.SMALL_SKIN_DEPTH:
+            # small-skin-depth impedance BC, harmonic only
+            # (harmonic2d.cpp:504-520)
+            length = float(np.hypot(*(xy[b] - xy[a])))
+            mult = edge_adj.get(tuple(sorted((int(a), int(b)))), 1)
+            ssd.append(((int(a), int(b)), length, bp.Sig, bp.Mu, mult))
 
     return PackedMagnetostatic(
         problem=problem, mesh=mesh, units=units, xy=xy, tris=tris,
         ridx=ridx, rsign=rsign, nreduced=nreduced, lbl=lbl, blk=blk,
         mu_x=mu_x, mu_y=mu_y, lam_type=lam_type, lam_fill=lam_fill,
-        nonlinear=nonlinear, Jre=Jre, Hc=Hc, magdir=magdir, Cduct=Cduct,
+        nonlinear=nonlinear, Jre=Jre, Jim=Jim, Hc=Hc, magdir=magdir,
+        Cduct=Cduct,
         circuit=circuit, bh_B=bh_B, bh_H=bh_H, bh_S=bh_S,
         fixed_mask=fixed_mask, fixed_vals=fixed_vals, b_extra=b_extra,
-        robin=robin, age=age_blocks(mesh), circuits=circuits)
+        fixed_vals_c=fixed_vals_c, b_extra_c=b_extra_c,
+        robin=robin, ssd=ssd, age=age_blocks(mesh), circuits=circuits)
 
 
 # ---------------------------------------------------------------------- #
@@ -472,8 +493,8 @@ def _element_blocks(pk: PackedMagnetostatic, Me):
         idx = np.array([[pk.ridx[a], pk.ridx[b]] for (a, b), *_ in pk.robin])
         sgn = np.array([[pk.rsign[a], pk.rsign[b]] for (a, b), *_ in pk.robin])
         mats = np.zeros((len(pk.robin), 2, 2))
-        for i, (_, length, c0re, c1re, mult) in enumerate(pk.robin):
-            Km = -0.0001 * c * c0re * length / 6.0
+        for i, (_, length, c0, c1, mult) in enumerate(pk.robin):
+            Km = -0.0001 * c * complex(c0).real * length / 6.0
             mats[i] = -mult * Km * np.array([[2.0, 1.0], [1.0, 2.0]])
         blocks.append(ElementBlock(idx=idx, sign=sgn, mat=mats))
     for nn, mats in pk.age:
@@ -491,8 +512,8 @@ def _rhs(pk: PackedMagnetostatic, geom, be):
     b = b + pk.b_extra
     # Robin RHS: be[j] += c1*l/2*1e-4 then global b -= be
     # (static2d.cpp:475-477 with the :814 sign convention)
-    for (a, bb), length, c0re, c1re, mult in pk.robin:
-        Kb = (c1re * length / 2.0) * 0.0001 * mult
+    for (a, bb), length, c0, c1, mult in pk.robin:
+        Kb = (complex(c1).real * length / 2.0) * 0.0001 * mult
         b[pk.ridx[a]] += -pk.rsign[a] * Kb
         b[pk.ridx[bb]] += -pk.rsign[bb] * Kb
     return b

@@ -261,6 +261,144 @@ def _pcg_amg_impl(amg, ell_vals, ell_cols, b, tol, x0, max_iter,
     return x, jnp.sqrt(jnp.abs(res) / res0), it
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter", "stall_window"))
+def _pcg_csym_impl(blocks, b, diag, fixed_mask, tol, x0, max_iter,
+                   stall_window: int = 300):
+    """Complex-symmetric preconditioned CG with the bilinear form z.r
+    (no conjugation), the TPU equivalent of the reference's PBCGSolve
+    (cfemm/libfemm/cspars.cpp:822). Works for A = K + iM with K, M real
+    symmetric; convergence is monitored on |z.r|."""
+    n = b.shape[0]
+
+    def op(x):
+        xf = jnp.where(fixed_mask, 0.0, x)
+        y = apply_blocks(blocks, xf, n)
+        return jnp.where(fixed_mask, x, y)
+
+    invd = 1.0 / diag
+    res0 = jnp.abs(jnp.sum(invd * b * b))
+    res0 = jnp.where(res0 == 0.0, 1.0, res0)
+
+    r = b - op(x0)
+    z = invd * r
+    p = z
+    res = jnp.sum(z * r)                 # bilinear, complex
+
+    def cond(state):
+        _, _, _, res, it, best, since = state
+        return jnp.logical_and(
+            jnp.sqrt(jnp.abs(res) / res0) > tol,
+            jnp.logical_and(it < max_iter, since < stall_window))
+
+    def body(state):
+        x, r, p, res, it, best, since = state
+        u = op(p)
+        pap = jnp.sum(p * u)
+        delta = res / pap
+        x = x + delta * p
+        r = r - delta * u
+        z = invd * r
+        res_new = jnp.sum(z * r)
+        p = z + (res_new / res) * p
+        improved = jnp.abs(res_new) < 0.99 * best
+        best = jnp.where(improved, jnp.abs(res_new), best)
+        since = jnp.where(improved, 0, since + 1)
+        return x, r, p, res_new, it + 1, best, since
+
+    state = (x0, r, p, res, jnp.array(0, jnp.int32), jnp.abs(res),
+             jnp.array(0, jnp.int32))
+    x, r, p, res, it, _, _ = jax.lax.while_loop(cond, body, state)
+    return x, jnp.sqrt(jnp.abs(res) / res0), it
+
+
+def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
+                  x0=None, max_iter: int = 200000,
+                  inner_tol: float | None = None, inner_iter: int = 20000):
+    """Complex-symmetric solve with the same host-f64 (complex128)
+    refinement driver as ``solve``: exact residuals and the stopping
+    metric on host, device CG passes in complex64 (TPU) or complex128
+    (CPU). Dirichlet values via identity rows as in ``solve``."""
+    import scipy.sparse as sp
+
+    blocks = tuple(blocks)
+    n = int(np.asarray(b).shape[0])
+    fixed = np.asarray(fixed_mask, bool)
+    fvals = np.asarray(fixed_vals, np.complex128)
+    b128 = np.asarray(b, np.complex128)
+
+    dev_dtype = jnp.complex128 if device_f64_ok() else jnp.complex64
+    if inner_tol is None:
+        inner_tol = max(tol, 1e-5) if dev_dtype == jnp.complex64 else tol
+
+    rows, cols, data = [], [], []
+    for blk in blocks:
+        idx = np.asarray(blk.idx)
+        sign = np.asarray(blk.sign, np.float64)
+        mat = np.asarray(blk.mat, np.complex128)
+        E, K = idx.shape
+        rows.append(np.broadcast_to(idx[:, :, None], (E, K, K)).ravel())
+        cols.append(np.broadcast_to(idx[:, None, :], (E, K, K)).ravel())
+        data.append((sign[:, :, None] * sign[:, None, :] * mat).ravel())
+    A = sp.coo_matrix((np.concatenate(data),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n)).tocsr()
+
+    keep = sp.diags((~fixed).astype(np.float64))
+    At = (keep @ A @ keep + sp.diags(fixed.astype(np.float64))).tocsr()
+    diag = np.asarray(At.diagonal())
+    zero_d = diag == 0.0
+    if zero_d.any():
+        diag[zero_d] = 1.0
+        At = (At + sp.diags(zero_d.astype(np.float64))).tocsr()
+
+    g = np.where(fixed, fvals, 0.0)
+    rhs = np.where(fixed, fvals, b128 - A @ g)
+    invd = 1.0 / diag
+    res0 = abs(np.sum(invd * rhs * rhs))
+    if res0 == 0.0:
+        res0 = 1.0
+
+    x = g.copy() if x0 is None else np.where(fixed, fvals,
+                                             np.asarray(x0, np.complex128))
+
+    def residual(x):
+        return rhs - At @ x
+
+    dblocks = _to_device_blocks(blocks, dev_dtype)
+    diag_d = jnp.asarray(diag, dev_dtype)
+    fixed_j = jnp.asarray(fixed)
+    zeros_d = jnp.zeros(n, dev_dtype)
+    real_dt = jnp.float64 if dev_dtype == jnp.complex128 else jnp.float32
+    tol_d = jnp.asarray(inner_tol, real_dt)
+
+    total_it = 0
+    metric = np.inf
+    best = (x, np.inf)
+    for _ in range(60):
+        r = residual(x)
+        metric = float(np.sqrt(abs(np.sum(invd * r * r)) / res0))
+        if metric < best[1]:
+            best = (x.copy(), metric)
+        if metric <= tol or total_it >= max_iter:
+            break
+        scale = np.abs(r).max()
+        if scale == 0.0:
+            break
+        r_d = jnp.asarray(r / scale, dev_dtype)
+        d_d, rr, it = _pcg_csym_impl(dblocks, r_d, diag_d, fixed_j,
+                                     tol_d, zeros_d, int(inner_iter))
+        total_it += int(it)
+        x = x + scale * np.asarray(d_d, np.complex128)
+        new_r = residual(x)
+        new_metric = float(np.sqrt(abs(np.sum(invd * new_r * new_r)) / res0))
+        if new_metric >= metric * 0.9:
+            if new_metric < best[1]:
+                best = (x.copy(), new_metric)
+            break
+    x, metric = best if best[1] < metric else (x, metric)
+    return x, metric, total_it
+
+
 def solve(blocks, b, fixed_mask, fixed_vals, tol,
           x0=None, max_iter: int = 200000,
           inner_tol: float | None = None, inner_iter: int = 20000,
