@@ -311,18 +311,21 @@ class HeatMaterial:
 
     def get_k(self, T: float) -> tuple[float, float]:
         """Conductivity at temperature T, piecewise-linear in the K(T)
-        curve (CHMaterialProp::GetK)."""
+        curve, clamped at the ends and isotropic when a curve is given
+        (CMaterialProp.cpp:1388 CHMaterialProp::GetK)."""
         if self.npts == 0:
             return self.Kx, self.Ky
-        if self.npts == 1:
+        if self.npts == 1 or T <= self.Tdata[0]:
             return self.Kdata[0], self.Kdata[0]
+        if T >= self.Tdata[-1]:
+            return self.Kdata[-1], self.Kdata[-1]
         i = 0
         while i < self.npts - 2 and self.Tdata[i + 1] < T:
             i += 1
         t0, t1 = self.Tdata[i], self.Tdata[i + 1]
         k0, k1 = self.Kdata[i], self.Kdata[i + 1]
         k = k0 + (k1 - k0) * (T - t0) / (t1 - t0)
-        return k, k * self.Ky / self.Kx if self.Kx != 0 else k
+        return k, k
 
 
 @dataclass

@@ -35,6 +35,45 @@ def _fmt(x: float) -> str:
     return f"{x:.17g}"
 
 
+def _read_scalar_solution(problem: Problem, lines) -> SolutionFile:
+    """[Solution] block of .anh/.res: nodes 'x y V Q', elements 4-col,
+    then conductor results 'V q' (hsolver.cpp:954-977 WriteResults)."""
+    n = int(next(lines).split()[0])
+    nodes = np.zeros((n, 2))
+    values = np.zeros(n)
+    conductor = np.zeros(n, np.int64)
+    for i in range(n):
+        parts = next(lines).split()
+        nodes[i] = [float(parts[0]), float(parts[1])]
+        values[i] = float(parts[2])
+        conductor[i] = int(parts[3])
+    t = int(next(lines).split()[0])
+    elements = np.zeros((t, 3), np.int64)
+    labels = np.zeros(t, np.int64)
+    for i in range(t):
+        parts = next(lines).split()
+        elements[i] = [int(parts[0]), int(parts[1]), int(parts[2])]
+        labels[i] = int(parts[3])
+    conductor_results = []
+    try:
+        ncirc = int(next(lines).split()[0])
+        for _ in range(ncirc):
+            parts = next(lines).split()
+            conductor_results.append((float(parts[0]), float(parts[1])))
+    except StopIteration:
+        pass
+    # store the conductor index in node markers using the raw mesh-file
+    # convention high bits so nothing collides with point props
+    markers = np.where(conductor >= 0, (conductor + 1) << 16, 0)
+    mesh = MeshData(nodes=nodes, node_markers=markers, elements=elements,
+                    element_labels=labels,
+                    edges=np.zeros((0, 2), np.int64),
+                    edge_markers=np.zeros(0, np.int64),
+                    pbc_pairs=np.zeros((0, 3), np.int64))
+    return SolutionFile(problem=problem, mesh=mesh, values=values,
+                        conductor_results=conductor_results)
+
+
 def write_ans(sol: SolutionFile, path: str, problem_text: str | None = None):
     """Write a magnetostatics .ans: problem echo + [Solution] block."""
     p = sol.problem
@@ -81,12 +120,22 @@ def write_ans(sol: SolutionFile, path: str, problem_text: str | None = None):
 
 
 def read_ans(path: str) -> SolutionFile:
-    """Parse a magnetostatics .ans (own output or the reference's)."""
+    """Parse a solution file: .ans (magnetics), .anh (heat flow) or .res
+    (electrostatics), own output or the reference's."""
+    lower = path.lower()
+    if ".anh" in lower:
+        ftype = FileType.HEATFLOW
+    elif ".res" in lower:
+        ftype = FileType.ELECTROSTATICS
+    else:
+        ftype = FileType.MAGNETICS
     with open(path, encoding="utf-8", errors="replace") as f:
         text = f.read()
     head, _, tail = text.partition("[Solution]")
-    problem = femfile.loads(head, FileType.MAGNETICS)
+    problem = femfile.loads(head, ftype)
     lines = iter(tail.strip().splitlines())
+    if ftype != FileType.MAGNETICS:
+        return _read_scalar_solution(problem, lines)
 
     is_harmonic = problem.Frequency != 0
     n = int(next(lines).split()[0])

@@ -517,6 +517,20 @@ int add_point(Mesh &m, double x, double y, int mark,
     double p[2] = {x, y};
     int onedge = -1;
     int t = locate(m, p, onedge, hint);
+    // Segment splits force the on-edge topology: the midpoint of (a,b)
+    // may round a hair off the exact line, and treating it as interior
+    // would leave the old edge alive plus a zero-area sliver (a,b,v).
+    if (split_key != ~uint64_t(0)) {
+        int sa = int(split_key >> 32), sb = int(split_key & 0xffffffffu);
+        int te, ie;
+        if (m.find_edge(sa, sb, te, ie) || m.find_edge(sb, sa, te, ie)) {
+            t = te;
+            onedge = ie;
+        } else if (getenv("TPUMESH_DEBUG")) {
+            fprintf(stderr, "[tpumesh] split %d-%d: edge not found\n", sa,
+                    sb);
+        }
+    }
     if (t < 0) return -1;
     for (int i = 0; i < 3; ++i) {
         int w = m.tris[t].v[i];
@@ -1162,6 +1176,60 @@ int tpumesh_triangulate(
     }
 
     refine(m);
+
+    // ---- sliver cleanup ----
+    // Delaunay flips can legally recreate a chord triangle across a split
+    // constraint midpoint that rounded a hair off the exact line (area
+    // ~1e-20); quality refinement skips such triangles (their circumcenter
+    // is unreachable). Flip the longest edge of catastrophically thin
+    // triangles when legal; a few sweeps clear cascades.
+    for (int sweep = 0; sweep < 8; ++sweep) {
+        bool changed = false;
+        for (int t = 0; t < (int)m.tris.size(); ++t) {
+            if (m.tris[t].dead) continue;
+            int va = m.tris[t].v[0], vb = m.tris[t].v[1],
+                vc = m.tris[t].v[2];
+            double area2 = std::fabs(m.orient(va, vb, vc));
+            double lmax2 = 0.0;
+            int ilong = 0;
+            for (int i = 0; i < 3; ++i) {
+                int a = m.tris[t].v[(i + 1) % 3];
+                int b = m.tris[t].v[(i + 2) % 3];
+                double dx = m.px[a] - m.px[b], dy = m.py[a] - m.py[b];
+                double l2 = dx * dx + dy * dy;
+                if (l2 > lmax2) {
+                    lmax2 = l2;
+                    ilong = i;
+                }
+            }
+            // height of the triangle over its longest edge, squared,
+            // relative to that edge: degenerate when < ~(1e-6 * edge)^2
+            if (lmax2 <= 0.0 || area2 * area2 >= 1e-12 * lmax2 * lmax2 *
+                                                     lmax2 / 4.0)
+                continue;
+            int a = m.tris[t].v[(ilong + 1) % 3];
+            int b = m.tris[t].v[(ilong + 2) % 3];
+            if (m.tris[t].n[ilong] < 0) {
+                // zero-area flap on the hull (midpoint rounded outside
+                // the original chord): remove it; the split subsegments
+                // become the hull
+                for (int i = 0; i < 3; ++i) {
+                    int nt = m.tris[t].n[i];
+                    if (nt < 0 || m.tris[nt].dead) continue;
+                    for (int k = 0; k < 3; ++k)
+                        if (m.tris[nt].n[k] == t) m.tris[nt].n[k] = -1;
+                    for (int k = 0; k < 3; ++k)
+                        m.vtri[m.tris[nt].v[k]] = nt;
+                }
+                m.killtri(t);
+                changed = true;
+                continue;
+            }
+            if (m.is_constrained(a, b)) continue;
+            if (flip_edge(m, t, ilong)) changed = true;
+        }
+        if (!changed) break;
+    }
 
     // ---- outputs ----
     int nverts = int(m.px.size());

@@ -1,0 +1,325 @@
+"""Steady/transient heat flow (HSolver semantics).
+
+Functional equivalent of the reference's ``HSolver::AnalyzeProblem``
+(cfemm/hsolver/hsolver.cpp:458-857): nonlinear K(T) conductivity by
+successive substitution (3-node-average lookup), convection / heat-flux /
+radiation boundary formats (radiation linearized about the previous
+iterate), lumped transient term from dT/Tprev, planar + axisymmetric
+(2*pi*r element depth, Kelvin-transform external region), and conductor
+constraints: fixed-temperature conductors become Dirichlet sets, while
+total-flux conductors merge their nodes into one reduced DOF whose summed
+equation *is* the flux balance -- the TPU-native replacement for the
+reference's extra conductor rows (hsolver.cpp:744-760). Internal working
+units are meters (hsolver.cpp:65).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import LENGTH_TO_METERS, PI, ProblemType
+from ..geometry.problem import Problem
+from ..mesh.meshdata import MeshData
+from ..ops import assembly, solver
+from ..ops.solver import ElementBlock
+from .magnetostatics import build_prolongation
+
+KSB = 5.67032e-8      # Stefan-Boltzmann (femmconstants.h:26)
+
+
+@dataclass
+class HeatSolution:
+    problem: Problem
+    mesh: MeshData
+    T: np.ndarray                 # (N,) nodal temperature
+    node_conductor: np.ndarray    # (N,) conductor index or -1 (.anh Q col)
+    conductor_V: np.ndarray       # (C,) solved conductor temperature
+    conductor_q: np.ndarray       # (C,) solved conductor total flux
+    iterations: int = 0
+    residual: float = 0.0
+
+
+def decode_markers(mesh: MeshData):
+    """Node/edge marker decoding shared by heat + electrostatics
+    (hsolver.cpp:210-235, 355-385): node marker = (pointprop+2) |
+    ((conductor+1)<<16); edge marker = -((bdry+2) | ((conductor+1)<<16)).
+    Edge conductors propagate to their endpoint nodes."""
+    m = mesh.node_markers.astype(np.int64)
+    node_pp = np.where(m > 1, (m & 0xFFFF) - 2, -1)
+    node_pp = np.where(node_pp < 0, -1, node_pp)
+    node_cond = np.where(m > 1, (m >> 16) - 1, -1)
+
+    em = mesh.edge_markers.astype(np.int64)
+    neg = em < 0
+    em2 = np.where(neg, -em, 0)
+    edge_bdry = np.where(neg, (em2 & 0xFFFF) - 2, -1)
+    edge_cond = np.where(neg, (em2 >> 16) - 1, -1)
+    for (a, b), ccond in zip(mesh.edges, edge_cond):
+        if ccond >= 0:
+            node_cond[a] = ccond
+            node_cond[b] = ccond
+    return node_pp, node_cond, edge_bdry, edge_cond
+
+
+def conductor_prolongation(n, pbc_pairs, node_cond, conductors):
+    """(Anti)periodic folding composed with total-flux conductor merges:
+    all nodes of a CircType-0 conductor share one reduced DOF."""
+    ridx, rsign, nred = build_prolongation(n, pbc_pairs)
+    remap = np.arange(nred)
+    for ci, cond in enumerate(conductors):
+        if cond.CircType != 0:
+            continue
+        members = np.unique(ridx[node_cond == ci])
+        if len(members) > 1:
+            remap[members] = members.min()
+    # compress ids
+    uniq, newid = np.unique(remap, return_inverse=True)
+    ridx = newid[remap[ridx]]
+    # conductor -> reduced DOF map
+    cond_dof = np.full(len(conductors), -1, np.int64)
+    for ci, cond in enumerate(conductors):
+        sel = node_cond == ci
+        if sel.any():
+            cond_dof[ci] = ridx[np.nonzero(sel)[0][0]]
+    return ridx, rsign, len(uniq), cond_dof
+
+
+def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
+          max_iter: int = 100) -> HeatSolution:
+    units = LENGTH_TO_METERS[problem.LengthUnits]
+    xy = mesh.nodes * units
+    tris = mesh.elements
+    N = mesh.num_nodes
+    T = mesh.num_elements
+    axi = problem.ProblemType == ProblemType.AXISYMMETRIC
+    depth = problem.Depth * units if not axi else 1.0
+
+    labels = [l for l in problem.labellist if not l.is_hole()]
+    mats = problem.blockproplist
+    conductors = problem.circproplist
+    blk = np.array([labels[i].BlockType for i in mesh.element_labels])
+
+    node_pp, node_cond, edge_bdry, edge_cond = decode_markers(mesh)
+    ridx, rsign, nred, cond_dof = conductor_prolongation(
+        N, mesh.pbc_pairs, node_cond, conductors)
+
+    geom = assembly.tri_geometry(xy, tris)
+    area = np.asarray(geom.area)
+    rc = xy[tris][:, :, 0].mean(axis=1)
+    dep_el = 2.0 * PI * rc if axi else np.full(T, depth)
+
+    # external-region warp (hsolver.cpp:578-586)
+    kludge = np.ones(T)
+    if axi:
+        is_ext = np.array([labels[i].IsExternal
+                           for i in mesh.element_labels], bool)
+        if is_ext.any():
+            extRo = problem.extRo * units
+            extRi = problem.extRi * units
+            extZo = problem.extZo * units
+            z = xy[tris][:, :, 1].mean(axis=1) - extZo
+            kludge = np.where(is_ext, (rc * rc + z * z) / (extRi * extRo),
+                              1.0)
+
+    # fixed DOFs
+    fixed_mask = np.zeros(nred, bool)
+    fixed_vals = np.zeros(nred)
+    for i in range(N):
+        ci = node_cond[i]
+        if ci >= 0 and conductors[ci].CircType == 1:
+            fixed_mask[ridx[i]] = True
+            fixed_vals[ridx[i]] = conductors[ci].V
+        j = node_pp[i]
+        if j >= 0 and j < len(problem.nodeproplist):
+            pp = problem.nodeproplist[j]
+            if pp.qp == 0:
+                fixed_mask[ridx[i]] = True
+                fixed_vals[ridx[i]] = pp.V
+    # fixed-T segments (BdryFormat 0)
+    bdry_edges = []        # (a, b, bf_index, mult)
+    edge_count = {}
+    for tri in tris:
+        for i in range(3):
+            key = tuple(sorted((int(tri[i]), int(tri[(i + 1) % 3]))))
+            edge_count[key] = edge_count.get(key, 0) + 1
+    for (a, b), bi in zip(mesh.edges, edge_bdry):
+        if bi < 0 or bi >= len(problem.lineproplist):
+            continue
+        bp = problem.lineproplist[bi]
+        if bp.BdryFormat == 0:
+            for nd in (a, b):
+                fixed_mask[ridx[nd]] = True
+                fixed_vals[ridx[nd]] = bp.Tset
+        elif bp.BdryFormat in (1, 2, 3):
+            mult = edge_count.get(tuple(sorted((int(a), int(b)))), 1)
+            bdry_edges.append((int(a), int(b), bi, mult))
+
+    # point sources + conductor total-flux RHS
+    b_extra = np.zeros(nred)
+    for i in range(N):
+        j = node_pp[i]
+        if j >= 0 and j < len(problem.nodeproplist):
+            pp = problem.nodeproplist[j]
+            if pp.qp != 0 and not fixed_mask[ridx[i]]:
+                dp = 2.0 * PI * xy[i, 0] if axi else depth
+                b_extra[ridx[i]] += dp * pp.qp
+    for ci, cond in enumerate(conductors):
+        if cond.CircType == 0 and cond_dof[ci] >= 0:
+            b_extra[cond_dof[ci]] += cond.q
+
+    dof_coords = np.zeros((nred, 2))
+    dof_coords[ridx] = xy
+
+    nonlinear = (any(mats[b].npts > 0 for b in set(blk.tolist()))
+                 or any(problem.lineproplist[bi].BdryFormat == 3
+                        for _a, _b, bi, _m in bdry_edges))
+
+    Kt = np.array([mats[b].Kt for b in blk])
+    qv = np.array([mats[b].qv for b in blk])
+    dT = getattr(problem, "dT", 0.0)
+    Tp = np.zeros(N) if Tprev is None else np.asarray(Tprev)
+
+    Vo = np.zeros(N)           # previous nodal temperatures
+    V = np.zeros(nred)
+    sess = solver.Session()
+    iters_total = 0
+    rel_resid = 0.0
+
+    for it in range(max_iter if nonlinear else 1):
+        # element conductivity: 3-node average of K(T_prev)
+        knx = np.zeros(T)
+        kny = np.zeros(T)
+        for bidx in set(blk.tolist()):
+            sel = blk == bidx
+            mat = mats[bidx]
+            if mat.npts == 0:
+                knx[sel] = mat.Kx
+                kny[sel] = mat.Ky
+            else:
+                kvals = np.array([mat.get_k(t)[0] for t in Vo])
+                kav = kvals[tris[sel]].mean(axis=1)
+                knx[sel] = kav
+                kny[sel] = kav
+
+        Kx = -dep_el * knx / (4.0 * area) / kludge
+        Ky = -dep_el * kny / (4.0 * area) / kludge
+        Me = (Kx[:, None, None] * geom.p[:, :, None] * geom.p[:, None, :]
+              + Ky[:, None, None] * geom.q[:, :, None] * geom.q[:, None, :])
+        be = np.zeros((T, 3))
+        if dT != 0:
+            Kt_term = -dep_el * Kt * area / (3.0 * dT)
+            Me = Me + Kt_term[:, None, None] * np.eye(3)[None]
+            be = be + Kt_term[:, None] * Tp[tris]
+        be = be + (-dep_el * qv * area / 3.0)[:, None]
+
+        blocks = [ElementBlock(idx=ridx[tris], sign=rsign[tris], mat=-Me)]
+        b = np.zeros(nred)
+        np.add.at(b, ridx[tris].reshape(-1),
+                  -(rsign[tris] * be).reshape(-1))
+        b += b_extra
+
+        # derivative boundary edges (hsolver.cpp:655-722)
+        if bdry_edges:
+            eidx = np.zeros((len(bdry_edges), 2), np.int64)
+            esgn = np.ones((len(bdry_edges), 2))
+            emat = np.zeros((len(bdry_edges), 2, 2))
+            for row, (a, bb, bi, mult) in enumerate(bdry_edges):
+                bp = problem.lineproplist[bi]
+                length = float(np.hypot(*(xy[bb] - xy[a])))
+                bf = bp.BdryFormat
+                if bf == 1:
+                    c0, c1 = 0.0, bp.qs
+                elif bf == 2:
+                    c0, c1 = bp.h, -bp.h * bp.Tinf
+                else:   # radiation, linearized about previous iterate
+                    Tlast = (Vo[a] + Vo[bb]) / 2.0
+                    c0 = 4.0 * bp.beta * KSB * Tlast ** 3
+                    c1 = -(bp.beta * KSB * (bp.Tinf ** 4
+                                            + 3.0 * Tlast ** 4))
+                eidx[row] = (ridx[a], ridx[bb])
+                esgn[row] = (rsign[a], rsign[bb])
+                if axi:
+                    ra, rb = xy[a, 0], xy[bb, 0]
+                    K = -2.0 * PI * c0 * length / 6.0 * mult
+                    emat[row] = -np.array([
+                        [2.0 * (3 * ra + rb) / 4.0, (ra + rb) / 2.0],
+                        [(ra + rb) / 2.0, 2.0 * (ra + 3 * rb) / 4.0]]) * K
+                    Kb = 2.0 * PI * c1 * length / 2.0 * mult
+                    b[ridx[a]] -= rsign[a] * Kb * (2 * ra + rb) / 3.0
+                    b[ridx[bb]] -= rsign[bb] * Kb * (ra + 2 * rb) / 3.0
+                else:
+                    K = -depth * c0 * length / 6.0 * mult
+                    emat[row] = -K * np.array([[2.0, 1.0], [1.0, 2.0]])
+                    Kb = depth * c1 * length / 2.0 * mult
+                    b[ridx[a]] -= rsign[a] * Kb
+                    b[ridx[bb]] -= rsign[bb] * Kb
+            blocks.append(ElementBlock(idx=eidx, sign=esgn, mat=emat))
+
+        V_old = V
+        V, rel_resid, cg_iters = solver.solve(
+            blocks, b, fixed_mask, fixed_vals, problem.Precision,
+            x0=V if it > 0 else None, coords=dof_coords, session=sess)
+        V = np.asarray(V)
+        iters_total += int(cg_iters)
+        Vo = V[ridx] * rsign
+
+        if not nonlinear:
+            break
+        e1 = float(np.sum((V - V_old) ** 2))
+        e2 = float(np.sum(V_old ** 2))
+        if e2 != 0 and math.sqrt(e1 / e2) < problem.Precision * 100.0:
+            break
+
+    Tn = V[ridx] * rsign
+
+    # conductor results: solved T and total flux (ChargeOnConductor,
+    # hsolver.cpp:987-1042: gradient of the conductor indicator weighted
+    # by the flux density, integrated over adjacent elements)
+    cond_V = np.zeros(len(conductors))
+    cond_q = np.zeros(len(conductors))
+    for ci, cond in enumerate(conductors):
+        if cond.CircType == 0:
+            cond_q[ci] = cond.q
+            if cond_dof[ci] >= 0:
+                cond_V[ci] = V[cond_dof[ci]]
+        else:
+            cond_V[ci] = cond.V
+            cond_q[ci] = _charge_on_conductor(
+                ci, node_cond, xy, tris, blk, mats, Tn, axi, depth)
+
+    return HeatSolution(problem=problem, mesh=mesh, T=Tn,
+                        node_conductor=node_cond, conductor_V=cond_V,
+                        conductor_q=cond_q, iterations=iters_total,
+                        residual=float(rel_resid))
+
+
+def _charge_on_conductor(ci, node_cond, xy, tris, blk, mats, Tn, axi,
+                         depth):
+    P = (node_cond == ci).astype(float)
+    sel = P[tris].any(axis=1)
+    if not sel.any():
+        return 0.0
+    t = tris[sel]
+    v = xy[t]
+    bb = v[:, [1, 2, 0], 1] - v[:, [2, 0, 1], 1]
+    cc = v[:, [2, 0, 1], 0] - v[:, [1, 2, 0], 0]
+    da = bb[:, 0] * cc[:, 1] - bb[:, 1] * cc[:, 0]
+    a = da / 2.0
+    if axi:
+        a = a * 2.0 * PI * v[:, :, 0].mean(axis=1)
+    else:
+        a = a * depth
+    vx = -(P[t] * bb).sum(axis=1) / da
+    vy = -(P[t] * cc).sum(axis=1) / da
+    Dx = -(Tn[t] * bb).sum(axis=1) / da
+    Dy = -(Tn[t] * cc).sum(axis=1) / da
+    kn = np.zeros((sel.sum(), 2))
+    for row, (el_nodes, bidx) in enumerate(zip(t, blk[sel])):
+        mat = mats[bidx]
+        ks = [mat.get_k(Tn[nd]) for nd in el_nodes]
+        kn[row, 0] = sum(k[0] for k in ks) / 3.0
+        kn[row, 1] = sum(k[1] for k in ks) / 3.0
+    return float(np.sum(a * (Dx * kn[:, 0] * vx + Dy * kn[:, 1] * vy)))
