@@ -1,0 +1,59 @@
+"""Headline benchmark: 254k-DOF nonlinear magnetostatic solve on TPU.
+
+Solves the scalable benchmark problem (xfemm_tpu/models/benchprob.py: a
+saturated-steel cylinder between two coils, nonlinear B-H Newton loop,
+Precision 1e-8 -- the same physics class as the reference's fsolver hot
+path) and reports wall time for a warm solve (compiles cached; the first
+solve pays one-time XLA compilation).
+
+Baseline: the unmodified reference fsolver (single-threaded C++, built
+from /root/reference at -O2) solves the identical premeshed 254,218-node
+problem in 13.9 s on this machine (AMD EPYC-class host, single core) --
+measured 2026-08-16, see BASELINE.md. ``vs_baseline`` is the speedup
+factor baseline_time / our_time (>1 means faster than the reference).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+REF_FSOLVER_SECONDS = 13.9        # reference fsolver on the same mesh
+TARGET_NODES = 250_000
+
+
+def main() -> None:
+    t_start = time.time()
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import xfemm_tpu  # noqa: F401  (enables the persistent compile cache)
+    from xfemm_tpu.mesh import mesher
+    from xfemm_tpu.models import benchprob, magnetostatics
+
+    prob = benchprob.build(TARGET_NODES)
+    mesh = mesher.mesh_problem(prob)
+
+    # warm-up: pays XLA compilation (cached across runs where possible)
+    sol = magnetostatics.solve(prob, mesh)
+    assert sol.residual <= prob.Precision, sol.residual
+
+    t0 = time.time()
+    sol = magnetostatics.solve(prob, mesh)
+    elapsed = time.time() - t0
+    assert sol.residual <= prob.Precision, sol.residual
+    assert np.isfinite(sol.A).all()
+
+    print(json.dumps({
+        "metric": f"nonlinear magnetostatic solve, {mesh.num_nodes} nodes, "
+                  f"1e-8 tol (warm)",
+        "value": round(elapsed, 2),
+        "unit": "s",
+        "vs_baseline": round(REF_FSOLVER_SECONDS / elapsed, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -253,17 +253,16 @@ def _eval_magdirs(problem: Problem, mesh: MeshData, units: float):
     """Per-element magnetization direction, evaluating functional
     directions at element centroids (static2d.cpp:510-598).
     Centroids are converted back to problem units for the expression."""
-    T = mesh.num_elements
-    out = np.zeros(T)
     labels = [l for l in problem.labellist if not l.is_hole()]
-    cents = mesh.nodes[mesh.elements].mean(axis=1)
-    for t in range(T):
-        lab = labels[mesh.element_labels[t]]
-        if lab.MagDirFctn:
-            x, y = cents[t]
-            out[t] = eval_magdir(lab.MagDirFctn, x, y)
-        else:
-            out[t] = lab.MagDir
+    lbl = mesh.element_labels
+    base = np.array([l.MagDir for l in labels])
+    out = base[lbl].astype(float)
+    has_fctn = np.array([bool(l.MagDirFctn) for l in labels], bool)
+    if has_fctn.any():
+        cents = mesh.nodes[mesh.elements].mean(axis=1)
+        for t in np.nonzero(has_fctn[lbl])[0]:
+            lab = labels[lbl[t]]
+            out[t] = eval_magdir(lab.MagDirFctn, cents[t, 0], cents[t, 1])
     return out
 
 
@@ -300,21 +299,29 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
         c.CircType = 0 if c.CircType == 1 else c.CircType
 
     lbl = mesh.element_labels.astype(np.int64)
-    blk = np.array([labels[i].BlockType for i in lbl], np.int64)
-    is_wound = np.array(
-        [abs(labels[i].Turns) > 1 or mats[labels[i].BlockType].LamType > 2
-         for i in lbl], bool)
+    lab_blk = np.array([l.BlockType for l in labels], np.int64)
+    lab_turns = np.array([l.Turns for l in labels])
+    m_lam = np.array([m.LamType for m in mats], np.int64)
+    m_mux = np.array([m.mu_x for m in mats])
+    m_muy = np.array([m.mu_y for m in mats])
+    m_fill = np.array([m.LamFill for m in mats])
+    m_bh = np.array([m.BHpoints > 0 for m in mats], bool)
+    m_jre = np.array([m.J.real for m in mats])
+    m_jim = np.array([m.J.imag for m in mats])
+    m_hc = np.array([m.H_c for m in mats])
+    m_cd = np.array([m.Cduct for m in mats])
 
-    mu_x = np.array([mats[b].mu_x for b in blk])
-    mu_y = np.array([mats[b].mu_y for b in blk])
-    lam_type = np.array([mats[b].LamType for b in blk], np.int64)
-    lam_fill = np.array([mats[b].LamFill for b in blk])
-    nonlinear = np.array([mats[b].BHpoints > 0 for b in blk], bool)
-    Jre = np.array([mats[b].J.real for b in blk])
-    Jim = np.array([mats[b].J.imag for b in blk])
-    Hc = np.array([mats[b].H_c for b in blk])
-    Cduct = np.array([mats[b].Cduct for b in blk])
-    Cduct[is_wound] = 0.0  # wound coils have zero bulk conductivity
+    blk = lab_blk[lbl]
+    is_wound = (np.abs(lab_turns[lbl]) > 1) | (m_lam[blk] > 2)
+    mu_x = m_mux[blk]
+    mu_y = m_muy[blk]
+    lam_type = m_lam[blk]
+    lam_fill = m_fill[blk]
+    nonlinear = m_bh[blk]
+    Jre = m_jre[blk]
+    Jim = m_jim[blk]
+    Hc = m_hc[blk]
+    Cduct = np.where(is_wound, 0.0, m_cd[blk])
     circuit = label_circuit[lbl]
     magdir = _eval_magdirs(problem, mesh, units)
 
@@ -380,11 +387,20 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
     # Dirichlet / Robin / small-skin-depth boundary edges from markers
     robin = []
     ssd = []
+    needs_adj = any(bp.BdryFormat in (BdryFormat.MIXED,
+                                      BdryFormat.SMALL_SKIN_DEPTH)
+                    for bp in problem.lineproplist)
     edge_adj = {}
-    for tri in tris:
-        for i in range(3):
-            key = tuple(sorted((int(tri[i]), int(tri[(i + 1) % 3]))))
-            edge_adj[key] = edge_adj.get(key, 0) + 1
+    if needs_adj:
+        ek = np.sort(np.stack([np.concatenate([tris[:, 0], tris[:, 1],
+                                               tris[:, 2]]),
+                               np.concatenate([tris[:, 1], tris[:, 2],
+                                               tris[:, 0]])]), axis=0)
+        keys, counts = np.unique(ek[0].astype(np.int64) << 32
+                                 | ek[1].astype(np.int64),
+                                 return_counts=True)
+        edge_adj = {(int(k >> 32), int(k & 0xFFFFFFFF)): int(c)
+                    for k, c in zip(keys, counts)}
     for (a, b), mk in zip(mesh.edges, mesh.edge_markers):
         if mk >= 0:
             continue
@@ -535,14 +551,17 @@ def solve(problem: Problem, mesh: MeshData,
 
     # element source current density t (circuit contribution)
     t_src = np.zeros(T)
-    for e in range(T):
-        ci = pk.circuit[e]
-        if ci >= 0:
-            circ = pk.circuits[ci]
-            if circ.Case == 1:
-                t_src[e] = circ.J.real if isinstance(circ.J, complex) else circ.J
-            else:
-                t_src[e] = -circ.dV.real * pk.Cduct[e] if isinstance(circ.dV, complex) else -circ.dV * pk.Cduct[e]
+    if pk.circuits:
+        cJ = np.array([complex(c.J).real for c in pk.circuits])
+        cdV = np.array([complex(c.dV).real for c in pk.circuits])
+        cCase = np.array([c.Case for c in pk.circuits])
+        ci = pk.circuit
+        has = ci >= 0
+        cis = np.where(has, ci, 0)
+        t_src = np.where(has,
+                         np.where(cCase[cis] == 1, cJ[cis],
+                                  -cdV[cis] * pk.Cduct),
+                         0.0)
 
     # static RHS pieces: sources (static2d.cpp:483-507) and magnetization
     # (static2d.cpp:584-598). Edge-j magnetization term K_j adds to the
@@ -665,9 +684,7 @@ def solve(problem: Problem, mesh: MeshData,
     # per-label circuit info (WriteStatic2D:1122-1148)
     labels = [l for l in problem.labellist if not l.is_hole()]
     label_case = np.zeros((len(labels), 2))
-    seen = {}
-    for e in range(T):
-        seen[int(pk.lbl[e])] = int(pk.circuit[e])
+    seen = dict(zip(pk.lbl.tolist(), pk.circuit.tolist()))
     for k in range(len(labels)):
         ci = seen.get(k, -1)
         if ci < 0:

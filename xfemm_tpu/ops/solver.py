@@ -179,36 +179,69 @@ class Session:
 
     def __init__(self, refresh_factor: float = 3.0):
         self.refresh_factor = refresh_factor
-        self.pattern = None      # (sort_inv, indptr, indices, nnz)
+        self.pattern = None      # (slot, indptr, indices, nnz, diag_slots)
+        self.coo = None          # (rows, cols, sign-outer, keep-mask)
         self.ell_map = None      # (rows, pos, D)
         self.amg = None          # DeviceAMG
-        self.amg_csr = None      # host levels for refresh decisions
-        self.ell_vals_dev = None
         self.ell_cols_dev = None
         self.first_iters = None
         self.last_iters = None
 
-    def csr_values(self, blocks, n):
-        """CSR of the blocks using the cached pattern (values only)."""
+    def csr_values(self, blocks, n, fixed=None):
+        """Dirichlet-eliminated CSR of the blocks using a cached pattern.
+
+        First call builds the COO->CSR dedup map (with every diagonal
+        present); later calls are value-only: mask fixed rows/columns,
+        bincount into CSR slots, set unit diagonals. ~10x faster than
+        rebuilding with scipy products each Newton iteration.
+        """
         import scipy.sparse as sp
-        rows, cols, data = _blocks_coo(blocks)
+        if self.coo is None:
+            rows, cols, _ = _blocks_coo(blocks)
+            souter = [np.asarray(b.sign, np.float64)[:, :, None]
+                      * np.asarray(b.sign, np.float64)[:, None, :]
+                      for b in blocks]
+            keepf = (~fixed).astype(np.float64) if fixed is not None \
+                else None
+            kmask = keepf[rows] * keepf[cols] if keepf is not None else None
+            self.coo = (rows, cols, souter, kmask)
+        rows, cols, souter, kmask = self.coo
+        data = np.concatenate(
+            [(so * np.asarray(b.mat, np.float64)).ravel()
+             for so, b in zip(souter, blocks)])
+        if kmask is not None:
+            data = data * kmask
         if self.pattern is None:
-            A = sp.coo_matrix((data, (rows, cols)), shape=(n, n)).tocsr()
-            A.sum_duplicates()
-            # map every COO entry to its CSR slot for later rebuilds
-            order = np.lexsort((cols, rows))
-            srows = rows[order]
-            scols = cols[order]
+            # append explicit diagonal entries so the pattern always has
+            # every (i, i) slot (unit rows for fixed/empty DOFs)
+            rows_d = np.concatenate([rows, np.arange(n)])
+            cols_d = np.concatenate([cols, np.arange(n)])
+            order = np.lexsort((cols_d, rows_d))
+            srows = rows_d[order]
+            scols = cols_d[order]
             newgrp = np.empty(len(order), bool)
             newgrp[0] = True
             newgrp[1:] = (srows[1:] != srows[:-1]) | (scols[1:] != scols[:-1])
             grp = np.cumsum(newgrp) - 1
+            nnz = int(grp[-1]) + 1
             slot = np.empty(len(order), np.int64)
             slot[order] = grp
-            self.pattern = (slot, A.indptr.copy(), A.indices.copy(), A.nnz)
-            return A
-        slot, indptr, indices, nnz = self.pattern
+            indices = np.zeros(nnz, np.int32)
+            indices[grp] = scols.astype(np.int32)
+            uniq_rows = np.zeros(nnz, np.int64)
+            uniq_rows[grp] = srows
+            counts = np.bincount(uniq_rows, minlength=n)
+            indptr = np.concatenate([[0], np.cumsum(counts)])
+            diag_slots = slot[len(rows):]        # slot of each (i, i)
+            self.pattern = (slot[:len(rows)], indptr.astype(np.int64),
+                            indices, nnz, diag_slots)
+        slot, indptr, indices, nnz, diag_slots = self.pattern
         vals = np.bincount(slot, weights=data, minlength=nnz)
+        if fixed is not None:
+            vals[diag_slots[fixed]] = 1.0
+            zero_diag = vals[diag_slots] == 0.0
+            if zero_diag.any():          # singularity guard (spars.cpp:245)
+                vals[diag_slots[zero_diag]] = 1.0
         return sp.csr_matrix((vals, indices, indptr), shape=(n, n))
 
 
@@ -434,21 +467,29 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
 
     if session is None:
         session = Session()
-    A = session.csr_values(blocks, n)
     # Dirichlet elimination in the matrix itself: zero fixed rows/cols,
     # unit diagonal -- the operator becomes a plain SpMV (the reference
     # instead mutates rows at SetValue time, spars.cpp:318)
-    keep = sp.diags((~fixed).astype(np.float64))
-    At = (keep @ A @ keep + sp.diags(fixed.astype(np.float64))).tocsr()
+    At = session.csr_values(blocks, n, fixed)
     diag64 = np.asarray(At.diagonal())
-    zero_d = diag64 == 0.0
-    if zero_d.any():                      # singularity guard (spars.cpp:245)
-        diag64[zero_d] = 1.0
-        At = (At + sp.diags(zero_d.astype(np.float64))).tocsr()
 
-    # rhs with Dirichlet elimination: fixed rows become identity rows
+    # rhs with Dirichlet elimination: fixed rows become identity rows.
+    # b - A g needs the UNELIMINATED column couplings to the fixed
+    # values; recover them via the blocks directly.
     g = np.where(fixed, fvals, 0.0)
-    rhs = np.where(fixed, fvals, b64 - A @ g)
+    nonzero_g = bool(fixed.any()) and bool(np.any(fvals[fixed] != 0.0))
+    if nonzero_g:
+        Ag = np.zeros(n)
+        for blk_ in blocks:
+            idx = np.asarray(blk_.idx)
+            sgn = np.asarray(blk_.sign, np.float64)
+            mat = np.asarray(blk_.mat, np.float64)
+            ge = sgn * g[idx]
+            ye = np.einsum("ekl,el->ek", mat, ge)
+            np.add.at(Ag, idx.reshape(-1), (sgn * ye).reshape(-1))
+    else:
+        Ag = np.zeros(n)
+    rhs = np.where(fixed, fvals, b64 - Ag)
     invd = 1.0 / diag64
     res0 = float(np.dot(invd * rhs, rhs))
     if res0 == 0.0:
@@ -473,9 +514,22 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 session.first_iters = None
     use_amg = coords is not None and session.amg is not None
     if use_amg:
-        ell = amg_mod.csr_to_ell(At, np_dtype)
-        ell_vals = jnp.asarray(ell.vals)
-        ell_cols = jnp.asarray(ell.cols)
+        # ELLPACK slot map + device columns cached across Newton
+        # iterations: only the f32 values ship to the device per call
+        if session.ell_map is None:
+            ell = amg_mod.csr_to_ell(At, np_dtype)
+            deg = np.diff(At.indptr)
+            rows_map = np.repeat(np.arange(n), deg)
+            pos_map = np.arange(At.nnz) - np.repeat(At.indptr[:-1], deg)
+            session.ell_map = (rows_map, pos_map, ell.vals.shape[1])
+            session.ell_cols_dev = jnp.asarray(ell.cols)
+            ell_vals = jnp.asarray(ell.vals)
+        else:
+            rows_map, pos_map, D = session.ell_map
+            vals = np.zeros((n, D), np_dtype)
+            vals[rows_map, pos_map] = At.data.astype(np_dtype)
+            ell_vals = jnp.asarray(vals)
+        ell_cols = session.ell_cols_dev
     else:
         dblocks = _to_device_blocks(blocks, dev_dtype)
         diag_d = jnp.asarray(diag64, dev_dtype)
