@@ -1,0 +1,101 @@
+"""Command-line driver: ``python -m xfemm_tpu <command> <file>``.
+
+Covers the reference's fmesher/fsolver/hsolver/esolver binaries in one
+entry point (their CLI surface: take a problem file, mesh and/or solve,
+write the solution next to it -- cfemm/fsolver/main.cpp:40,
+cfemm/fmesher/main.cpp:38-57):
+
+    python -m xfemm_tpu mesh  problem.fem        # .node/.ele/.edge/.pbc
+    python -m xfemm_tpu solve problem.fem        # -> problem.ans
+    python -m xfemm_tpu solve problem.feh        # -> problem.anh
+    python -m xfemm_tpu solve problem.fee        # -> problem.res
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _load(path: str):
+    from .geometry import femfile
+    return femfile.load(path)
+
+
+def _mesh(problem, base: str, write: bool):
+    from .mesh import mesher
+    from .mesh.meshdata import write_mesh_files
+    mesh = mesher.mesh_problem(problem)
+    if write:
+        write_mesh_files(mesh, base)
+    return mesh
+
+
+def cmd_mesh(args) -> int:
+    base = os.path.splitext(args.file)[0]
+    problem = _load(args.file)
+    t0 = time.time()
+    mesh = _mesh(problem, base, write=True)
+    print(f"meshed {mesh.num_nodes} nodes / {mesh.num_elements} elements "
+          f"in {time.time() - t0:.2f}s -> {base}.node/.ele/.edge/.pbc")
+    return 0
+
+
+def cmd_solve(args) -> int:
+    from .constants import FileType
+    from .io import ansfile
+    from .mesh.meshdata import read_mesh_files
+    from . import models
+
+    base = os.path.splitext(args.file)[0]
+    problem = _load(args.file)
+    if args.premeshed:
+        mesh = read_mesh_files(base)
+    else:
+        mesh = _mesh(problem, base, write=False)
+    print(f"solving {mesh.num_nodes} nodes ...")
+    t0 = time.time()
+    sol = models.solve(problem, mesh)
+    elapsed = time.time() - t0
+
+    if problem.filetype == FileType.MAGNETICS:
+        out = base + ".ans"
+        sf = ansfile.SolutionFile(
+            problem=problem,
+            mesh=ansfile.solution_mesh_from_solver(mesh, 1.0),
+            values=sol.A, label_case=sol.label_case)
+        ansfile.write_ans(sf, out)
+    elif problem.filetype == FileType.HEATFLOW:
+        out = base + ".anh"
+        ansfile.write_scalar_solution(
+            problem, mesh, sol.T, sol.node_conductor,
+            list(zip(sol.conductor_V, sol.conductor_q)), out)
+    else:
+        out = base + ".res"
+        ansfile.write_scalar_solution(
+            problem, mesh, sol.V, sol.node_conductor,
+            list(zip(sol.conductor_V, sol.conductor_q)), out)
+    print(f"solved in {elapsed:.2f}s (residual {sol.residual:.2e}, "
+          f"{sol.iterations} CG iterations) -> {out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="xfemm_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    mp = sub.add_parser("mesh", help="triangulate a problem file")
+    mp.add_argument("file")
+    mp.set_defaults(fn=cmd_mesh)
+    spp = sub.add_parser("solve", help="mesh (or load mesh) and solve")
+    spp.add_argument("file")
+    spp.add_argument("--premeshed", action="store_true",
+                     help="read existing .node/.ele/.edge/.pbc files")
+    spp.set_defaults(fn=cmd_solve)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

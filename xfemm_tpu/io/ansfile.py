@@ -75,9 +75,12 @@ def _read_scalar_solution(problem: Problem, lines) -> SolutionFile:
 
 
 def write_ans(sol: SolutionFile, path: str, problem_text: str | None = None):
-    """Write a magnetostatics .ans: problem echo + [Solution] block."""
+    """Write a magnetics .ans: problem echo + [Solution] block. Complex
+    nodal values (harmonic problems) write as re/im column pairs
+    (harmonic2d.cpp:926-938 WriteHarmonic2D)."""
     p = sol.problem
     mesh = sol.mesh
+    harmonic = p.Frequency != 0
     if problem_text is None:
         problem_text = femfile.dumps(p)
     out = [problem_text.rstrip("\n")]
@@ -88,8 +91,13 @@ def write_ans(sol: SolutionFile, path: str, problem_text: str | None = None):
     has_prev = sol.values_prev is not None
     for i in range(n):
         x, y = mesh.nodes[i]
-        row = (f"{_fmt(x)}\t{_fmt(y)}\t{_fmt(float(sol.values[i]))}\t"
-               f"{int(mesh.node_markers[i])}")
+        if harmonic:
+            v = complex(sol.values[i])
+            row = (f"{_fmt(x)}\t{_fmt(y)}\t{_fmt(v.real)}\t{_fmt(v.imag)}"
+                   f"\t{int(mesh.node_markers[i])}")
+        else:
+            row = (f"{_fmt(x)}\t{_fmt(y)}\t{_fmt(float(sol.values[i]))}\t"
+                   f"{int(mesh.node_markers[i])}")
         if has_prev:
             row += f"\t{_fmt(float(sol.values_prev[i]))}"
         w(row)
@@ -100,7 +108,12 @@ def write_ans(sol: SolutionFile, path: str, problem_text: str | None = None):
     w(str(nlabels))
     if sol.label_case is not None:
         for case, value in sol.label_case:
-            w(f"{int(case)}\t{_fmt(value)}")
+            if harmonic:
+                v = complex(value)
+                w(f"{int(case.real if isinstance(case, complex) else case)}"
+                  f"\t{_fmt(v.real)}\t{_fmt(v.imag)}")
+            else:
+                w(f"{int(case)}\t{_fmt(value)}")
     w(str(len(mesh.pbc_pairs)))
     for a, b, t in mesh.pbc_pairs:
         w(f"{a}\t{b}\t{t}")
@@ -241,3 +254,29 @@ def solution_mesh_from_solver(mesh: MeshData, units: float) -> MeshData:
                    edge_markers=mesh.edge_markers, pbc_pairs=mesh.pbc_pairs,
                    airgaps=mesh.airgaps)
     return out
+
+
+def write_scalar_solution(problem: Problem, mesh: MeshData, values,
+                          node_conductor, conductor_results, path: str,
+                          problem_text: str | None = None) -> None:
+    """Write a heat-flow .anh / electrostatics .res: problem echo +
+    [Solution] with nodes 'x y V Q', 4-col elements and per-conductor
+    '(V, q)' results (hsolver.cpp:954-982 WriteResults)."""
+    if problem_text is None:
+        problem_text = femfile.dumps(problem)
+    out = [problem_text.rstrip("\n")]
+    w = out.append
+    w("[Solution]")
+    w(str(mesh.num_nodes))
+    for i in range(mesh.num_nodes):
+        x, y = mesh.nodes[i]
+        w(f"{_fmt(x)}\t{_fmt(y)}\t{_fmt(float(values[i]))}\t"
+          f"{int(node_conductor[i])}")
+    w(str(mesh.num_elements))
+    for tri, lbl in zip(mesh.elements, mesh.element_labels):
+        w(f"{tri[0]}\t{tri[1]}\t{tri[2]}\t{lbl}")
+    w(str(len(conductor_results)))
+    for cv, cq in conductor_results:
+        w(f"{_fmt(cv)}\t{_fmt(cq)}")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out) + "\n")
