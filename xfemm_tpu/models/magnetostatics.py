@@ -607,47 +607,59 @@ def solve(problem: Problem, mesh: MeshData,
         Mn = np.zeros((T, 3, 3))
         be = be_static
         if it > 0:
-            # element B from current solution (static2d.cpp:691-697)
-            Vl = pk.rsign[pk.tris] * V[pk.ridx[pk.tris]]
-            B1 = np.sum(Vl * geom.q, axis=1)
-            B2 = np.sum(Vl * geom.p, axis=1)
+            # element B + Newton matrices, only for the nonlinear subset
+            # (static2d.cpp:691-796); linear elements keep their mu
+            ns = np.nonzero(nl)[0]
+            tri_s = pk.tris[ns]
+            Vl = pk.rsign[tri_s] * V[pk.ridx[tri_s]]
+            lts = lt[ns]
+            fs = f[ns]
+            areas = area[ns]
+            B1 = np.sum(Vl * geom.q[ns], axis=1)
+            B2 = np.sum(Vl * geom.p[ns], axis=1)
             # LamType 1/2 variants scale one component by 1/fill
-            B1 = np.where(lt == 2, B1 / f, B1)
-            B2 = np.where(lt == 1, B2 / f, B2)
-            Bmag = c * np.sqrt(B1 ** 2 + B2 ** 2) / (0.02 * area)
-            vv, dv = assembly.hermite_vdv(Bmag, pk.bh_B, pk.bh_H, pk.bh_S)
+            B1 = np.where(lts == 2, B1 / fs, B1)
+            B2 = np.where(lts == 1, B2 / fs, B2)
+            Bmag = c * np.sqrt(B1 ** 2 + B2 ** 2) / (0.02 * areas)
+            vv, dv = assembly.hermite_vdv(Bmag, pk.bh_B[ns], pk.bh_H[ns],
+                                          pk.bh_S[ns])
             mu_el = 1.0 / (MU0 * vv)
-            mu1_new = np.where(lt == 0, mu_el,
-                               np.where(lt == 1, mu_el * f,
-                                        mu_el / (f + mu_el * (1 - f))))
-            mu2_new = np.where(lt == 0, mu_el,
-                               np.where(lt == 1,
-                                        mu_el / (f + mu_el * (1 - f)),
-                                        mu_el * f))
-            mu1 = np.where(nl, mu1_new, mu1)
-            mu2 = np.where(nl, mu2_new, mu2)
+            mu1[ns] = np.where(lts == 0, mu_el,
+                               np.where(lts == 1, mu_el * fs,
+                                        mu_el / (fs + mu_el * (1 - fs))))
+            mu2[ns] = np.where(lts == 0, mu_el,
+                               np.where(lts == 1,
+                                        mu_el / (fs + mu_el * (1 - fs)),
+                                        mu_el * fs))
             # Newton matrices (static2d.cpp:700-796)
-            MxMy = Mx + My
-            vvec0 = np.einsum("tjw,tw->tj", MxMy, Vl)
-            Mn0 = (-200.0 * c ** 3 * dv / area)[:, None, None] * \
+            Mxs = Mx[ns]
+            Mys = My[ns]
+            vvec0 = np.einsum("tjw,tw->tj", Mxs + Mys, Vl)
+            Mn0 = (-200.0 * c ** 3 * dv / areas)[:, None, None] * \
                 vvec0[:, :, None] * vvec0[:, None, :]
-            # LamType 1: v = (My/t + Mx) V, u = (My/t + t*Mx) V
-            v1 = np.einsum("tjw,tw->tj", My / f[:, None, None] + Mx, Vl)
-            u1 = np.einsum("tjw,tw->tj",
-                           My / f[:, None, None] + f[:, None, None] * Mx, Vl)
-            Mn1 = (-100.0 * c ** 3 * dv / area)[:, None, None] * (
-                v1[:, :, None] * u1[:, None, :]
-                + v1[:, None, :] * u1[:, :, None])
-            v2 = np.einsum("tjw,tw->tj", Mx / f[:, None, None] + My, Vl)
-            u2 = np.einsum("tjw,tw->tj",
-                           Mx / f[:, None, None] + f[:, None, None] * My, Vl)
-            Mn2 = (-100.0 * c ** 3 * dv / area)[:, None, None] * (
-                v2[:, :, None] * u2[:, None, :]
-                + v2[:, None, :] * u2[:, :, None])
-            Mn = np.where((lt == 0)[:, None, None], Mn0,
-                          np.where((lt == 1)[:, None, None], Mn1, Mn2))
-            Mn = np.where(nl[:, None, None], Mn, 0.0)
-            be = be + np.einsum("tjk,tk->tj", Mn, Vl)
+            Mns = Mn0
+            if (lts != 0).any():
+                # LamType 1: v = (My/t + Mx) V, u = (My/t + t*Mx) V
+                v1 = np.einsum("tjw,tw->tj",
+                               Mys / fs[:, None, None] + Mxs, Vl)
+                u1 = np.einsum("tjw,tw->tj", Mys / fs[:, None, None]
+                               + fs[:, None, None] * Mxs, Vl)
+                Mn1 = (-100.0 * c ** 3 * dv / areas)[:, None, None] * (
+                    v1[:, :, None] * u1[:, None, :]
+                    + v1[:, None, :] * u1[:, :, None])
+                v2 = np.einsum("tjw,tw->tj",
+                               Mxs / fs[:, None, None] + Mys, Vl)
+                u2 = np.einsum("tjw,tw->tj", Mxs / fs[:, None, None]
+                               + fs[:, None, None] * Mys, Vl)
+                Mn2 = (-100.0 * c ** 3 * dv / areas)[:, None, None] * (
+                    v2[:, :, None] * u2[:, None, :]
+                    + v2[:, None, :] * u2[:, :, None])
+                Mns = np.where((lts == 0)[:, None, None], Mn0,
+                               np.where((lts == 1)[:, None, None], Mn1,
+                                        Mn2))
+            Mn[ns] = Mns
+            be = be_static.copy()
+            be[ns] += np.einsum("tjk,tk->tj", Mns, Vl)
 
         Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None] + Mn)
         blocks = _element_blocks(pk, Me)

@@ -297,7 +297,10 @@ class MagPostProcessor:
     # current density (GetJA, fpproc.cpp)                                #
     # ------------------------------------------------------------------ #
     def element_JA(self):
-        """Per-element nodal J (MA/m^2) and A arrays, (T,3) each."""
+        """Per-element nodal J (MA/m^2) and A arrays, (T,3) each
+        (cached)."""
+        if getattr(self, "_ja", None) is not None:
+            return self._ja
         T = self.mesh.num_elements
         tris = self.mesh.elements
         if self.problem.ProblemType == ProblemType.PLANAR:
@@ -328,6 +331,7 @@ class MagPostProcessor:
                 else:
                     row = row + value
             J[t] = row
+        self._ja = (J, Aface)
         return J, Aface
 
     # ------------------------------------------------------------------ #
@@ -577,6 +581,284 @@ class MagPostProcessor:
         return (r * r * p.extRi) / (p.extRo ** 3)
 
     # ------------------------------------------------------------------ #
+    # smoothed nodal B (GetNodalB, fpproc.cpp:2704-2966)                  #
+    # ------------------------------------------------------------------ #
+    def _conlist(self):
+        if hasattr(self, "_con"):
+            return self._con
+        tris = self.mesh.elements
+        T = len(tris)
+        pairs_n = tris.reshape(-1)
+        pairs_e = np.repeat(np.arange(T), 3)
+        order = np.argsort(pairs_n, kind="stable")
+        self._con = (pairs_n[order], pairs_e[order],
+                     np.searchsorted(pairs_n[order],
+                                     np.arange(self.mesh.num_nodes + 1)))
+        return self._con
+
+    def _group_key(self):
+        """Element material-compatibility key for smoothing
+        (fpproc.cpp:2816-2836): elements in different labels still smooth
+        across the boundary when their material constants match."""
+        keys = {}
+        out = np.zeros(self.mesh.num_elements, np.int64)
+        for t in range(self.mesh.num_elements):
+            m = self.mats[self.blk[t]]
+            if self.frequency == 0:
+                k = (m.mu_x, m.mu_y, m.H_c, round(self.magdir[t], 9))
+            else:
+                k = (self.blk[t],)
+            out[t] = keys.setdefault(k, len(keys))
+        return out
+
+    def nodal_B(self):
+        """Per-(element, corner) smoothed flux density (T,3) complex
+        pair, lazily computed. Interior corners: inverse-centroid-
+        distance weighted average over the node's element patch;
+        corners on material interfaces: the reference's interface-pair
+        reconstruction (tangential B from the element, normal B from
+        dA/dt along the interface)."""
+        if hasattr(self, "_nb"):
+            return self._nb
+        tris = self.mesh.elements
+        T = self.mesh.num_elements
+        N = self.mesh.num_nodes
+        group = self._group_key()
+        con_n, con_e, con_ptr = self._conlist()
+
+        # a node is "uniform" if every adjacent element shares one group
+        ngroups = np.full(N, -1, np.int64)
+        uniform = np.ones(N, bool)
+        first = con_ptr[:-1] < con_ptr[1:]
+        ngroups[con_n[con_ptr[:-1][first]]] = group[con_e[con_ptr[:-1][first]]]
+        mismatch = group[con_e] != ngroups[con_n]
+        uniform[con_n[mismatch]] = False
+
+        # vectorized inverse-distance patch average for uniform nodes
+        ctr = self.ctr
+        pn = self.mesh.nodes[con_n]
+        z = 1.0 / np.maximum(np.hypot(*(pn - ctr[con_e]).T), 1e-30)
+        wB1 = np.zeros(N, complex)
+        wB2 = np.zeros(N, complex)
+        wZ = np.zeros(N)
+        np.add.at(wB1, con_n, z * self.B1[con_e])
+        np.add.at(wB2, con_n, z * self.B2[con_e])
+        np.add.at(wZ, con_n, z)
+        nb1_node = wB1 / np.maximum(wZ, 1e-300)
+        nb2_node = wB2 / np.maximum(wZ, 1e-300)
+
+        b1 = nb1_node[tris].astype(complex)
+        b2 = nb2_node[tris].astype(complex)
+
+        # interface corners: reference scan per (element, corner)
+        lc = self.lc
+        A = self.A
+        axi = self.problem.ProblemType == ProblemType.AXISYMMETRIC
+        lbl_of = self.mesh.element_labels
+        nonuni = ~uniform
+        for t in range(T):
+            for i in range(3):
+                k = tris[t, i]
+                if uniform[k]:
+                    continue
+                b1[t, i], b2[t, i] = self._interface_nodal_b(
+                    t, i, k, con_n, con_e, con_ptr, lbl_of, lc, axi)
+        # on-axis nodes: Br = 0 (fpproc.cpp:2963-2965)
+        if axi:
+            on_axis = np.abs(self.mesh.nodes[tris][:, :, 0]) < 1e-06
+            b1 = np.where(on_axis, 0.0, b1)
+        self._nb = (b1, b2)
+        return self._nb
+
+    def _interface_nodal_b(self, t, i, k, con_n, con_e, con_ptr, lbl_of,
+                           lc, axi):
+        """CCW+CW interface scan around node k starting from element t
+        (fpproc.cpp:2760-2890)."""
+        tris = self.mesh.elements
+        adj = con_e[con_ptr[k]:con_ptr[k + 1]]
+        lbl0 = lbl_of[t]
+
+        def scan(direction):
+            e = t
+            for _ in range(len(adj) + 1):
+                tri = tris[e]
+                j = int(np.nonzero(tri == k)[0][0])
+                pt = tri[(j - 1) % 3] if direction == 0 else tri[(j + 1) % 3]
+                nxt = -1
+                for cand in adj:
+                    if cand != e and pt in tris[cand]:
+                        nxt = int(cand)
+                        break
+                if nxt < 0:
+                    return None          # hull: special-case punt
+                if lbl_of[nxt] != lbl0:
+                    return int(pt)       # interface side found
+                e = nxt
+            return None
+
+        total1 = 0.0 + 0j
+        total2 = 0.0 + 0j
+        R = 0.0
+        vs = []
+        for direction in (0, 1):
+            pt = scan(direction)
+            if pt is None:
+                return self.B1[t], self.B2[t]
+            p0 = self.mesh.nodes[k]
+            p1 = self.mesh.nodes[pt]
+            tn = p1 - p0
+            tlen = np.hypot(*tn)
+            r = (p1[0] + p0[0]) * lc / 2.0
+            bn = (self.A[pt] - self.A[k]) / (tlen * lc)
+            if axi:
+                bn /= (-2.0 * PI * r) if r != 0 else 1.0
+            z = 0.5 / tlen
+            tn = tn / tlen
+            bt = self.B1[t] * tn[0] + self.B2[t] * tn[1]
+            R += z
+            total1 += z * (tn[0] * bt + tn[1] * bn)
+            total2 += z * (tn[1] * bt - tn[0] * bn)
+            vs.append(tn)
+        b1 = total1 / R
+        b2 = total2 / R
+        # sharp-corner sanity check (fpproc.cpp:2893-2944)
+        ok = (-vs[0][0] * vs[1][0] - vs[0][1] * vs[1][1]) > 0.985
+        if not ok:
+            # punt: scale element B to the max |B| in the same label
+            bmax_re = bmax_im = 0.0
+            for cand in con_e[con_ptr[k]:con_ptr[k + 1]]:
+                if lbl_of[cand] == lbl0:
+                    br = np.hypot(self.B1[cand].real, self.B2[cand].real)
+                    bi = np.hypot(self.B1[cand].imag, self.B2[cand].imag)
+                    bmax_re = max(bmax_re, br)
+                    bmax_im = max(bmax_im, bi)
+            Rr = np.hypot(self.B1[t].real, self.B2[t].real)
+            Ri = np.hypot(self.B1[t].imag, self.B2[t].imag)
+            b1 = complex(bmax_re / Rr * self.B1[t].real if Rr else 0.0,
+                         bmax_im / Ri * self.B1[t].imag if Ri else 0.0)
+            b2 = complex(bmax_re / Rr * self.B2[t].real if Rr else 0.0,
+                         bmax_im / Ri * self.B2[t].imag if Ri else 0.0)
+        return b1, b2
+
+    def point_B(self, x, y, t, smooth=True):
+        """B at a point of element t: barycentric interpolation of the
+        smoothed nodal values (GetPointB, fpproc.cpp:2669)."""
+        if not smooth:
+            return self.B1[t], self.B2[t]
+        b1n, b2n = self.nodal_B()
+        tri = self.mesh.elements[t]
+        xy = self.mesh.nodes[tri]
+        d1 = xy[1] - xy[0]
+        d2 = xy[2] - xy[0]
+        det = d1[0] * d2[1] - d1[1] * d2[0]
+        s = ((x - xy[0][0]) * d2[1] - (y - xy[0][1]) * d2[0]) / det
+        u = ((y - xy[0][1]) * d1[0] - (x - xy[0][0]) * d1[1]) / det
+        w = np.array([1 - s - u, s, u])
+        return (b1n[t] * w).sum(), (b2n[t] * w).sum()
+
+    # ------------------------------------------------------------------ #
+    # line integrals (LineIntegral, fpproc.cpp:4094-4350)                 #
+    # ------------------------------------------------------------------ #
+    def line_integral(self, inttype: int, contour, npoints: int = 100):
+        """Contour integrals over a polyline [(x, y), ...] in problem
+        units. Types: 0 B.n (total, avg), 1 H.t (total, avg), 2 length
+        (length, surface area), 3 Maxwell stress force (Fx, Fy [+2x]),
+        4 Maxwell stress torque (T [+2x]), 5 (B.n)^2 (total, avg)."""
+        pts = [complex(x, y) for x, y in contour]
+        lc = self.lc
+        axi = self.problem.ProblemType == ProblemType.AXISYMMETRIC
+        if inttype == 0:
+            a0 = self.get_point_values(pts[0].real, pts[0].imag)["A"]
+            a1 = self.get_point_values(pts[-1].real, pts[-1].imag)["A"]
+            if not axi:
+                L = sum(abs(pts[i + 1] - pts[i])
+                        for i in range(len(pts) - 1)) * lc
+                tot = (a0 - a1) * self.depth
+                return tot, (tot / (L * self.depth) if L else 0.0)
+            S = sum(PI * (pts[i].real + pts[i + 1].real)
+                    * abs(pts[i + 1] - pts[i])
+                    for i in range(len(pts) - 1)) * lc * lc
+            tot = a1 - a0
+            return tot, (tot / S if S else 0.0)
+        if inttype == 2:
+            L = sum(abs(pts[i + 1] - pts[i])
+                    for i in range(len(pts) - 1)) * lc
+            if axi:
+                S = sum(PI * (pts[i].real + pts[i + 1].real)
+                        * abs(pts[i + 1] - pts[i])
+                        for i in range(len(pts) - 1)) * lc * lc
+            else:
+                S = L * self.depth
+            return L, S
+
+        z = [0.0 + 0j] * 4
+        total_len = sum(abs(pts[i + 1] - pts[i])
+                        for i in range(len(pts) - 1)) * lc
+        for kseg in range(1, len(pts)):
+            seg = pts[kseg] - pts[kseg - 1]
+            dz = abs(seg) / npoints
+            tvec = seg / abs(seg)
+            nvec = 1j * tvec
+            for ii in range(npoints):
+                u = (ii + 0.5) / npoints
+                pt = pts[kseg - 1] + u * seg + nvec * 1e-06
+                t = self.find_element(pt.real, pt.imag)
+                if t < 0:
+                    continue
+                v = self.get_point_values(pt.real, pt.imag, element=t)
+                B1, B2 = v["B1"], v["B2"]
+                H1, H2 = v["H1"], v["H2"]
+                if inttype == 1:
+                    z[0] += (tvec.real * H1 + tvec.imag * H2) * dz * lc
+                elif inttype == 5:
+                    Bn = nvec.real * B1 + nvec.imag * B2
+                    z[0] += abs(Bn) ** 2 * dz * lc
+                elif inttype in (3, 4):
+                    Hn = nvec.real * H1 + nvec.imag * H2
+                    Bn = nvec.real * B1 + nvec.imag * B2
+                    BH = B1 * H1 + B2 * H2
+                    dF1 = H1 * Bn + B1 * Hn - nvec.real * BH
+                    dF2 = H2 * Bn + B2 * Hn - nvec.imag * BH
+                    if inttype == 3:
+                        dza = dz * lc
+                        if axi:
+                            dza *= 2.0 * PI * pt.real * lc
+                            dF1 = 0.0
+                        else:
+                            dza *= self.depth
+                        scale = 0.5 if self.frequency == 0 else 0.25
+                        z[0] += dF1 * dza * scale
+                        z[1] += dF2 * dza * scale
+                        if self.frequency != 0:
+                            BHc = B1 * np.conj(H1) + B2 * np.conj(H2)
+                            dF1c = H1 * np.conj(Bn) + B1 * np.conj(Hn) \
+                                - nvec.real * BHc
+                            dF2c = H2 * np.conj(Bn) + B2 * np.conj(Hn) \
+                                - nvec.imag * BHc
+                            if axi:
+                                dF1c = 0.0
+                            z[2] += dF1c * dza * 0.25
+                            z[3] += dF2c * dza * 0.25
+                    else:
+                        dT = pt.real * dF2 - dF1 * pt.imag
+                        dza = dz * lc * lc * self.depth
+                        scale = 0.5 if self.frequency == 0 else 0.25
+                        z[0] += dT * dza * scale
+                        if self.frequency != 0:
+                            BHc = B1 * np.conj(H1) + B2 * np.conj(H2)
+                            dF1c = H1 * np.conj(Bn) + B1 * np.conj(Hn) \
+                                - nvec.real * BHc
+                            dF2c = H2 * np.conj(Bn) + B2 * np.conj(Hn) \
+                                - nvec.imag * BHc
+                            dTc = pt.real * dF2c - dF1c * pt.imag
+                            z[1] += dTc * dza * 0.25
+        if inttype in (1, 5):
+            return z[0], (z[0] / total_len if total_len else 0.0)
+        if inttype == 3:
+            return tuple(z)
+        return z[0], z[1]
+
+    # ------------------------------------------------------------------ #
     # point values                                                       #
     # ------------------------------------------------------------------ #
     def find_element(self, x: float, y: float) -> int:
@@ -597,10 +879,12 @@ class MagPostProcessor:
             return -1
         return int(idx[0])
 
-    def get_point_values(self, x: float, y: float) -> dict:
+    def get_point_values(self, x: float, y: float, element: int = -1,
+                         smooth: bool = True) -> dict:
         """A, B, H, mu, J at a point (subset of CMPointVals,
-        fpproc.cpp:2257 GetPointValues), non-smoothed element fields."""
-        t = self.find_element(x, y)
+        fpproc.cpp:2257 GetPointValues). ``smooth`` uses the patch-
+        smoothed nodal B (the reference's default)."""
+        t = element if element >= 0 else self.find_element(x, y)
         if t < 0:
             return {}
         tris = self.mesh.elements[t]
@@ -614,14 +898,25 @@ class MagPostProcessor:
         A = (1 - s - u) * self.A[tris[0]] + s * self.A[tris[1]] \
             + u * self.A[tris[2]]
         mat = self.mats[self.blk[t]]
-        b1, b2 = self.B1[t], self.B2[t]
+        b1, b2 = self.point_B(x, y, t, smooth=smooth)
         mu1, mu2 = _get_mu(mat, b1, b2)
+        aecf = self._aecf(t)
+        mu1 /= aecf
+        mu2 /= aecf
         J, _ = self.element_JA()
+        # H from B through the (hysteresis-lagged) permeability plus the
+        # permanent-magnet offset (GetPointValues, fpproc.cpp:2300-2340)
+        H1 = b1 / (mu1 * MU0)
+        H2 = b2 / (mu2 * MU0)
+        if self.frequency == 0 and mat.H_c != 0:
+            hc = mat.H_c * cmath.exp(1j * PI * self.magdir[t] / 180.0)
+            H1 = H1 - hc.real
+            H2 = H2 - hc.imag
         return {
             "A": A,
             "B1": b1, "B2": b2,
             "mu1": mu1, "mu2": mu2,
-            "H1": b1 / (mu1 * MU0), "H2": b2 / (mu2 * MU0),
+            "H1": H1, "H2": H2,
             "Je": complex(J[t].mean()),
         }
 
