@@ -13,6 +13,9 @@ from ..constants import FileType, ProblemType
 def solve(problem, mesh, **kw):
     if problem.filetype == FileType.MAGNETICS:
         if problem.Frequency != 0:
+            if problem.ProblemType == ProblemType.AXISYMMETRIC:
+                from . import harmonicaxi
+                return harmonicaxi.solve(problem, mesh, **kw)
             from . import harmonic
             return harmonic.solve(problem, mesh, **kw)
         if problem.ProblemType == ProblemType.AXISYMMETRIC:
