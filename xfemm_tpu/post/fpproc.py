@@ -581,6 +581,100 @@ class MagPostProcessor:
         return (r * r * p.extRi) / (p.extRo ** 3)
 
     # ------------------------------------------------------------------ #
+    # circuit quantities (fpproc.cpp:5069-5330)                           #
+    # ------------------------------------------------------------------ #
+    def _pln_int(self, a, u, v):
+        """Integral of u*v over a triangle from nodal values
+        (PlnInt, fpproc.cpp:3580)."""
+        z0 = 2 * u[:, 0] + u[:, 1] + u[:, 2]
+        z1 = u[:, 0] + 2 * u[:, 1] + u[:, 2]
+        z2 = u[:, 0] + u[:, 1] + 2 * u[:, 2]
+        return a * (v[:, 0] * z0 + v[:, 1] * z1 + v[:, 2] * z2) / 12.0
+
+    def _axi_int(self, a, u, v, r):
+        """Axisymmetric r-weighted triangle integral (AxiInt,
+        fpproc.cpp:3551-3578); r is (T,3) node radii in meters."""
+        M = np.empty(u.shape[:1] + (3, 3), complex)
+        M[:, 0, 0] = 6 * r[:, 0] + 2 * r[:, 1] + 2 * r[:, 2]
+        M[:, 0, 1] = 2 * r[:, 0] + 2 * r[:, 1] + 1 * r[:, 2]
+        M[:, 0, 2] = 2 * r[:, 0] + 1 * r[:, 1] + 2 * r[:, 2]
+        M[:, 1, 1] = 2 * r[:, 0] + 6 * r[:, 1] + 2 * r[:, 2]
+        M[:, 1, 2] = 1 * r[:, 0] + 2 * r[:, 1] + 2 * r[:, 2]
+        M[:, 2, 2] = 2 * r[:, 0] + 2 * r[:, 1] + 6 * r[:, 2]
+        M[:, 1, 0] = M[:, 0, 1]
+        M[:, 2, 0] = M[:, 0, 2]
+        M[:, 2, 1] = M[:, 1, 2]
+        z = np.einsum("tij,tj->ti", M, u)
+        return PI * a * np.einsum("ti,ti->t", v, z) / 30.0
+
+    def _aj_integral(self, sel_el, conj_J=True):
+        """Integral of A.(conj J) over selected elements."""
+        J, Aface = self.element_JA()
+        a = self.area_m2
+        Jv = np.conj(J) if conj_J else J
+        if self.problem.ProblemType == ProblemType.PLANAR:
+            y = self._pln_int(a, Aface, Jv) * self.depth
+        else:
+            r = self.mesh.nodes[self.mesh.elements][:, :, 0] * self.lc
+            y = self._axi_int(a, Aface, Jv, r)
+        return complex((y * sel_el).sum()) * 1e6   # J in MA/m^2
+
+    def circuit_properties(self, name: str):
+        """(current, voltage drop, flux linkage) for a circuit
+        (mo_getcircuitproperties -> GetVoltageDrop/GetFluxLinkage,
+        fpproc.cpp:5069-5225)."""
+        circs = self.problem.circproplist
+        ci = next(i for i, c in enumerate(circs) if c.name == name)
+        circ = circs[ci]
+        amps = complex(circ.Amps)
+        lbl_in = np.array([l.InCircuit == ci for l in self.labels])
+        sel_el = lbl_in[self.mesh.element_labels]
+        planar = self.problem.ProblemType == ProblemType.PLANAR
+
+        # voltage drop: solid labels use the solved dV; stranded labels
+        # integrate 2 pi f A + rho J (GetStrandedVoltageDrop)
+        volts = 0.0 + 0j
+        for k, lab in enumerate(self.labels):
+            if lab.InCircuit != ci:
+                continue
+            case, value = self.label_case[k]
+            if int(abs(case)) == 0:
+                dv = complex(value)
+                volts -= (self.depth if planar else 2.0 * PI) * dv \
+                    * (lab.Turns if circ.CircType == 1 else 1.0)
+            else:
+                volts += self._stranded_voltage_drop(k)
+            if circ.CircType == 0:
+                break
+        if amps != 0:
+            flux = self._aj_integral(sel_el) / np.conj(amps)
+        elif self.frequency != 0:
+            flux = volts / (2.0 * PI * self.frequency)
+        else:
+            flux = 0.0 + 0j
+        return amps, volts, flux
+
+    def _stranded_voltage_drop(self, lbl: int) -> complex:
+        """GetStrandedVoltageDrop (fpproc.cpp:5021-5066)."""
+        sel = self.mesh.element_labels == lbl
+        if not sel.any():
+            return 0.0
+        mat = self.mats[self.labels[lbl].BlockType]
+        sigma = mat.Cduct * 1e6
+        rho = 1.0 / sigma if sigma != 0 else 0.0
+        J, Aface = self.element_JA()
+        V = 2.0 * PI * 1j * self.frequency * Aface + rho * J * 1e6
+        U = np.ones_like(V)
+        a = self.area_m2
+        if self.problem.ProblemType == ProblemType.PLANAR:
+            y = self._pln_int(a, V, U) * self.depth
+        else:
+            r = self.mesh.nodes[self.mesh.elements][:, :, 0] * self.lc
+            y = self._axi_int(a, V, U, r)
+        atot = a[sel].sum()
+        return complex((y * sel).sum()) * self.labels[lbl].Turns / atot
+
+    # ------------------------------------------------------------------ #
     # smoothed nodal B (GetNodalB, fpproc.cpp:2704-2966)                  #
     # ------------------------------------------------------------------ #
     def _conlist(self):
