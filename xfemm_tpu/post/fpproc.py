@@ -457,16 +457,30 @@ class MagPostProcessor:
             z2 = u[:, 0] + u[:, 1] + 2 * u[:, 2]
             return af * (v[:, 0] * z0 + v[:, 1] * z1 + v[:, 2] * z2) / 12.0
 
+        r3m = self.mesh.nodes[self.mesh.elements][:, :, 0] * self.lc
         if inttype == 0:   # A.J
             if planar:
                 y = pln_int(a, Aface, np.conj(J)) * depth
-                return complex(y[sel_el].sum())
-            raise NotImplementedError
+            else:
+                y = self._axi_int(a, Aface, np.conj(J), r3m)
+            return complex(y[sel_el].sum())
         if inttype == 1:   # integral of A
             if planar:
                 y = a * depth * Aface.mean(axis=1)
-                return complex(y[sel_el].sum())
-            raise NotImplementedError
+            else:
+                y = self._axi_int(a, Aface, np.ones_like(Aface), r3m)
+            return complex(y[sel_el].sum())
+        if inttype == 3:   # hysteresis + laminated eddy losses (AC)
+            if self.frequency == 0:
+                return 0.0 + 0j
+            total = 0.0 + 0j
+            for t in np.nonzero(sel_el)[0]:
+                mu1, mu2 = self._get_mu_complex(t)
+                H1 = B1[t] / (mu1 * MU0)
+                H2 = B2[t] / (mu2 * MU0)
+                total += vol[t] * PI * self.frequency * (
+                    H1 * np.conj(B1[t]) + H2 * np.conj(B2[t])).imag
+            return complex(total)
         if inttype == 7:   # total current
             return complex((a[sel_el] * Javg[sel_el]).sum())
         if inttype == 2 or inttype == 17:  # stored energy / coenergy
@@ -505,7 +519,10 @@ class MagPostProcessor:
                     y = a[t] * (V[0] * z0 + V[1] * z1 + V[2] * z2) / 12.0 \
                         * depth * 1e12
                 else:
-                    raise NotImplementedError
+                    # axisymmetric: J constant over the element
+                    Rm = r3m[t].mean()
+                    y = 2.0 * PI * Rm * a[t] \
+                        * Javg[t] * np.conj(Javg[t]) / sig * 1e12
                 if self.frequency != 0:
                     y /= 2.0
                 total += y.real
@@ -544,6 +561,54 @@ class MagPostProcessor:
                         y *= 0.5
                     total += a[t] * y * depth * 1e06
             return complex(total)
+        if inttype in (13, 14, 16):
+            # 2x (double-frequency) Lorentz force/torque components
+            # (fpproc.cpp case 13/14/16); J in MA/m^2 -> 1e6
+            if self.frequency == 0:
+                return 0.0 + 0j
+            total = 0.0 + 0j
+            for t in np.nonzero(sel_el)[0]:
+                Jc = Javg[t]
+                if inttype == 13 and planar:
+                    y = -(B2[t].real * Jc.real - B2[t].imag * Jc.imag) \
+                        - 1j * (B2[t].real * Jc.imag + B2[t].imag * Jc.real)
+                    total += 0.5 * a[t] * y * depth * 1e6
+                elif inttype == 14:
+                    y = (B1[t].real * Jc.real - B1[t].imag * Jc.imag) \
+                        + 1j * (B1[t].real * Jc.imag + B1[t].imag * Jc.real)
+                    if not planar:
+                        Rm = r3m[t].mean()
+                        y = -y * 2.0 * PI * Rm
+                    else:
+                        y = y * depth
+                    total += 0.5 * a[t] * y * 1e6
+                elif inttype == 16 and planar:
+                    cx, cy = self.ctr[t] * self.lc
+                    yx = (B1[t].real * Jc.real - B1[t].imag * Jc.imag) \
+                        + 1j * (B1[t].real * Jc.imag + B1[t].imag * Jc.real)
+                    yy = (B2[t].real * Jc.real - B2[t].imag * Jc.imag) \
+                        + 1j * (B2[t].real * Jc.imag + B2[t].imag * Jc.real)
+                    total += 0.5 * a[t] * (cx * yx + cy * yy) * depth * 1e6
+            return complex(total)
+        if inttype in (20, 21, 23):
+            # 2x weighted-stress-tensor (Henrotte) components, planar
+            if self._mask is None:
+                self._mask = self.make_mask(selected_labels)
+            gx, gy = self._henrotte_vector(self._mask)
+            aecf = np.array([self._aecf(t)
+                             for t in range(self.mesh.num_elements)])
+            F1 = ((B1 * B1 - B2 * B2) * gx
+                  + 2.0 * B1 * B2 * gy) / (4.0 * MU0)
+            F2 = ((B2 * B2 - B1 * B1) * gy
+                  + 2.0 * B1 * B2 * gx) / (4.0 * MU0)
+            w = vol * aecf
+            if inttype == 20:
+                return complex((w * F1).sum())
+            if inttype == 21:
+                return complex((w * F2).sum())
+            cx = self.ctr[:, 0] * self.lc
+            cy = self.ctr[:, 1] * self.lc
+            return complex((w * (cx * F2 - cy * F1)).sum())
         if inttype in (18, 19, 22):
             # Henrotte (weighted stress tensor) force/torque, SS part --
             # integrates over ALL elements; requires make_mask() first
@@ -567,6 +632,31 @@ class MagPostProcessor:
             cy = self.ctr[:, 1] * self.lc
             return complex((w * (cx * F2 - cy * F1)).sum())
         raise NotImplementedError(f"block integral {inttype}")
+
+    def _get_mu_complex(self, t: int):
+        """AC relative permeability (CMaterialProp::GetMu complex,
+        CMaterialProp.cpp:722; proximity regions take the label's
+        effective mu)."""
+        from ..models.harmonic import _effective_mu, _proximity_mu
+        mat = self.mats[self.blk[t]]
+        if mat.LamType > 2:
+            lab = self.labels[self.mesh.element_labels[t]]
+            atot = self.area_m2[self.mesh.element_labels
+                                == self.mesh.element_labels[t]].sum()
+            mu = _proximity_mu(self.problem, lab, mat, atot)
+            return mu, mu
+        if mat.BHpoints == 0:
+            mu1, mu2 = _effective_mu(self.problem, mat)
+        else:
+            biron = np.sqrt(abs(self.B1[t] * np.conj(self.B1[t]))
+                            + abs(self.B2[t] * np.conj(self.B2[t])))
+            if abs(biron) < 1e-08:
+                mu1 = 1.0 / mat.slope[0] / MU0
+            else:
+                mu1 = biron / mat.get_H(float(biron.real)) / MU0
+            mu2 = mu1
+        aecf = self._aecf(t)
+        return mu1 / aecf, mu2 / aecf
 
     def _aecf(self, t: int) -> float:
         """Axisymmetric external-region correction (fpproc.cpp AECF)."""
