@@ -408,6 +408,56 @@ class MagneticMaterial:
         return abs(b) * self.get_H(b).real - self.get_energy(b)
 
     # vectorized knot arrays for the device path -------------------------- #
+    # incremental / frozen permeability (AC or DC about a DC offset) --- #
+    def prepare_incremental(self, omega: float, prev_type: int) -> None:
+        """Slope setup for previous-solution problems
+        (fsolver.cpp:248-272): a first GetSlopes pass on the AC curve
+        only to harvest MuMax, then the plain DC curve."""
+        if self.BHpoints == 0 or self.slope:
+            return
+        saveB = list(self.Bdata)
+        saveH = list(self.Hdata)
+        self.get_slopes(omega)
+        self.Bdata = saveB
+        self.Hdata = saveH
+        self.slope = []
+        if prev_type == 1 and omega == 0.0:
+            self.MuMax = 1.0
+        self.get_slopes(0.0)
+
+    def incremental_permeability_dc(self, B: float):
+        """(muinc, murel) with lamination fill applied
+        (CMaterialProp.cpp:916 IncrementalPermeability)."""
+        muinc = 1.0 / (MU0 * self.get_dHdB(B).real)
+        murel = 1.0 / (MU0 * self.get_v(B).real)
+        if self.Lam_d == 0 or self.LamFill == 0:
+            return muinc, murel
+        return (muinc * self.LamFill + (1.0 - self.LamFill),
+                murel * self.LamFill + (1.0 - self.LamFill))
+
+    def incremental_permeability_ac(self, B: float, w: float):
+        """Complex (mu1, mu2) about a DC offset for AC problems
+        (CMaterialProp.cpp:853 incrementalPermeability)."""
+        muinc = 1.0 / (MU0 * self.get_dHdB(B).real)
+        murel = 1.0 / (MU0 * self.get_v(B).real)
+        lag = self.Theta_hn * DEG
+        if self.Lam_d == 0 or self.LamFill == 0:
+            return (muinc * cmath.exp(-1j * lag * muinc / self.MuMax),
+                    murel * cmath.exp(-1j * lag * murel / self.MuMax))
+        f = self.LamFill
+        out = []
+        for mubase in (muinc, murel):
+            mu = (mubase - (1.0 - f)) / f
+            if self.Cduct != 0:
+                half = cmath.exp(-1j * lag * mu / (2.0 * self.MuMax))
+                ds = math.sqrt(2.0 / (0.4 * PI * w * self.Cduct * mu))
+                K = half * (1 + 1j) * self.Lam_d * 0.001 / (2.0 * ds)
+                out.append(f * mu * cmath.tanh(K) / K + (1.0 - f))
+            else:
+                out.append(mu * cmath.exp(-1j * lag * mu / self.MuMax) * f
+                           + (1.0 - f))
+        return tuple(out)
+
     def knot_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(Bdata, Re Hdata, Re slope) as float64 arrays for batched eval."""
         return (np.asarray(self.Bdata, dtype=np.float64),

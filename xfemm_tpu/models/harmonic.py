@@ -135,10 +135,13 @@ def _effective_mu(problem: Problem, mat) -> tuple[complex, complex]:
 
 
 def solve(problem: Problem, mesh: MeshData,
-          max_newton: int = 100) -> MagSolution:
+          max_newton: int = 100, Aprev=None) -> MagSolution:
     assert problem.ProblemType == ProblemType.PLANAR, \
         "harmonic axisymmetric in models/harmonicaxi.py"
     assert problem.Frequency != 0
+    if Aprev is None and problem.PrevSoln:
+        from .magnetostatics import load_previous
+        Aprev = load_previous(problem, mesh)
     pk = pack(problem, mesh)
     c = C_APOT
     w = problem.Frequency * 2.0 * PI
@@ -151,7 +154,10 @@ def solve(problem: Problem, mesh: MeshData,
 
     for m in mats:
         if m.BHpoints > 0 and not m.slope:
-            m.get_slopes(w)
+            if problem.PrevSoln:
+                m.prepare_incremental(w, problem.PrevType)
+            else:
+                m.get_slopes(w)
 
     if any(mats[labels[i].BlockType].LamType in (1, 2) for i in pk.lbl):
         raise ValueError("On-edge lamination not supported in AC analyses")
@@ -280,6 +286,34 @@ def solve(problem: Problem, mesh: MeshData,
 
     # nonlinear AC B-H tables (doctored curves)
     nonlinear = any(mats[labels[i].BlockType].BHpoints > 0 for i in pk.lbl)
+    Mxy_v12 = 0.0
+    if Aprev is not None and nonlinear:
+        # AC incremental/frozen permeability about the DC offset
+        # (harmonic2d.cpp:566-590): B-H elements become linear with a
+        # complex tensor permeability
+        from .magnetostatics import prev_element_B
+        B1p, B2p = prev_element_B(problem, mesh, Aprev)
+        v12 = np.zeros(T, complex)
+        frozen = problem.PrevType == 2
+        for t in np.nonzero(np.array(
+                [mats[labels[i].BlockType].BHpoints > 0
+                 for i in pk.lbl]))[0]:
+            mat = mats[labels[pk.lbl[t]].BlockType]
+            B = math.hypot(B1p[t], B2p[t])
+            muinc, murel = mat.incremental_permeability_ac(B, w)
+            if B == 0:
+                mu1[t] = mu2[t] = muinc
+            elif frozen:
+                mu1[t] = mu2[t] = murel
+            else:
+                b1s, b2s = B1p[t] ** 2, B2p[t] ** 2
+                B2 = B * B
+                mu1[t] = B2 * muinc * murel / (b1s * murel + b2s * muinc)
+                mu2[t] = B2 * muinc * murel / (b1s * muinc + b2s * murel)
+                v12[t] = -B1p[t] * B2p[t] * (murel - muinc) \
+                    / (B2 * murel * muinc)
+        Mxy_v12 = Mxy * v12[:, None, None]
+        nonlinear = False
     bh = {}
     for i in set(int(x) for x in pk.blk):
         if mats[i].BHpoints > 0:
@@ -317,7 +351,8 @@ def solve(problem: Problem, mesh: MeshData,
                 Mn[elsel] = Kn[:, None, None] * (Mx + My)[elsel]
             be = be + np.einsum("tjk,tk->tj", Mn, Vl)
 
-        Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None] - M_eddy)
+        Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None] - M_eddy
+              + Mxy_v12)
         # NOTE: M_eddy subtracts because _element_blocks negates Me and
         # the mass term must stay +j w sigma c/12 in the global matrix
         blocks = [ElementBlock(idx=pk.ridx[pk.tris],

@@ -89,6 +89,17 @@ def conductor_prolongation(n, pbc_pairs, node_cond, conductors):
 
 def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
           max_iter: int = 100) -> HeatSolution:
+    if Tprev is None and problem.PrevSoln:
+        # transient stepping: load T of the previous step (LoadPrev,
+        # hsolver.cpp:860-866) by exact node-coordinate match
+        from scipy.spatial import cKDTree
+
+        from ..io import ansfile
+        g = ansfile.read_ans(problem.PrevSoln)
+        d, idx = cKDTree(g.mesh.nodes).query(mesh.nodes)
+        if d.max() > 1e-08:
+            raise ValueError("previous solution mesh does not match")
+        Tprev = np.real(g.values)[idx]
     units = LENGTH_TO_METERS[problem.LengthUnits]
     xy = mesh.nodes * units
     tris = mesh.elements

@@ -277,8 +277,13 @@ def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
     mats: list[MagneticMaterial] = problem.blockproplist
     for m in mats:
         if m.BHpoints > 0 and not m.slope:
-            m.get_slopes(problem.Frequency * 2.0 * PI)
-            m.MuMax = 0.0
+            if problem.PrevSoln:
+                # incremental/frozen-permeability setup (fsolver.cpp:248)
+                m.prepare_incremental(problem.Frequency * 2.0 * PI,
+                                      problem.PrevType)
+            else:
+                m.get_slopes(problem.Frequency * 2.0 * PI)
+                m.MuMax = 0.0
 
     # series-circuit expansion (fsolver.cpp:280-317)
     import copy
@@ -469,6 +474,7 @@ class MagSolution:
     label_case: np.ndarray           # per-label (case, value) pairs
     iterations: int = 0
     residual: float = 0.0
+    Aprev: np.ndarray | None = None  # previous solution (chained runs)
 
 
 def _circuit_preprocess(pk: PackedMagnetostatic, geom):
@@ -535,11 +541,94 @@ def _rhs(pk: PackedMagnetostatic, geom, be):
     return b
 
 
+def load_previous(problem: Problem, mesh: MeshData):
+    """Nodal A of the previous solution named by [PrevSoln], mapped
+    onto this mesh by exact coordinate match (the reference instead
+    reuses the mesh embedded in the .ans, fsolver.cpp:990)."""
+    from scipy.spatial import cKDTree
+
+    from ..io import ansfile
+    g = ansfile.read_ans(problem.PrevSoln)
+    d, idx = cKDTree(g.mesh.nodes).query(mesh.nodes)
+    if d.max() > 1e-08:
+        raise ValueError(
+            f"previous solution mesh does not match (max gap {d.max()})")
+    return np.real(g.values)[idx]
+
+
+def prev_element_B(problem: Problem, mesh: MeshData, Aprev: np.ndarray):
+    """Element flux density of the previous solution (getPrev2DB /
+    getPrevAxiB, fsolver.cpp:116-197)."""
+    from ..constants import LENGTH_TO_METERS
+    lc = LENGTH_TO_METERS[problem.LengthUnits]
+    tris = mesh.elements
+    v = mesh.nodes[tris]
+    x, y = v[:, :, 0], v[:, :, 1]
+    nxt = np.roll(np.arange(3), -1)
+    prv = np.roll(np.arange(3), 1)
+    b = y[:, nxt] - y[:, prv]
+    c = x[:, prv] - x[:, nxt]
+    da = b[:, 0] * c[:, 1] - b[:, 1] * c[:, 0]
+    A = np.asarray(Aprev, float)[tris]
+    if problem.ProblemType == ProblemType.PLANAR:
+        B1 = (A * c).sum(axis=1) / (da * lc)
+        B2 = -(A * b).sum(axis=1) / (da * lc)
+        return B1, B2
+    R = x
+    r = R.mean(axis=1)
+    v0, v2, v4 = A[:, 0], A[:, 1], A[:, 2]
+
+    def mid(Ra, Rb, va, vb):
+        deg = (Ra < 1e-06) & (Rb < 1e-06)
+        safe = np.where(deg, 1.0, 4.0 * (Ra + Rb))
+        out = (Rb * (3.0 * va + vb) + Ra * (va + 3.0 * vb)) / safe
+        return np.where(deg, (va + vb) / 2.0, out)
+
+    v1 = mid(R[:, 0], R[:, 1], v0, v2)
+    v3 = mid(R[:, 1], R[:, 2], v2, v4)
+    v5 = mid(R[:, 2], R[:, 0], v4, v0)
+    dp = (-v0 + v2 + 4.0 * v3 - 4.0 * v5) / 3.0
+    dq = (-v0 - 4.0 * v1 + 4.0 * v3 + v4) / 3.0
+    daxi = da * 2.0 * PI * r * lc * lc
+    return (-(c[:, 1] * dp + c[:, 2] * dq) / daxi,
+            (b[:, 1] * dp + b[:, 2] * dq) / daxi)
+
+
+def incremental_mu(problem: Problem, pk: "PackedMagnetostatic",
+                   B1p: np.ndarray, B2p: np.ndarray, mats):
+    """(mu1, mu2, v12) tensors about the DC offset for B-H elements
+    (static2d.cpp:633-679 / staticaxi.cpp:488-500)."""
+    T = len(pk.lbl)
+    mu1 = np.ones(T)
+    mu2 = np.ones(T)
+    v12 = np.zeros(T)
+    frozen = problem.PrevType == 2
+    for t in np.nonzero(pk.nonlinear)[0]:
+        mat = mats[pk.blk[t]]
+        B = math.hypot(B1p[t], B2p[t])
+        muinc, murel = mat.incremental_permeability_dc(B)
+        if B == 0:
+            mu1[t] = mu2[t] = muinc
+        elif frozen:
+            mu1[t] = mu2[t] = murel
+        else:
+            b1s, b2s = B1p[t] ** 2, B2p[t] ** 2
+            B2 = B * B
+            mu1[t] = B2 * muinc * murel / (b1s * murel + b2s * muinc)
+            mu2[t] = B2 * muinc * murel / (b1s * muinc + b2s * murel)
+            v12[t] = -B1p[t] * B2p[t] * (murel - muinc) / (B2 * murel
+                                                           * muinc)
+    return mu1, mu2, v12
+
+
 def solve(problem: Problem, mesh: MeshData,
-          max_newton: int = 100) -> MagSolution:
+          max_newton: int = 100, Aprev: np.ndarray | None = None
+          ) -> MagSolution:
     """Planar nonlinear magnetostatic solve (Static2D semantics)."""
     assert problem.ProblemType == ProblemType.PLANAR, \
         "axisymmetric path in models/axisymmetric.py"
+    if Aprev is None and problem.PrevSoln:
+        Aprev = load_previous(problem, mesh)
     pk = pack(problem, mesh)
     c = C_APOT
     geom = assembly.tri_geometry(pk.xy, pk.tris)
@@ -590,6 +679,17 @@ def solve(problem: Problem, mesh: MeshData,
 
     nonlinear = bool(pk.nonlinear.any())
     nl = pk.nonlinear
+    Mxy_v12 = 0.0
+    if Aprev is not None and nonlinear:
+        # incremental/frozen permeability: the B-H elements become
+        # linear with a tensor permeability about the DC offset
+        B1p, B2p = prev_element_B(problem, mesh, Aprev)
+        mu1i, mu2i, v12 = incremental_mu(problem, pk, B1p, B2p,
+                                 problem.blockproplist)
+        mu1 = np.where(nl, mu1i, mu1)
+        mu2 = np.where(nl, mu2i, mu2)
+        Mxy_v12 = Mxy * v12[:, None, None]
+        nonlinear = False
 
     # representative coordinates per reduced DOF (AMG aggregation)
     dof_coords = np.zeros((pk.nreduced, 2))
@@ -661,7 +761,8 @@ def solve(problem: Problem, mesh: MeshData,
             be = be_static.copy()
             be[ns] += np.einsum("tjk,tk->tj", Mns, Vl)
 
-        Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None] + Mn)
+        Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None] + Mn
+              + Mxy_v12)
         blocks = _element_blocks(pk, Me)
         b = _rhs(pk, geom, be)
 
@@ -710,4 +811,5 @@ def solve(problem: Problem, mesh: MeshData,
 
     return MagSolution(problem=problem, mesh=mesh, A=A,
                        circuits=pk.circuits, label_case=label_case,
-                       iterations=iters_total, residual=float(rel_resid))
+                       iterations=iters_total, residual=float(rel_resid),
+                       Aprev=Aprev)
