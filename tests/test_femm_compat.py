@@ -1,0 +1,59 @@
+"""pyFEMM/femmcli-compatible command layer.
+
+test_torque_benchmark_script mirrors the reference's own
+femmcli_TorqueBenchmark.lua line for line (open + mi_modifyboundprop +
+mi_analyze + mo_gapintegral against the analytic sin(angle) torque, same
+tolerances femmcli_TorqueBenchmark.lua:36-64).
+"""
+
+import math
+
+import pytest
+
+import xfemm_tpu.femm_compat as femm
+
+
+def test_torque_benchmark_script(fixtures):
+    femm.opendocument(str(fixtures / "TorqueBenchmark.fem"))
+    for deg in (0, 40, 90):
+        femm.mi_modifyboundprop("AGE", 10, deg)   # InnerAngle
+        femm.mi_modifyboundprop("AGE", 11, 0)     # OuterAngle
+        femm._d()._mesh = None
+        femm.mi_createmesh()
+        femm.mi_analyze()
+        femm.mi_loadsolution()
+        tq = femm.mo_gapintegral("AGE", 0)
+        ref = math.sin(math.radians(deg))
+        assert abs(tq - ref) <= 4.2e-5
+        if ref:
+            assert abs(100 * (tq - ref) / ref) <= 0.006
+
+
+def test_build_and_point_values():
+    femm.newdocument(0)
+    femm.mi_probdef(0, "centimeters", "planar", 1e-8, 1, 30)
+    femm.mi_addboundprop("A0", BdryFormat=0)
+    femm.mi_addmaterial("Air")
+    femm.mi_addmaterial("Magnet", mux=1.05, muy=1.05, Hc=400000)
+    femm.mi_drawrectangle(-10, -10, 10, 10)
+    femm.mi_clearselected()
+    for x, y in ((-10, -10), (10, -10), (10, 10), (-10, 10)):
+        femm.mi_selectnode(x, y)
+    # mark outer rectangle segments with the A=0 boundary
+    femm.mi_setsegmentprop("A0")
+    femm.mi_drawrectangle(-1, -1, 1, 1)
+    femm.mi_addblocklabel(5, 5)
+    femm.mi_clearselected()
+    femm.mi_selectlabel(5, 5)
+    femm.mi_setblockprop("Air")
+    femm.mi_addblocklabel(0, 0)
+    femm.mi_clearselected()
+    femm.mi_selectlabel(0, 0)
+    femm.mi_setblockprop("Magnet", magdir=90)
+    femm.mi_analyze()
+    vals = femm.mo_getpointvalues(0.0, 0.0)
+    assert vals is not None
+    A, B1, B2 = vals[0], vals[1], vals[2]
+    # vertically magnetized magnet: By dominates at the center
+    assert abs(B2) > 10 * abs(B1)
+    assert 0.05 < abs(B2) < 0.6

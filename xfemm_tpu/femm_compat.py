@@ -1,0 +1,351 @@
+"""pyFEMM / femmcli-compatible command layer.
+
+The reference exposes its automation as flat mi_*/mo_*, hi_*/ho_*,
+ei_*/eo_* commands over an implicit current document (cfemm/femmcli/
+LuaMagneticsCommands.cpp, LuaHeatflowCommands.cpp,
+LuaElectrostaticsCommands.cpp; same surface as the pyFEMM package).
+This module provides those verbs 1:1 over the session API so existing
+FEMM automation scripts port with minimal changes::
+
+    import xfemm_tpu.femm_compat as femm
+    femm.newdocument(0)                  # 0 = magnetics
+    femm.mi_probdef(0, "centimeters", "planar", 1e-8, 1, 30)
+    femm.mi_addnode(0, 0); ...
+    femm.mi_analyze()
+    femm.mi_loadsolution()
+    print(femm.mo_getpointvalues(0.1, 0.2))
+
+Only the functional (non-GUI) surface is provided; window/zoom/plot
+commands are accepted as no-ops like femmcli's own stubs
+(cfemm/femmcli/LuaBaseCommands.cpp makeplot/zoom stubs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import api
+from .constants import FileType, LengthUnit, ProblemType
+from .materials.magnetic import MagneticMaterial
+from .geometry.problem import BoundaryProp, Circuit, Conductor
+
+_UNITS = {"inches": LengthUnit.INCHES, "millimeters": LengthUnit.MILLIMETERS,
+          "centimeters": LengthUnit.CENTIMETERS, "meters": LengthUnit.METERS,
+          "mils": LengthUnit.MILS, "micrometers": LengthUnit.MICROMETERS}
+
+_doc: api.Document | None = None
+_sol: api.Solution | None = None
+_selected_nodes: list[int] = []
+_selected_labels: list[int] = []
+_selected_groups: list[int] = []
+
+
+def _d() -> api.Document:
+    if _doc is None:
+        raise RuntimeError("no document open; call newdocument() first")
+    return _doc
+
+
+def _s() -> api.Solution:
+    if _sol is None:
+        raise RuntimeError("no solution; call mi_analyze/mi_loadsolution")
+    return _sol
+
+
+def newdocument(doctype: int = 0):
+    """0 magnetics, 2 heat flow, 1 electrostatics (femm doc types)."""
+    global _doc, _sol
+    kind = {0: "magnetics", 1: "electrostatics", 2: "heatflow"}[doctype]
+    _doc = api.new_document(kind)
+    _sol = None
+    return _doc
+
+
+def opendocument(path: str):
+    global _doc, _sol
+    _doc = api.open_document(path)
+    _sol = None
+    return _doc
+
+
+# ---------------------- problem definition --------------------------- #
+def mi_probdef(freq=0.0, units="centimeters", probtype="planar",
+               precision=1e-8, depth=1.0, minangle=30.0, acsolver=0):
+    p = _d().problem
+    p.Frequency = freq
+    p.LengthUnits = _UNITS[units]
+    p.ProblemType = (ProblemType.AXISYMMETRIC if probtype.startswith("axi")
+                     else ProblemType.PLANAR)
+    p.Precision = precision
+    p.Depth = depth
+    p.MinAngle = minangle
+
+
+# ------------------------- geometry ---------------------------------- #
+def mi_addnode(x, y):
+    return _d().add_node(x, y)
+
+
+def mi_addsegment(x1, y1, x2, y2):
+    d = _d()
+    d.add_segment(d.add_node(x1, y1), d.add_node(x2, y2))
+
+
+def mi_addarc(x1, y1, x2, y2, angle, maxseg):
+    d = _d()
+    d.add_arc(d.add_node(x1, y1), d.add_node(x2, y2), angle, maxseg)
+
+
+def mi_addblocklabel(x, y):
+    d = _d()
+    lab = d.add_block_label(x, y)
+    return lab
+
+
+def mi_drawrectangle(x1, y1, x2, y2):
+    mi_addsegment(x1, y1, x2, y1)
+    mi_addsegment(x2, y1, x2, y2)
+    mi_addsegment(x2, y2, x1, y2)
+    mi_addsegment(x1, y2, x1, y1)
+
+
+def mi_selectnode(x, y):
+    i = _d()._nearest_node(x, y)
+    _selected_nodes.append(i)
+    return i
+
+
+def mi_selectlabel(x, y):
+    p = _d().problem
+    best, bd = -1, 1e300
+    for i, lab in enumerate(p.labellist):
+        dd = (lab.x - x) ** 2 + (lab.y - y) ** 2
+        if dd < bd:
+            best, bd = i, dd
+    _selected_labels.append(best)
+    return best
+
+
+def mi_selectgroup(g):
+    _selected_groups.append(int(g))
+
+
+def mi_clearselected():
+    _selected_nodes.clear()
+    _selected_labels.clear()
+    _selected_groups.clear()
+
+
+def mi_setnodeprop(propname="", groupno=0, inconductor=""):
+    d = _d()
+    for i in _selected_nodes:
+        nd = d.problem.nodelist[i]
+        nd.InGroup = groupno
+        if propname:
+            nd.BoundaryMarker = d.problem.point_prop_index(propname)
+
+
+def mi_setblockprop(blockname="", automesh=1, meshsize=0, incircuit="",
+                    magdir=0, group=0, turns=1):
+    d = _d()
+    for i in _selected_labels:
+        lab = d.problem.labellist[i]
+        if blockname:
+            lab.BlockType = d.problem.material_index(blockname)
+        lab.InCircuit = (d.problem.circuit_index(incircuit)
+                         if incircuit else -1)
+        if isinstance(magdir, str):
+            lab.MagDirFctn = magdir
+        else:
+            lab.MagDir = float(magdir)
+        lab.InGroup = group
+        lab.Turns = turns
+        lab.MaxArea = (0.0 if automesh else
+                       math.pi * meshsize * meshsize / 4.0)
+
+
+def mi_setsegmentprop(propname="", elementsize=0, automesh=1, hide=0,
+                      group=0, inconductor=""):
+    d = _d()
+    # applies to every segment whose BOTH endpoints are selected
+    selset = set(_selected_nodes)
+    for seg in d.problem.linelist:
+        if seg.n0 in selset and seg.n1 in selset:
+            if propname:
+                seg.BoundaryMarker = d.problem.boundary_index(propname)
+            seg.InGroup = group
+            seg.MaxSideLength = -1 if automesh else elementsize
+
+
+def mi_setarcsegmentprop(maxsegdeg=1.0, propname="", hide=0, group=0,
+                         inconductor=""):
+    d = _d()
+    selset = set(_selected_nodes)
+    for arc in d.problem.arclist:
+        if arc.n0 in selset and arc.n1 in selset:
+            if propname:
+                arc.BoundaryMarker = d.problem.boundary_index(propname)
+            arc.InGroup = group
+            arc.MaxSideLength = maxsegdeg
+
+
+def mi_moverotate(bx, by, shiftangle):
+    _d().move_rotate(bx, by, shiftangle,
+                     group=_selected_groups[-1] if _selected_groups
+                     else None)
+
+
+def mi_movetranslate(dx, dy):
+    _d().move_translate(dx, dy,
+                        group=_selected_groups[-1] if _selected_groups
+                        else None)
+
+
+def mi_copyrotate(bx, by, angle, copies):
+    _d().copy_rotate(bx, by, angle, copies=copies,
+                     group=_selected_groups[-1] if _selected_groups
+                     else None)
+
+
+def mi_mirror(x1, y1, x2, y2):
+    _d().mirror(x1, y1, x2, y2,
+                group=_selected_groups[-1] if _selected_groups else None)
+
+
+# ------------------------- properties -------------------------------- #
+def mi_addmaterial(name, mux=1, muy=1, Hc=0, J=0, Cduct=0, Lam_d=0,
+                   Phi_hmax=0, lam_fill=1, LamType=0, Phi_hx=0, Phi_hy=0,
+                   NStrands=0, WireD=0):
+    m = MagneticMaterial(name=name, mu_x=mux, mu_y=muy, H_c=Hc,
+                         J=complex(J), Cduct=Cduct, Lam_d=Lam_d,
+                         Theta_hn=Phi_hmax, LamFill=lam_fill,
+                         LamType=LamType, Theta_hx=Phi_hx, Theta_hy=Phi_hy,
+                         NStrands=NStrands, WireD=WireD)
+    _d().problem.blockproplist.append(m)
+
+
+def mi_getmaterial(name, libpath=None):
+    """Pull a material from a library file (mi_getmaterial); femm's
+    built-in library location must be passed explicitly here."""
+    if libpath is None:
+        raise ValueError("pass libpath= pointing at a matlib.dat")
+    _d().add_material_from_library(libpath, name)
+
+
+def mi_addboundprop(name, A0=0, A1=0, A2=0, phi=0, Mu=0, Sig=0, c0=0,
+                    c1=0, BdryFormat=0, ia=0, oa=0):
+    _d().problem.lineproplist.append(BoundaryProp(
+        name=name, A0=A0, A1=A1, A2=A2, phi=phi, Mu=Mu, Sig=Sig,
+        c0=complex(c0), c1=complex(c1), BdryFormat=BdryFormat,
+        InnerAngle=ia, OuterAngle=oa))
+
+
+def mi_addcircprop(name, current=0, circuittype=1):
+    _d().problem.circproplist.append(Circuit(
+        name=name, Amps=complex(current), CircType=circuittype))
+
+
+def mi_addpointprop(name, a=0, j=0):
+    _d().add_point_prop(name, A=complex(a), J=complex(j))
+
+
+def mi_modifyboundprop(name, propnum, value):
+    bp = _d().problem.lineproplist[_d().problem.boundary_index(name)]
+    fields = ["name", "A0", "A1", "A2", "phi", "Mu", "Sig", "c0", "c1",
+              "BdryFormat", "InnerAngle", "OuterAngle"]
+    setattr(bp, fields[propnum], value)
+
+
+# --------------------------- pipeline --------------------------------- #
+def mi_saveas(path):
+    _d().save(path)
+
+
+def mi_createmesh():
+    return _d().create_mesh().num_nodes
+
+
+def mi_analyze(flag=0):
+    global _sol
+    _sol = _d().analyze()
+
+
+def mi_loadsolution():
+    global _sol
+    if _sol is None:
+        mi_analyze()
+    return _sol
+
+
+# --------------------------- post ------------------------------------ #
+def mo_getpointvalues(x, y):
+    """A,B1,B2,Sig,E,H1,H2,Je,Js,Mu1,Mu2,Pe,Ph (femmcli order)."""
+    v = _s().point_values(x, y)
+    if not v:
+        return None
+    # energy density E = B.H/2
+    E = ((v["B1"] * np.conj(v["H1"])).real
+         + (v["B2"] * np.conj(v["H2"])).real) / 2.0
+    return (v["A"], v["B1"], v["B2"], 0.0, E, v["H1"], v["H2"],
+            v.get("Je", 0.0), 0.0, v["mu1"], v["mu2"], 0.0, 0.0)
+
+
+def mo_selectblock(x, y):
+    _selected_labels.extend(_s().select_blocks_at((x, y)))
+
+
+def mo_clearblock():
+    _selected_labels.clear()
+
+
+def mo_blockintegral(inttype):
+    sel = set(_selected_labels) or None
+    return _s().block_integral(inttype, sel)
+
+
+def mo_lineintegral(inttype, contour=None):
+    if contour is None:
+        raise ValueError("pass the contour points explicitly")
+    return _s().line_integral(inttype, contour)
+
+
+def mo_gapintegral(bdryname, inttype):
+    return _s().gap_integral(bdryname, inttype)
+
+
+def mo_getcircuitproperties(name):
+    return _s().circuit_properties(name)
+
+
+def mo_getgapb(bdryname, angle_deg):
+    """(Br, Bt) reconstructed from the air-gap harmonics at an angle."""
+    post = _s().post
+    i = post._age_index(bdryname)
+    h = post.age[i]
+    th = math.radians(angle_deg)
+    br = float(np.sum(h.brc * np.cos(h.nh * th) + h.brs * np.sin(h.nh * th)))
+    bt = float(np.sum(h.btc * np.cos(h.nh * th) + h.bts * np.sin(h.nh * th)))
+    return br, bt
+
+
+def mo_getgapharmonics(bdryname, k):
+    post = _s().post
+    h = post.age[post._age_index(bdryname)]
+    return (h.nh[k], complex(h.brc[k]), complex(h.brs[k]),
+            complex(h.btc[k]), complex(h.bts[k]))
+
+
+# ------------------------ no-op GUI stubs ----------------------------- #
+def _noop(*args, **kw):
+    return None
+
+
+for _name in ("mi_zoomnatural", "mi_zoom", "mi_showgrid", "mi_hidegrid",
+              "mo_zoom", "mo_zoomnatural", "mo_showdensityplot",
+              "mo_hidedensityplot", "mi_refreshview", "mo_refreshview",
+              "main_maximize", "main_minimize", "showconsole",
+              "hideconsole", "messagebox", "makeplot", "mi_close",
+              "mo_close"):
+    globals()[_name] = _noop
