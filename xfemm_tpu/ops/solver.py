@@ -454,6 +454,7 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
     import scipy.sparse as sp
 
     from . import amg as amg_mod
+    from ..utils import profiling
 
     blocks = tuple(blocks)
     n = int(np.asarray(b).shape[0])
@@ -470,7 +471,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
     # Dirichlet elimination in the matrix itself: zero fixed rows/cols,
     # unit diagonal -- the operator becomes a plain SpMV (the reference
     # instead mutates rows at SetValue time, spars.cpp:318)
-    At = session.csr_values(blocks, n, fixed)
+    with profiling.phase("host csr assembly"):
+        At = session.csr_values(blocks, n, fixed)
     diag64 = np.asarray(At.diagonal())
 
     # rhs with Dirichlet elimination: fixed rows become identity rows.
@@ -508,16 +510,17 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                  and session.last_iters
                  > session.refresh_factor * max(session.first_iters, 1))
         if session.amg is None or stale:
-            host_levels = amg_mod.setup(At, coords, fixed)
-            if host_levels is not None:
-                session.amg = amg_mod.to_device(host_levels, np_dtype)
-                session.first_iters = None
+            with profiling.phase("amg setup"):
+                host_levels = amg_mod.setup(At, coords, fixed)
+                if host_levels is not None:
+                    session.amg = amg_mod.to_device(host_levels, np_dtype)
+                    session.first_iters = None
     use_amg = coords is not None and session.amg is not None
     if use_amg:
         # ELLPACK slot map + device columns cached across Newton
         # iterations: only the f32 values ship to the device per call
         if session.ell_map is None:
-            ell = amg_mod.csr_to_ell(At, np_dtype)
+            ell = amg_mod.csr_to_ell(At, np_dtype)  # noqa: first build
             deg = np.diff(At.indptr)
             rows_map = np.repeat(np.arange(n), deg)
             pos_map = np.arange(At.nnz) - np.repeat(At.indptr[:-1], deg)
@@ -553,13 +556,15 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
         # inner_iter stays constant across passes: it is a static jit arg
         # and varying it would recompile the CG executable every pass
         r_d = jnp.asarray(r / scale, dev_dtype)
-        if use_amg:
-            d_d, rr, it = _pcg_amg_impl(session.amg, ell_vals, ell_cols,
-                                        r_d, tol_d, zeros_d,
-                                        int(inner_iter))
-        else:
-            d_d, rr, it = _pcg_impl(dblocks, r_d, diag_d, fixed_j,
-                                    tol_d, zeros_d, int(inner_iter))
+        with profiling.phase("device cg"):
+            if use_amg:
+                d_d, rr, it = _pcg_amg_impl(session.amg, ell_vals,
+                                            ell_cols, r_d, tol_d, zeros_d,
+                                            int(inner_iter))
+            else:
+                d_d, rr, it = _pcg_impl(dblocks, r_d, diag_d, fixed_j,
+                                        tol_d, zeros_d, int(inner_iter))
+            d_d.block_until_ready()
         total_it += int(it)
         if session.first_iters is None:
             session.first_iters = int(it)
