@@ -807,7 +807,7 @@ void refine(Mesh &m) {
 
     std::vector<int> queue;
     for (int t = 0; t < (int)m.tris.size(); ++t)
-        if (!m.tris[t].dead && m.tris[t].attr > 0) queue.push_back(t);
+        if (!m.tris[t].dead && m.tris[t].attr >= 0) queue.push_back(t);
     std::deque<uint64_t> segqueue;
     for (auto &kv : m.segmap)
         if (!m.is_protected(kv.first)) segqueue.push_back(kv.first);
@@ -838,7 +838,7 @@ void refine(Mesh &m) {
         segqueue.push_back(ekey(a, v));
         segqueue.push_back(ekey(v, b));
         for (int t : created)
-            if (m.tris[t].attr > 0) queue.push_back(t);
+            if (m.tris[t].attr >= 0) queue.push_back(t);
         return v;
     };
 
@@ -860,7 +860,7 @@ void refine(Mesh &m) {
         int v = add_point(m, gx, gy, 0, &created, t);
         if (v >= 0)
             for (int tt : created)
-                if (m.tris[tt].attr > 0) queue.push_back(tt);
+                if (m.tris[tt].attr >= 0) queue.push_back(tt);
         return v;
     };
 
@@ -883,7 +883,7 @@ void refine(Mesh &m) {
 
         int t = queue.back();
         queue.pop_back();
-        if (t >= (int)m.tris.size() || m.tris[t].dead || m.tris[t].attr <= 0)
+        if (t >= (int)m.tris.size() || m.tris[t].dead || m.tris[t].attr < 0)
             continue;
 
         CircumData cd;
@@ -1017,7 +1017,7 @@ void refine(Mesh &m) {
             continue;
         }
         for (int tt : created)
-            if (m.tris[tt].attr > 0) queue.push_back(tt);
+            if (m.tris[tt].attr >= 0) queue.push_back(tt);
     }
 }
 
@@ -1125,13 +1125,13 @@ int tpumesh_triangulate(
         bool touches_super = false;
         for (int i = 0; i < 3; ++i)
             if (m.tris[t].v[i] >= m.nsuper0) touches_super = true;
-        if (touches_super) flood(m, t, 0);
+        if (touches_super) flood(m, t, -1);
     }
     for (int h = 0; h < nholes; ++h) {
         double p[2] = {holes[2 * h], holes[2 * h + 1]};
         int onedge = -1;
         int t = locate(m, p, onedge);
-        if (t >= 0 && m.tris[t].attr == INT32_MIN) flood(m, t, 0);
+        if (t >= 0 && m.tris[t].attr == INT32_MIN) flood(m, t, -1);
     }
     int maxattr = 0;
     for (int r = 0; r < nregions; ++r)
@@ -1145,10 +1145,13 @@ int tpumesh_triangulate(
         int t = locate(m, p, onedge);
         if (t >= 0 && m.tris[t].attr == INT32_MIN) flood(m, t, attr);
     }
+    // enclosed regions without a region marker stay meshed with attr 0
+    // (the solver maps them to the problem's default block label, like
+    // triangle's unmarked regions + fsolver.cpp:541-562)
     for (auto &t : m.tris)
         if (!t.dead && t.attr == INT32_MIN) t.attr = 0;
     for (int t = 0; t < (int)m.tris.size(); ++t)
-        if (!m.tris[t].dead && m.tris[t].attr == 0) m.killtri(t);
+        if (!m.tris[t].dead && m.tris[t].attr < 0) m.killtri(t);
     // vtri pointers and neighbor links may now reference dead triangles
     // (whose slots the freelist will recycle): rebuild/clear them
     std::fill(m.vtri.begin(), m.vtri.end(), -1);

@@ -248,8 +248,33 @@ def mesh_problem(problem: Problem) -> MeshData:
         ent.IsSelected = False
         ent.cnt = 0
     if has_periodic_bc(problem):
-        return _mesh_periodic(problem)
-    return _mesh_plain(problem)
+        mesh = _mesh_periodic(problem)
+    else:
+        mesh = _mesh_plain(problem)
+    _assign_default_label(problem, mesh)
+    return mesh
+
+
+def _assign_default_label(problem: Problem, mesh: MeshData) -> None:
+    """Elements in enclosed regions without a block label map to the
+    problem's IsDefault label (fsolver.cpp:541-562); error when none is
+    defined, instead of solving with garbage material data."""
+    unlabeled = mesh.element_labels < 0
+    if not unlabeled.any():
+        return
+    k = 0
+    default = -1
+    for lab in problem.labellist:
+        if lab.is_hole():
+            continue
+        if lab.IsDefault:
+            default = k
+        k += 1
+    if default < 0:
+        raise MeshError(
+            "mesh contains regions with no block label and the problem "
+            "defines no default label")
+    mesh.element_labels[unlabeled] = default
 
 
 def _mesh_plain(problem: Problem) -> MeshData:
@@ -282,7 +307,10 @@ def _domain_side(problem: Problem, tr: core.Triangulation, marker: int,
     edge_count: dict[tuple[int, int], int] = {}
     want = {tuple(sorted(e)) for e, mk in zip(tr.edges, emark) if mk == marker}
     if not want:
-        raise MeshError(f"no mesh edges for boundary entity marker {marker}")
+        # the entity borders no live triangles (e.g. a periodic cut
+        # crossing an unmeshed hole) -- the reference simply finds no
+        # matching node pairs there (writepoly.cpp:1339 drops them)
+        return 0
     adj: dict[tuple[int, int], list[int]] = {k: [] for k in want}
     for ti, tri in enumerate(T):
         for i in range(3):
@@ -455,14 +483,16 @@ def _mesh_periodic(problem: Problem) -> MeshData:
         if kind == "seg":
             s0 = problem.linelist[ents[0]]
             s1 = problem.linelist[ents[1]]
-            s0.IsSelected = True
-            s1.IsSelected = True
-            marker0 = _segment_marker(problem, s0.BoundaryMarker,
-                                      s0.InConductor)
             side0 = _domain_side(problem, tr1, -(ents[0] + 2),
                                  _seg_direction_fn(problem, s0))
             side1 = _domain_side(problem, tr1, -(ents[1] + 2),
                                  _seg_direction_fn(problem, s1))
+            if side0 == 0 or side1 == 0:
+                continue          # pair lies inside holes: nothing to tie
+            s0.IsSelected = True
+            s1.IsSelected = True
+            marker0 = _segment_marker(problem, s0.BoundaryMarker,
+                                      s0.InConductor)
             # traverse s0 with domain on the right, s1 with domain on the
             # left (the proper-isometry pairing -- see module docstring)
             e0 = (s0.n1, s0.n0) if side0 > 0 else (s0.n0, s0.n1)
@@ -493,16 +523,18 @@ def _mesh_periodic(problem: Problem) -> MeshData:
         else:
             arc0 = problem.arclist[ents[0]]
             arc1 = problem.arclist[ents[1]]
-            arc0.IsSelected = True
-            arc1.IsSelected = True
-            marker0 = _segment_marker(problem, arc0.BoundaryMarker,
-                                      arc0.InConductor)
             side0 = _domain_side(problem, tr1,
                                  -(ents[0] + len(problem.linelist) + 2),
                                  _arc_direction_fn(problem, arc0))
             side1 = _domain_side(problem, tr1,
                                  -(ents[1] + len(problem.linelist) + 2),
                                  _arc_direction_fn(problem, arc1))
+            if side0 == 0 or side1 == 0:
+                continue          # pair lies inside holes: nothing to tie
+            arc0.IsSelected = True
+            arc1.IsSelected = True
+            marker0 = _segment_marker(problem, arc0.BoundaryMarker,
+                                      arc0.InConductor)
             k = int(math.ceil(arc0.ArcLength / arc0.MaxSideLength))
 
             def walk(arc, forward: bool):
@@ -601,9 +633,8 @@ def _mesh_periodic(problem: Problem) -> MeshData:
     vmap = tr.vertex_map
     mesh = _tri_to_meshdata(tr)
     mesh.pbc_pairs = np.array(
-        [(vmap[a], vmap[b], t) for a, b, t in pairs], np.int64).reshape(-1, 3)
-    if np.any(mesh.pbc_pairs[:, :2] < 0):
-        raise MeshError("periodic boundary node lost in triangulation")
+        [(vmap[a], vmap[b], t) for a, b, t in pairs
+         if vmap[a] >= 0 and vmap[b] >= 0], np.int64).reshape(-1, 3)
 
     # finalize AGE rings (writepoly.cpp:1852-1980)
     for age in ages:
