@@ -57,3 +57,18 @@ def test_build_and_point_values():
     # vertically magnetized magnet: By dominates at the center
     assert abs(B2) > 10 * abs(B1)
     assert 0.05 < abs(B2) < 0.6
+
+
+def test_antiperiodic_age_torque(fixtures):
+    """femmcli_antiperiodicBC_AGE_TorqueBenchmark.lua: the same analytic
+    torque contract through an ANTIPERIODIC air-gap element."""
+    femm.opendocument(str(fixtures / "AntiperiodicAGE.fem"))
+    for deg in (0, 30, 80):
+        femm.mi_modifyboundprop("AGE", 10, deg)
+        femm.mi_modifyboundprop("AGE", 11, 0)
+        femm._d()._mesh = None
+        femm.mi_analyze()
+        femm.mi_loadsolution()
+        tq = femm.mo_gapintegral("AGE", 0)
+        ref = math.sin(math.radians(deg))
+        assert abs(tq - ref) <= 4.2e-5
