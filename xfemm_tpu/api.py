@@ -273,6 +273,28 @@ class Solution:
         for magnetics circuits."""
         return self.post.circuit_properties(name)
 
+    def save(self, path: str) -> None:
+        """Write the solution file (.ans/.anh/.res by problem type)."""
+        from .io import ansfile
+        p = self.doc.problem
+        if p.filetype == FileType.MAGNETICS:
+            sf = ansfile.SolutionFile(
+                problem=p,
+                mesh=ansfile.solution_mesh_from_solver(self.mesh, 1.0),
+                values=self.raw.A, label_case=self.raw.label_case,
+                values_prev=getattr(self.raw, "Aprev", None))
+            ansfile.write_ans(sf, path)
+        elif p.filetype == FileType.HEATFLOW:
+            ansfile.write_scalar_solution(
+                p, self.mesh, self.raw.T, self.raw.node_conductor,
+                list(zip(self.raw.conductor_V, self.raw.conductor_q)),
+                path)
+        else:
+            ansfile.write_scalar_solution(
+                p, self.mesh, self.raw.V, self.raw.node_conductor,
+                list(zip(self.raw.conductor_V, self.raw.conductor_q)),
+                path)
+
 
 def _default_material(ftype: FileType, name: str, **kw):
     if ftype == FileType.MAGNETICS:
