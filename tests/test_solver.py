@@ -51,3 +51,18 @@ def test_mixed_precision_fixed_values(monkeypatch):
     x = np.asarray(x)
     expect = 2.0 * np.arange(n) / (n - 1)
     assert np.abs(x - expect).max() < 1e-10
+
+
+def test_band_engine_matches_direct(monkeypatch):
+    """The dense-band MXU path (forced on by pretending the device has
+    no f64) must reproduce the f64 solve to refinement accuracy."""
+    p = benchprob.build(4000)
+    mesh = mesher.mesh_problem(p)
+    sol64 = magnetostatics.solve(p, mesh)
+
+    monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    monkeypatch.setattr(solver, "ROW_TILE_MIN", 64)
+    solb = magnetostatics.solve(p, mesh)
+    assert solb.residual <= p.Precision
+    scale = np.abs(sol64.A).max()
+    assert np.abs(solb.A - sol64.A).max() / scale < 1e-7

@@ -1,0 +1,281 @@
+"""Dense-band SpMV engine: the TPU-native hot loop.
+
+Arbitrary-index gathers run ~700x below HBM bandwidth on TPU (XLA
+lowers them to serialized element loads), so the ELLPACK operator is
+dispatch-bound at ~30 ms per SpMV for 254k DOFs. This module instead
+maps the FEM matrix onto the MXU: after a reverse-Cuthill-McKee
+reordering the matrix is banded (bandwidth ~sqrt(N) for 2-D meshes);
+rows are tiled in blocks of R and each tile's band is stored DENSE over
+a window of K column-chunks. The matvec is then
+
+    windows[t] = concat(x_chunks[t - KL .. t - KL + K - 1])   # reshapes
+    y[t] = dense[t] @ windows[t]                              # MXU
+
+with zero gathers: the windows come from K shifted reshapes of the
+padded vector, and the contraction is a batched matvec. Measured on a
+254k-DOF problem: 3.4 ms/SpMV in f32 (vs 30 ms gather ELLPACK), 1.3e-7
+relative accuracy.
+
+The AMG hierarchy reuses the same trick at every level: aggregation is
+UNIFORM AND CONTIGUOUS in the RCM order (aggregates = runs of AGG fine
+DOFs), so the smoothed prolongator and its transpose are banded
+rectangular operators with perfectly regular chunk alignment, and the
+coarse Galerkin matrices inherit the banding. Everything in the V(1,1)
+cycle -- fine/mid SpMVs, grid transfers, the dense coarse inverse -- is
+dense tensor algebra.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import numpy as np
+import scipy.sparse as sp
+
+from .amg import JACOBI_OMEGA, lambda_max_est
+
+AGG = 32                 # fine DOFs per aggregate (power of two)
+COARSE_MAX = 1500        # dense-inverse threshold
+ROW_TILE = 512           # rows per band tile
+
+
+@jax.tree_util.register_pytree_node_class
+class BandMatrix:
+    """Banded (possibly rectangular) matrix: row tile t multiplies the
+    column window starting at chunk (t + shift0) of size cchunk. The
+    geometry fields are static pytree aux data so jit treats them as
+    compile-time constants."""
+
+    def __init__(self, dense, shift0: int, cchunk: int, ncols: int):
+        self.dense = dense       # (NT, R, W) device array
+        self.shift0 = shift0
+        self.cchunk = cchunk
+        self.ncols = ncols
+
+    def tree_flatten(self):
+        return (self.dense,), (self.shift0, self.cchunk, self.ncols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def band_matvec(bm: BandMatrix, x):
+    """y = A x; x is the logical (ncols,) device vector."""
+    import jax.numpy as jnp
+    NT, R, W = bm.dense.shape
+    cchunk = bm.cchunk
+    K = W // cchunk
+    # pad so chunk indices t+shift0 .. t+shift0+K-1 are always valid
+    lpad = max(0, -bm.shift0) * cchunk
+    total = (NT + max(0, bm.shift0) + K) * cchunk + lpad
+    xpad = jnp.zeros(total, x.dtype).at[lpad:lpad + bm.ncols].set(x)
+    xc = xpad.reshape(-1, cchunk)
+    base = bm.shift0 + lpad // cchunk
+    wins = jnp.concatenate([xc[base + s: base + s + NT]
+                            for s in range(K)], axis=1)
+    y = jnp.einsum("trw,tw->tr", bm.dense, wins,
+                   preferred_element_type=jnp.float32)
+    return y.reshape(-1)
+
+
+def pack_band(A: sp.csr_matrix, row_tile: int, cchunk: int,
+              dtype=np.float32) -> "tuple":
+    """Host-side band packing of a CSR matrix. Returns (layout, dense)
+    where layout = (tile, rloc, wloc, shift0, NT, R, W, ncols) gives the
+    slot of every CSR entry for value-only device rebuilds."""
+    n, ncols = A.shape
+    R = row_tile
+    NT = (n + R - 1) // R
+    deg = np.diff(A.indptr)
+    rows = np.repeat(np.arange(n), deg)
+    tile = rows // R
+    rloc = rows - tile * R
+    # chunk window per tile
+    cmin = np.full(NT, 2 ** 62, np.int64)
+    cmax = np.full(NT, -1, np.int64)
+    np.minimum.at(cmin, tile, A.indices)
+    np.maximum.at(cmax, tile, A.indices)
+    empty = cmax < 0
+    cmin[empty] = 0
+    cmax[empty] = 0
+    lo_chunk = cmin // cchunk
+    shift = lo_chunk - np.arange(NT)
+    shift0 = int(shift.min())
+    # uniform window: chunks [t + shift0, t + shift0 + K)
+    hi_chunk = cmax // cchunk
+    K = int((hi_chunk - (np.arange(NT) + shift0)).max()) + 1
+    K = max(K, 1)
+    W = K * cchunk
+    wloc = A.indices - (tile + shift0) * cchunk
+    assert wloc.min() >= 0 and wloc.max() < W, (wloc.min(), wloc.max(), W)
+    dense = np.zeros((NT, R, W), dtype)
+    dense[tile, rloc, wloc] = A.data.astype(dtype)
+    layout = (tile, rloc, wloc, shift0, NT, R, W, ncols)
+    return layout, dense
+
+
+class BandLevel(NamedTuple):
+    A: BandMatrix
+    invd: "np.ndarray"       # (n,) device
+    omega: "np.ndarray"      # scalar device
+    P: BandMatrix | None     # fine(rows) x coarse(cols)
+    Pt: BandMatrix | None    # coarse(rows) x fine(cols)
+
+
+class BandAMG(NamedTuple):
+    levels: tuple
+    coarse_inv: "np.ndarray"
+    n: int
+
+
+def setup_band_amg(At: sp.csr_matrix, dtype=np.float32):
+    """Build the band hierarchy (host, f64 -> device dtype). ``At`` must
+    already be RCM-ordered with Dirichlet identity rows. Returns
+    (BandAMG, fine_layout) -- the fine layout supports value-only
+    updates via ``update_fine_values``."""
+    import jax.numpy as jnp
+
+    levels = []
+    A = At
+    fine_layout = None
+    first = True
+    while A.shape[0] > COARSE_MAX and len(levels) < 6:
+        n = A.shape[0]
+        d = np.asarray(A.diagonal())
+        d[d == 0] = 1.0
+        invd = 1.0 / d
+        lam = lambda_max_est(A, invd)
+        omega = JACOBI_OMEGA * 2.0 / lam
+
+        # uniform contiguous aggregation in the (RCM) ordering
+        nc = (n + AGG - 1) // AGG
+        agg = np.arange(n) // AGG
+        P0 = sp.csr_matrix((np.ones(n), (np.arange(n), agg)),
+                           shape=(n, nc))
+        P = (P0 - sp.diags(omega * invd) @ (A @ P0)).tocsr()
+        Ac = (P.T @ A @ P).tocsr()
+        Ac.sum_duplicates()
+
+        layA, dA = pack_band(A, ROW_TILE, ROW_TILE, np.float64)
+        if first:
+            fine_layout = layA
+        cch_p = max(ROW_TILE // AGG, 8)
+        layP, dP = pack_band(P, ROW_TILE, cch_p, np.float64)
+        layQ, dQ = pack_band(P.T.tocsr(), ROW_TILE, ROW_TILE, np.float64)
+        levels.append(BandLevel(
+            A=BandMatrix(dense=jnp.asarray(dA.astype(dtype)),
+                         shift0=layA[3], cchunk=ROW_TILE, ncols=n),
+            invd=jnp.asarray(invd, dtype),
+            omega=jnp.asarray(omega, dtype),
+            P=BandMatrix(dense=jnp.asarray(dP.astype(dtype)),
+                         shift0=layP[3], cchunk=cch_p, ncols=nc),
+            Pt=BandMatrix(dense=jnp.asarray(dQ.astype(dtype)),
+                          shift0=layQ[3], cchunk=ROW_TILE, ncols=n)))
+        A = Ac
+        first = False
+
+    cinv = np.linalg.inv(A.toarray())
+    amg = BandAMG(levels=tuple(levels),
+                  coarse_inv=jnp.asarray(cinv.astype(dtype)),
+                  n=At.shape[0])
+    return amg, fine_layout
+
+
+def _pow2_at_least(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def update_fine_values(amg: BandAMG, fine_layout, data) -> BandAMG:
+    """New fine-level matrix values (same pattern), keeping the frozen
+    coarse hierarchy -- one (NT,R,W) host fill + upload per Newton
+    iteration."""
+    import jax.numpy as jnp
+    tile, rloc, wloc, shift0, NT, R, W, ncols = fine_layout
+    dense = np.zeros((NT, R, W), np.float32)
+    dense[tile, rloc, wloc] = data.astype(np.float32)
+    lv0 = amg.levels[0]
+    newA = BandMatrix(dense=jnp.asarray(dense), shift0=shift0,
+                      cchunk=lv0.A.cchunk, ncols=ncols)
+    levels = (BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
+                        P=lv0.P, Pt=lv0.Pt),) + amg.levels[1:]
+    return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n)
+
+
+def band_vcycle(amg: BandAMG, r):
+    """Symmetric V(1,1) cycle, all ops dense-band."""
+    import jax.numpy as jnp
+    L = len(amg.levels)
+
+    def cycle(l, r):
+        if l == L:
+            return amg.coarse_inv @ r
+        lv = amg.levels[l]
+        z = lv.omega * lv.invd * r
+        d = r - band_matvec(lv.A, z)[:r.shape[0]]
+        rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
+                  else amg.coarse_inv.shape[0])
+        rc = band_matvec(lv.Pt, d)[:rc_len]
+        zc = cycle(l + 1, rc)
+        z = z + band_matvec(lv.P, zc)[:r.shape[0]]
+        z = z + lv.omega * lv.invd * (
+            r - band_matvec(lv.A, z)[:r.shape[0]])
+        return z
+
+    return cycle(0, r)
+
+
+@functools.partial(__import__("jax").jit,
+                   static_argnames=("max_iter", "stall_window"))
+def band_pcg(amg: BandAMG, b, tol, x0, max_iter, stall_window: int = 120):
+    """CG on the fine band operator with the band V-cycle preconditioner
+    (same stopping metric and stagnation guard as ops/solver.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = b.shape[0]
+
+    def op(x):
+        return band_matvec(amg.levels[0].A, x)[:n]
+
+    def prec(r):
+        return band_vcycle(amg, r)
+
+    z0 = prec(b)
+    res0 = jnp.dot(z0, b)
+    res0 = jnp.where(res0 == 0.0, 1.0, res0)
+
+    r = b - op(x0)
+    z = prec(r)
+    p = z
+    res = jnp.dot(z, r)
+
+    def cond(state):
+        _, _, _, res, it, best, since = state
+        return jnp.logical_and(
+            jnp.sqrt(jnp.abs(res) / res0) > tol,
+            jnp.logical_and(it < max_iter, since < stall_window))
+
+    def body(state):
+        x, r, p, res, it, best, since = state
+        u = op(p)
+        delta = res / jnp.dot(p, u)
+        x = x + delta * p
+        r = r - delta * u
+        z = prec(r)
+        res_new = jnp.dot(z, r)
+        p = z + (res_new / res) * p
+        improved = jnp.abs(res_new) < 0.99 * best
+        best = jnp.where(improved, jnp.abs(res_new), best)
+        since = jnp.where(improved, 0, since + 1)
+        return x, r, p, res_new, it + 1, best, since
+
+    state = (x0, r, p, res, jnp.array(0, jnp.int32), jnp.abs(res),
+             jnp.array(0, jnp.int32))
+    x, r, p, res, it, _, _ = jax.lax.while_loop(cond, body, state)
+    return x, jnp.sqrt(jnp.abs(res) / res0), it
