@@ -81,6 +81,53 @@ def band_matvec(bm: BandMatrix, x):
     return y.reshape(-1)
 
 
+def pack_band_layout(A: sp.csr_matrix, row_tile: int, cchunk: int):
+    """Band geometry only -- the slot (tile, rloc, wloc) of every CSR
+    entry -- without materializing the dense band on host. Large fine
+    levels are filled ON DEVICE from these slots (see
+    ``_device_band_fill``): the dense band is multi-GB while the CSR
+    values are a few MB, so the host never allocates it and the
+    interconnect never carries it."""
+    n, ncols = A.shape
+    R = row_tile
+    NT = (n + R - 1) // R
+    deg = np.diff(A.indptr)
+    rows = np.repeat(np.arange(n), deg)
+    tile = rows // R
+    rloc = rows - tile * R
+    cmin = np.full(NT, 2 ** 62, np.int64)
+    cmax = np.full(NT, -1, np.int64)
+    np.minimum.at(cmin, tile, A.indices)
+    np.maximum.at(cmax, tile, A.indices)
+    empty = cmax < 0
+    cmin[empty] = 0
+    cmax[empty] = 0
+    lo_chunk = cmin // cchunk
+    shift = lo_chunk - np.arange(NT)
+    shift0 = int(shift.min())
+    hi_chunk = cmax // cchunk
+    K = int((hi_chunk - (np.arange(NT) + shift0)).max()) + 1
+    K = max(K, 1)
+    W = K * cchunk
+    wloc = A.indices - (tile + shift0) * cchunk
+    assert wloc.min() >= 0 and wloc.max() < W, (wloc.min(), wloc.max(), W)
+    return (tile, rloc, wloc, shift0, NT, R, W, ncols)
+
+
+def fill_band_device(layout, data, cchunk: int,
+                     dtype=np.float32) -> BandMatrix:
+    """Scatter CSR values into the dense band on device (~ms) instead of
+    filling and uploading a multi-GB host array."""
+    import jax.numpy as jnp
+    tile, rloc, wloc, shift0, NT, R, W, ncols = layout
+    rows = jnp.asarray((tile * R + rloc).astype(np.int32))
+    cols = jnp.asarray(wloc.astype(np.int32))
+    dense = _device_band_fill(rows, cols, jnp.asarray(data.astype(dtype)),
+                              (NT, R, W))
+    return BandMatrix(dense=dense, shift0=shift0, cchunk=cchunk,
+                      ncols=ncols)
+
+
 def pack_band(A: sp.csr_matrix, row_tile: int, cchunk: int,
               dtype=np.float32) -> "tuple":
     """Host-side band packing of a CSR matrix. Returns (layout, dense)
@@ -159,21 +206,19 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32):
         Ac = (P.T @ A @ P).tocsr()
         Ac.sum_duplicates()
 
-        layA, dA = pack_band(A, ROW_TILE, ROW_TILE, np.float64)
+        layA = pack_band_layout(A, ROW_TILE, ROW_TILE)
         if first:
             fine_layout = layA
         cch_p = max(ROW_TILE // AGG, 8)
-        layP, dP = pack_band(P, ROW_TILE, cch_p, np.float64)
-        layQ, dQ = pack_band(P.T.tocsr(), ROW_TILE, ROW_TILE, np.float64)
+        layP = pack_band_layout(P, ROW_TILE, cch_p)
+        Pt_csr = P.T.tocsr()
+        layQ = pack_band_layout(Pt_csr, ROW_TILE, ROW_TILE)
         levels.append(BandLevel(
-            A=BandMatrix(dense=jnp.asarray(dA.astype(dtype)),
-                         shift0=layA[3], cchunk=ROW_TILE, ncols=n),
+            A=fill_band_device(layA, A.data, ROW_TILE, dtype),
             invd=jnp.asarray(invd, dtype),
             omega=jnp.asarray(omega, dtype),
-            P=BandMatrix(dense=jnp.asarray(dP.astype(dtype)),
-                         shift0=layP[3], cchunk=cch_p, ncols=nc),
-            Pt=BandMatrix(dense=jnp.asarray(dQ.astype(dtype)),
-                          shift0=layQ[3], cchunk=ROW_TILE, ncols=n)))
+            P=fill_band_device(layP, P.data, cch_p, dtype),
+            Pt=fill_band_device(layQ, Pt_csr.data, ROW_TILE, dtype)))
         A = Ac
         first = False
 
@@ -191,16 +236,33 @@ def _pow2_at_least(x: int) -> int:
     return p
 
 
-def update_fine_values(amg: BandAMG, fine_layout, data) -> BandAMG:
+@functools.partial(__import__("jax").jit, static_argnames=("shape",))
+def _device_band_fill(row_idx, col_idx, vals, shape):
+    """Scatter CSR values into the (NT,R,W) band on device. Indexing is
+    2-D (row = tile*R + rloc, col = wloc) so indices stay within int32
+    even when NT*R*W exceeds 2^31 (1M-node problems)."""
+    import jax.numpy as jnp
+    NT, R, W = shape
+    dense = jnp.zeros((NT * R, W), vals.dtype).at[row_idx, col_idx].set(vals)
+    return dense.reshape(shape)
+
+
+def update_fine_values(amg: BandAMG, fine_layout, data,
+                       idx_dev=None) -> BandAMG:
     """New fine-level matrix values (same pattern), keeping the frozen
-    coarse hierarchy -- one (NT,R,W) host fill + upload per Newton
-    iteration."""
+    coarse hierarchy. The (NT,R,W) band is rebuilt ON DEVICE from the
+    CSR values (a few MB) -- shipping the multi-GB dense band through
+    the interconnect every Newton iteration would dwarf the solve."""
     import jax.numpy as jnp
     tile, rloc, wloc, shift0, NT, R, W, ncols = fine_layout
-    dense = np.zeros((NT, R, W), np.float32)
-    dense[tile, rloc, wloc] = data.astype(np.float32)
+    if idx_dev is None:
+        idx_dev = (jnp.asarray((tile * R + rloc).astype(np.int32)),
+                   jnp.asarray(wloc.astype(np.int32)))
+    dense = _device_band_fill(idx_dev[0], idx_dev[1],
+                              jnp.asarray(data.astype(np.float32)),
+                              (NT, R, W))
     lv0 = amg.levels[0]
-    newA = BandMatrix(dense=jnp.asarray(dense), shift0=shift0,
+    newA = BandMatrix(dense=dense, shift0=shift0,
                       cchunk=lv0.A.cchunk, ncols=ncols)
     levels = (BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
                         P=lv0.P, Pt=lv0.Pt),) + amg.levels[1:]

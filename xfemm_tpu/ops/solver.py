@@ -227,6 +227,7 @@ class Session:
         self.band_amg = None
         self.band_layout = None
         self.band_data_map = None
+        self.band_flat_idx = None   # device slot indices for fine values
 
     def csr_values(self, blocks, n, fixed=None):
         """Dirichlet-eliminated CSR of the blocks using a cached pattern.
@@ -575,8 +576,15 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             # value-only fine-level update from the new At
             Ap_data = _permuted_data(At, session.band_data_map)
             with profiling.phase("band update"):
+                if session.band_flat_idx is None:
+                    tile, rloc, wloc, shift0, NT, R, W, _nc = \
+                        session.band_layout
+                    session.band_flat_idx = (
+                        jnp.asarray((tile * R + rloc).astype(np.int32)),
+                        jnp.asarray(wloc.astype(np.int32)))
                 session.band_amg = band_mod.update_fine_values(
-                    session.band_amg, session.band_layout, Ap_data)
+                    session.band_amg, session.band_layout, Ap_data,
+                    session.band_flat_idx)
         use_band = session.band_amg is not None
 
     if coords is not None:

@@ -446,7 +446,11 @@ class MagPostProcessor:
                 y = y + (V ** 2).sum(axis=1) + V[:, 0] * V[:, 1] \
                     + V[:, 0] * V[:, 2] + V[:, 1] * V[:, 2]
                 return complex((y[sel_el] * a[sel_el] * depth / 6.0).sum())
-            raise NotImplementedError
+            # axisymmetric: moment of inertia about r=0 (fpproc.cpp:3928)
+            r24 = self.mesh.nodes[self.mesh.elements][:, :, 0] * self.lc
+            y = self._axi_int(a, r24.astype(complex), r24.astype(complex),
+                              r24)
+            return complex(y[sel_el].sum())
 
         J, Aface = self.element_JA()
         Javg = J.mean(axis=1)
