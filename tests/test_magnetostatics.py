@@ -73,3 +73,24 @@ def test_torque_benchmark_full(fixtures, deg):
     rel = 100.0 * diff / TQ_REF[deg] if TQ_REF[deg] else 0.0
     assert abs(diff) <= 4.2e-05
     assert abs(rel) <= 0.006
+
+def test_gap_integral_types(fixtures):
+    """Gap integral dispatch 0/1/2 against values from the reference
+    femmcli on the same problem at 30 deg (LuaMagneticsCommands
+    luaGapIntegral:964 mapping: 0 DC torque, 1 DC force, 2 stored
+    energy). Meshes differ, so tolerances are discretization-level."""
+    p = femfile.load(str(fixtures / "TorqueBenchmark.fem"))
+    for bp in p.lineproplist:
+        if bp.name == "AGE":
+            bp.InnerAngle = 30.0
+    mesh = mesher.mesh_problem(p)
+    sol = magnetostatics.solve(p, mesh)
+    post = MagPostProcessor(p, mesh, sol.A, sol.label_case)
+    assert abs(post.gap_integral("AGE", 0) - 0.5000185411882622) < 4.2e-5
+    assert abs(post.gap_integral("AGE", 2) - 0.1937442254258503) < 5e-4
+    fx, fy = post.gap_integral("AGE", 1)
+    # machine is balanced: true force is zero, both codes see mesh noise
+    assert abs(fx) < 2e-3 and abs(fy) < 2e-3
+    # 2x/incremental types: DC problem -> zero / needs PrevSoln
+    assert post.gap_integral("AGE", 3) == 0.0
+    assert post.gap_integral("AGE", 4) == (0j, 0j)

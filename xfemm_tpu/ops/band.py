@@ -81,6 +81,32 @@ def band_matvec(bm: BandMatrix, x):
     return y.reshape(-1)
 
 
+def band_rmatvec(bm: BandMatrix, y):
+    """x = A^T y computed from the SAME dense band as ``band_matvec``.
+    Tile t's contribution lands in column chunks [t+shift0, t+shift0+K):
+    one batched einsum then K static shifted slice-adds. Storing the
+    transpose explicitly is ruinous for rectangular operators -- the
+    window of P^T drifts ``AGG`` chunks per row tile, blowing the dense
+    band up ~100x (7.5 GiB for the 254k fine prolongator) -- while the
+    transposed product reuses the 0.08 GiB band of P."""
+    import jax.numpy as jnp
+    NT, R, W = bm.dense.shape
+    cchunk = bm.cchunk
+    K = W // cchunk
+    nrows = NT * R
+    yt = jnp.zeros(nrows, y.dtype).at[:y.shape[0]].set(y).reshape(NT, R)
+    contrib = jnp.einsum("trw,tr->tw", bm.dense, yt,
+                         preferred_element_type=jnp.float32)
+    contrib = contrib.reshape(NT, K, cchunk)
+    lpad = max(0, -bm.shift0) * cchunk
+    total = (NT + max(0, bm.shift0) + K) * cchunk + lpad
+    z = jnp.zeros((total // cchunk, cchunk), y.dtype)
+    base = bm.shift0 + lpad // cchunk
+    for s in range(K):
+        z = z.at[base + s: base + s + NT].add(contrib[:, s])
+    return z.reshape(-1)[lpad:lpad + bm.ncols]
+
+
 def pack_band_layout(A: sp.csr_matrix, row_tile: int, cchunk: int):
     """Band geometry only -- the slot (tile, rloc, wloc) of every CSR
     entry -- without materializing the dense band on host. Large fine
@@ -168,8 +194,8 @@ class BandLevel(NamedTuple):
     A: BandMatrix
     invd: "np.ndarray"       # (n,) device
     omega: "np.ndarray"      # scalar device
-    P: BandMatrix | None     # fine(rows) x coarse(cols)
-    Pt: BandMatrix | None    # coarse(rows) x fine(cols)
+    P: BandMatrix | None     # fine(rows) x coarse(cols); restriction is
+                             # band_rmatvec on the same band
 
 
 class BandAMG(NamedTuple):
@@ -211,14 +237,11 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32):
             fine_layout = layA
         cch_p = max(ROW_TILE // AGG, 8)
         layP = pack_band_layout(P, ROW_TILE, cch_p)
-        Pt_csr = P.T.tocsr()
-        layQ = pack_band_layout(Pt_csr, ROW_TILE, ROW_TILE)
         levels.append(BandLevel(
             A=fill_band_device(layA, A.data, ROW_TILE, dtype),
             invd=jnp.asarray(invd, dtype),
             omega=jnp.asarray(omega, dtype),
-            P=fill_band_device(layP, P.data, cch_p, dtype),
-            Pt=fill_band_device(layQ, Pt_csr.data, ROW_TILE, dtype)))
+            P=fill_band_device(layP, P.data, cch_p, dtype)))
         A = Ac
         first = False
 
@@ -265,7 +288,7 @@ def update_fine_values(amg: BandAMG, fine_layout, data,
     newA = BandMatrix(dense=dense, shift0=shift0,
                       cchunk=lv0.A.cchunk, ncols=ncols)
     levels = (BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
-                        P=lv0.P, Pt=lv0.Pt),) + amg.levels[1:]
+                        P=lv0.P),) + amg.levels[1:]
     return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n)
 
 
@@ -282,7 +305,7 @@ def band_vcycle(amg: BandAMG, r):
         d = r - band_matvec(lv.A, z)[:r.shape[0]]
         rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
                   else amg.coarse_inv.shape[0])
-        rc = band_matvec(lv.Pt, d)[:rc_len]
+        rc = band_rmatvec(lv.P, d)[:rc_len]
         zc = cycle(l + 1, rc)
         z = z + band_matvec(lv.P, zc)[:r.shape[0]]
         z = z + lv.omega * lv.invd * (

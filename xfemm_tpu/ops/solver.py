@@ -587,7 +587,7 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     session.band_flat_idx)
         use_band = session.band_amg is not None
 
-    if coords is not None:
+    if coords is not None and not use_band:
         stale = (session.first_iters is not None
                  and session.last_iters is not None
                  and session.last_iters

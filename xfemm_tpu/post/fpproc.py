@@ -265,33 +265,128 @@ class MagPostProcessor:
                 fy /= 2.0
         return fx, fy
 
-    def gap_time_avg_stored_energy(self, name: str) -> float:
+    def gap_2x_force(self, name: str) -> tuple[complex, complex]:
+        """Double-frequency force components (fpproc.cpp
+        gap2XForceIntegral:5533)."""
         i = self._age_index(name)
         age = self.mesh.airgaps[i]
         h = self.age[i]
         R = (age.ri + age.ro) / 2.0
-        g = age.ro - age.ri
-        e = float(np.sum(np.real(h.brc * np.conj(h.brc)
-                                 + h.brs * np.conj(h.brs)
-                                 + h.btc * np.conj(h.btc)
-                                 + h.bts * np.conj(h.bts))))
-        e *= PI * R * g * self.depth / (2.0 * MU0)
+        fx = fy = 0.0 + 0j
+        if round(age.totalArcLength) == 360 and self.frequency != 0:
+            for k in range(1, len(h.nh)):
+                fx += ((h.brs[k - 1] - h.btc[k - 1])
+                       * (h.brs[k] + h.btc[k])
+                       + (h.brc[k - 1] + h.bts[k - 1])
+                       * (h.brc[k] - h.bts[k]))
+                fy += ((h.brs[k] + h.btc[k])
+                       * (h.brc[k - 1] + h.bts[k - 1])
+                       - (h.brs[k - 1] - h.btc[k - 1])
+                       * (h.brc[k] - h.bts[k]))
+            fx *= self.depth * PI * R / (4.0 * MU0)
+            fy *= self.depth * PI * R / (4.0 * MU0)
+        return fx, fy
+
+    def _age_prev(self, i: int) -> "AgeHarmonics":
+        """Harmonics of the previous (DC offset) solution for the
+        incremental gap integrals (fpproc.cpp:1559-1605 brcPrev...)."""
+        if self.Aprev is None:
+            raise ValueError("incremental gap integral needs a previous "
+                             "solution (problem.PrevSoln)")
+        if not hasattr(self, "_age_prev_cache"):
+            saved = self.A
+            self.A = np.asarray(self.Aprev)
+            try:
+                self._age_prev_cache = [self._age_harmonics(a)
+                                        for a in self.mesh.airgaps]
+            finally:
+                self.A = saved
+        return self._age_prev_cache[i]
+
+    def gap_incremental_torque(self, name: str) -> complex:
+        """fpproc.cpp gapIncrementalTorqueIntegral:5577 -- cross terms
+        between the incremental AC harmonics and the frozen DC ones."""
+        i = self._age_index(name)
+        age = self.mesh.airgaps[i]
+        h = self.age[i]
+        hp = self._age_prev(i)
+        R = (age.ri + age.ro) / 2.0
+        tq = np.sum(hp.btc * h.brc + hp.brc * h.btc
+                    + hp.bts * h.brs + hp.brs * h.bts)
+        return complex(tq * PI * R * R * self.depth / MU0)
+
+    def gap_incremental_force(self, name: str) -> tuple[complex, complex]:
+        """fpproc.cpp gapIncrementalForceIntegral:5608."""
+        i = self._age_index(name)
+        age = self.mesh.airgaps[i]
+        h = self.age[i]
+        hp = self._age_prev(i)
+        R = (age.ri + age.ro) / 2.0
+        fx = fy = 0.0 + 0j
+        if round(age.totalArcLength) == 360 and self.frequency != 0:
+            for k in range(1, len(h.nh)):
+                fx += ((h.brs[k] + h.btc[k])
+                       * (hp.brs[k - 1] - hp.btc[k - 1])
+                       + (h.brs[k - 1] - h.btc[k - 1])
+                       * (hp.brs[k] + hp.btc[k])
+                       + (h.brc[k] - h.bts[k])
+                       * (hp.brc[k - 1] + hp.bts[k - 1])
+                       + (h.brc[k - 1] + h.bts[k - 1])
+                       * (hp.brc[k] - hp.bts[k]))
+                fy += ((hp.brs[k] + hp.btc[k])
+                       * (h.brc[k - 1] + h.bts[k - 1])
+                       - (hp.brs[k - 1] - hp.btc[k - 1])
+                       * (h.brc[k] - h.bts[k])
+                       + (h.brs[k] + h.btc[k])
+                       * (hp.brc[k - 1] + hp.bts[k - 1])
+                       - (h.brs[k - 1] - h.btc[k - 1])
+                       * (hp.brc[k] - hp.bts[k]))
+            fx *= self.depth * PI * R / (2.0 * MU0)
+            fy *= self.depth * PI * R / (2.0 * MU0)
+        return fx, fy
+
+    def gap_time_avg_stored_energy(self, name: str) -> float:
+        """fpproc.cpp gapTimeAvgStoredEnergyIntegral:5652 -- note the
+        n=0 harmonic contributes only 2*btc^2 (the mean radial field is
+        excluded) and the products are NOT conjugated (b*b, Re at the
+        end), matching the reference bit for bit."""
+        i = self._age_index(name)
+        age = self.mesh.airgaps[i]
+        h = self.age[i]
+        R = (age.ri + age.ro) / 2.0
+        dr = age.ro - age.ri
+        w = 0.0 + 0j
+        for k in range(len(h.nh)):
+            if h.nh[k] != 0:
+                w += (h.brs[k] * h.brs[k] + h.brc[k] * h.brc[k]
+                      + h.bts[k] * h.bts[k] + h.btc[k] * h.btc[k]) * dr
+            else:
+                w += 2.0 * dr * h.btc[k] * h.btc[k]
+        e = w.real * PI * R * self.depth / (2.0 * MU0)
         if self.frequency != 0:
             e /= 2.0
         return e
 
     def gap_integral(self, name: str, inttype: int):
-        """mo_gapintegral dispatch (LuaMagneticsCommands luaGapIntegral):
-        0 torque, 1 force, 2 2x torque, 3 2x force, 4 stored energy."""
+        """mo_gapintegral dispatch (LuaMagneticsCommands.cpp
+        luaGapIntegral:964): 0 DC torque, 1 DC force (fx, fy), 2
+        time-average stored energy, 3 2x torque, 4 2x force, 5
+        incremental torque, 6 incremental force."""
         if inttype == 0:
             return self.gap_dc_torque(name)
         if inttype == 1:
             return self.gap_dc_force(name)
         if inttype == 2:
+            return self.gap_time_avg_stored_energy(name)
+        if inttype == 3:
             return self.gap_2x_torque(name)
         if inttype == 4:
-            return self.gap_time_avg_stored_energy(name)
-        raise NotImplementedError(f"gap integral type {inttype}")
+            return self.gap_2x_force(name)
+        if inttype == 5:
+            return self.gap_incremental_torque(name)
+        if inttype == 6:
+            return self.gap_incremental_force(name)
+        raise ValueError(f"invalid gap integral type {inttype}")
 
     # ------------------------------------------------------------------ #
     # current density (GetJA, fpproc.cpp)                                #
