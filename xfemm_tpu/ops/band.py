@@ -36,9 +36,16 @@ import scipy.sparse as sp
 
 from .amg import JACOBI_OMEGA, lambda_max_est
 
-AGG = 32                 # fine DOFs per aggregate (power of two)
+AGG = 4                  # fine DOFs per aggregate (power of two). Small
+                         # aggregates make a much stronger coarse space:
+                         # at 254k DOFs, CG-AMG iterations fall 234 (AGG
+                         # 32) -> 117 (8) -> ~70 (4) while the extra
+                         # coarse-level work is a fraction of the fine
+                         # SpMV, so smaller is faster end-to-end.
 COARSE_MAX = 1500        # dense-inverse threshold
 ROW_TILE = 512           # rows per band tile
+BF16_SMOOTH_MIN = 32 * 2 ** 20   # bf16 copy for smoothing matvecs when a
+                                 # level's f32 band exceeds this (bytes)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -63,11 +70,14 @@ class BandMatrix:
 
 
 def band_matvec(bm: BandMatrix, x):
-    """y = A x; x is the logical (ncols,) device vector."""
+    """y = A x; x is the logical (ncols,) device vector. The product is
+    accumulated in f32 regardless of the band's storage dtype, so a
+    bf16 band (the smoothing fast path) still returns f32."""
     import jax.numpy as jnp
     NT, R, W = bm.dense.shape
     cchunk = bm.cchunk
     K = W // cchunk
+    x = x.astype(bm.dense.dtype)
     # pad so chunk indices t+shift0 .. t+shift0+K-1 are always valid
     lpad = max(0, -bm.shift0) * cchunk
     total = (NT + max(0, bm.shift0) + K) * cchunk + lpad
@@ -94,13 +104,14 @@ def band_rmatvec(bm: BandMatrix, y):
     cchunk = bm.cchunk
     K = W // cchunk
     nrows = NT * R
+    y = y.astype(bm.dense.dtype)
     yt = jnp.zeros(nrows, y.dtype).at[:y.shape[0]].set(y).reshape(NT, R)
     contrib = jnp.einsum("trw,tr->tw", bm.dense, yt,
                          preferred_element_type=jnp.float32)
     contrib = contrib.reshape(NT, K, cchunk)
     lpad = max(0, -bm.shift0) * cchunk
     total = (NT + max(0, bm.shift0) + K) * cchunk + lpad
-    z = jnp.zeros((total // cchunk, cchunk), y.dtype)
+    z = jnp.zeros((total // cchunk, cchunk), contrib.dtype)
     base = bm.shift0 + lpad // cchunk
     for s in range(K):
         z = z.at[base + s: base + s + NT].add(contrib[:, s])
@@ -196,6 +207,12 @@ class BandLevel(NamedTuple):
     omega: "np.ndarray"      # scalar device
     P: BandMatrix | None     # fine(rows) x coarse(cols); restriction is
                              # band_rmatvec on the same band
+    Pbf: BandMatrix | None = None   # bf16 prolongator for cycle transfers
+    Abf: BandMatrix | None = None   # bf16 copy for the V-cycle smoothing
+                                    # residuals (2 of the 3 fine SpMVs
+                                    # per CG iteration): ~2x the f32
+                                    # matvec speed, and the preconditioner
+                                    # tolerates the reduced precision
 
 
 class BandAMG(NamedTuple):
@@ -211,13 +228,18 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32):
     updates via ``update_fine_values``."""
     import jax.numpy as jnp
 
+    from ..utils import profiling
+
     levels = []
-    A = At
+    # f32 throughout: the hierarchy is a preconditioner, and the host
+    # Galerkin products dominate setup time -- f32 halves their memory
+    # traffic (the CG operator itself is filled from the f64 CSR data)
+    A = At.astype(np.float32)
     fine_layout = None
     first = True
     while A.shape[0] > COARSE_MAX and len(levels) < 6:
         n = A.shape[0]
-        d = np.asarray(A.diagonal())
+        d = np.asarray(A.diagonal(), np.float64)
         d[d == 0] = 1.0
         invd = 1.0 / d
         lam = lambda_max_est(A, invd)
@@ -226,26 +248,40 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32):
         # uniform contiguous aggregation in the (RCM) ordering
         nc = (n + AGG - 1) // AGG
         agg = np.arange(n) // AGG
-        P0 = sp.csr_matrix((np.ones(n), (np.arange(n), agg)),
-                           shape=(n, nc))
-        P = (P0 - sp.diags(omega * invd) @ (A @ P0)).tocsr()
-        Ac = (P.T @ A @ P).tocsr()
-        Ac.sum_duplicates()
+        with profiling.phase("band galerkin"):
+            P0 = sp.csr_matrix((np.ones(n, np.float32),
+                                (np.arange(n), agg)), shape=(n, nc))
+            P = (P0 - sp.diags((omega * invd).astype(np.float32))
+                 @ (A @ P0)).tocsr()
+            Ac = (P.T @ A @ P).tocsr()
+            Ac.sum_duplicates()
 
         layA = pack_band_layout(A, ROW_TILE, ROW_TILE)
         if first:
             fine_layout = layA
         cch_p = max(ROW_TILE // AGG, 8)
         layP = pack_band_layout(P, ROW_TILE, cch_p)
+        Adata = At.data if first else A.data   # fine op from f64 values
+        Adev = fill_band_device(layA, Adata, ROW_TILE, dtype)
+        Pdev = fill_band_device(layP, P.data, cch_p, dtype)
+        Abf = Pbf = None
+        if Adev.dense.size * 4 > BF16_SMOOTH_MIN:
+            Abf = BandMatrix(dense=Adev.dense.astype(jnp.bfloat16),
+                             shift0=Adev.shift0, cchunk=Adev.cchunk,
+                             ncols=Adev.ncols)
+        if Pdev.dense.size * 4 > BF16_SMOOTH_MIN:
+            Pbf = BandMatrix(dense=Pdev.dense.astype(jnp.bfloat16),
+                             shift0=Pdev.shift0, cchunk=Pdev.cchunk,
+                             ncols=Pdev.ncols)
         levels.append(BandLevel(
-            A=fill_band_device(layA, A.data, ROW_TILE, dtype),
+            A=Adev,
             invd=jnp.asarray(invd, dtype),
             omega=jnp.asarray(omega, dtype),
-            P=fill_band_device(layP, P.data, cch_p, dtype)))
+            P=Pdev, Pbf=Pbf, Abf=Abf))
         A = Ac
         first = False
 
-    cinv = np.linalg.inv(A.toarray())
+    cinv = np.linalg.inv(A.toarray().astype(np.float64))
     amg = BandAMG(levels=tuple(levels),
                   coarse_inv=jnp.asarray(cinv.astype(dtype)),
                   n=At.shape[0])
@@ -287,8 +323,13 @@ def update_fine_values(amg: BandAMG, fine_layout, data,
     lv0 = amg.levels[0]
     newA = BandMatrix(dense=dense, shift0=shift0,
                       cchunk=lv0.A.cchunk, ncols=ncols)
+    newAbf = None
+    if lv0.Abf is not None:
+        newAbf = BandMatrix(dense=dense.astype(jnp.bfloat16),
+                            shift0=shift0, cchunk=lv0.A.cchunk,
+                            ncols=ncols)
     levels = (BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
-                        P=lv0.P),) + amg.levels[1:]
+                        P=lv0.P, Abf=newAbf),) + amg.levels[1:]
     return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n)
 
 
@@ -301,15 +342,17 @@ def band_vcycle(amg: BandAMG, r):
         if l == L:
             return amg.coarse_inv @ r
         lv = amg.levels[l]
+        As = lv.Abf if lv.Abf is not None else lv.A
+        Ps = lv.Pbf if lv.Pbf is not None else lv.P
         z = lv.omega * lv.invd * r
-        d = r - band_matvec(lv.A, z)[:r.shape[0]]
+        d = r - band_matvec(As, z)[:r.shape[0]]
         rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
                   else amg.coarse_inv.shape[0])
-        rc = band_rmatvec(lv.P, d)[:rc_len]
+        rc = band_rmatvec(Ps, d)[:rc_len]
         zc = cycle(l + 1, rc)
-        z = z + band_matvec(lv.P, zc)[:r.shape[0]]
+        z = z + band_matvec(Ps, zc)[:r.shape[0]]
         z = z + lv.omega * lv.invd * (
-            r - band_matvec(lv.A, z)[:r.shape[0]])
+            r - band_matvec(As, z)[:r.shape[0]])
         return z
 
     return cycle(0, r)
@@ -332,7 +375,10 @@ def band_pcg(amg: BandAMG, b, tol, x0, max_iter, stall_window: int = 120):
         return band_vcycle(amg, r)
 
     z0 = prec(b)
-    res0 = jnp.dot(z0, b)
+    # |.|: with a stale/approximate V-cycle the preconditioner is not
+    # guaranteed positive, and a negative res0 would NaN the stopping
+    # metric (sqrt of a negative ratio)
+    res0 = jnp.abs(jnp.dot(z0, b))
     res0 = jnp.where(res0 == 0.0, 1.0, res0)
 
     r = b - op(x0)

@@ -160,6 +160,28 @@ def _blocks_coo(blocks):
 ROW_TILE_MIN = 512
 
 
+import collections
+
+_BAND_CACHE: "collections.OrderedDict[bytes, dict]" = collections.OrderedDict()
+_BAND_CACHE_MAX = 2
+
+
+def _band_cache_key(At, fixed) -> bytes:
+    """Pattern signature of a Dirichlet-eliminated CSR. Repeated solves
+    over the same mesh (Newton restarts, rotor sweeps, benchmarks) hit
+    the same key and adopt the existing hierarchy -- its values are then
+    refreshed per call, and the staleness rule forces a full rebuild
+    when the operator has drifted too far."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.int64(At.shape[0]).tobytes())
+    h.update(At.indptr.tobytes())
+    h.update(At.indices.tobytes())
+    if fixed is not None:
+        h.update(np.packbits(np.asarray(fixed, bool)).tobytes())
+    return h.digest()
+
+
 def _band_bytes_estimate(Ap, row_tile: int) -> float:
     n = Ap.shape[0]
     deg = np.diff(Ap.indptr)
@@ -228,6 +250,9 @@ class Session:
         self.band_layout = None
         self.band_data_map = None
         self.band_flat_idx = None   # device slot indices for fine values
+        self.band_disabled = False  # runtime fallback latch (indefinite
+                                    # Newton systems defeat the V-cycle)
+        self.band_ckey = None
 
     def csr_values(self, blocks, n, fixed=None):
         """Dirichlet-eliminated CSR of the blocks using a cached pattern.
@@ -302,7 +327,7 @@ def _pcg_amg_impl(amg, ell_vals, ell_cols, b, tol, x0, max_iter,
         return amg_mod.vcycle(amg, r)
 
     z0 = prec(b)
-    res0 = jnp.dot(z0, b)
+    res0 = jnp.abs(jnp.dot(z0, b))   # guard: V-cycle need not be positive
     res0 = jnp.where(res0 == 0.0, 1.0, res0)
 
     r = b - op(x0)
@@ -552,8 +577,25 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
     # memory footprint of the band
     use_band = False
     if (dev_dtype == jnp.float32 and coords is not None
-            and n > 4 * ROW_TILE_MIN):
+            and n > 4 * ROW_TILE_MIN and not session.band_disabled):
         from . import band as band_mod
+        if session.band_amg is None:
+            # adopt a hierarchy built by an earlier Session on the same
+            # matrix pattern (values refresh below; staleness guards
+            # against drift)
+            ckey = _band_cache_key(At, fixed)
+            session.band_ckey = ckey
+            cached = _BAND_CACHE.get(ckey)
+            if cached is not None:
+                _BAND_CACHE.move_to_end(ckey)
+                session.perm = cached["perm"]
+                session.band_amg = cached["band_amg"]
+                session.band_layout = cached["band_layout"]
+                session.band_data_map = cached["band_data_map"]
+                session.band_flat_idx = cached["band_flat_idx"]
+                session.first_iters = None
+        else:
+            ckey = None
         if session.perm is None:
             from scipy.sparse.csgraph import reverse_cuthill_mckee
             perm = np.asarray(reverse_cuthill_mckee(At, symmetric_mode=True))
@@ -561,7 +603,17 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             iperm[perm] = np.arange(n)
             session.perm = (perm, iperm)
         perm, iperm = session.perm
-        if session.band_amg is None:
+        band_stale = (session.band_amg is not None
+                      and session.first_iters is not None
+                      and session.last_iters is not None
+                      and session.last_iters
+                      > session.refresh_factor
+                      * max(session.first_iters, 1))
+        if session.band_amg is None or band_stale:
+            # (re)build the hierarchy. Newton changes the operator; the
+            # frozen coarse correction eventually mismatches it enough
+            # that the V-cycle stops being a convergent preconditioner
+            # (same staleness rule as the ELL path below)
             Ap = At[perm][:, perm].tocsr()
             Ap.sum_duplicates()
             est_bytes = _band_bytes_estimate(Ap, band_mod.ROW_TILE)
@@ -569,9 +621,23 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 with profiling.phase("band amg setup"):
                     session.band_amg, session.band_layout = \
                         band_mod.setup_band_amg(Ap)
-                    session.band_data_map = _csr_perm_map(At, Ap, perm,
-                                                          iperm)
+                    if session.band_data_map is None:
+                        session.band_data_map = _csr_perm_map(
+                            At, Ap, perm, iperm)
                     session.first_iters = None
+                if ckey is None:
+                    ckey = _band_cache_key(At, fixed)
+                session.band_ckey = ckey
+                _BAND_CACHE[ckey] = {
+                    "perm": session.perm,
+                    "band_amg": session.band_amg,
+                    "band_layout": session.band_layout,
+                    "band_data_map": session.band_data_map,
+                    "band_flat_idx": session.band_flat_idx,
+                }
+                _BAND_CACHE.move_to_end(ckey)
+                while len(_BAND_CACHE) > _BAND_CACHE_MAX:
+                    _BAND_CACHE.popitem(last=False)
         else:
             # value-only fine-level update from the new At
             Ap_data = _permuted_data(At, session.band_data_map)
@@ -661,6 +727,23 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             if new_metric >= metric * 0.9:
                 if new_metric < best[1]:
                     best = (x.copy(), new_metric)
+                if new_metric > max(100.0 * tol, 1e-4):
+                    # the band V-cycle is not contracting on this
+                    # operator (e.g. an indefinite Newton system, where
+                    # smoothed aggregation has no convergence guarantee):
+                    # latch it off for this session and continue the
+                    # refinement with plain Jacobi CG, which only needs
+                    # symmetry (same recovery the reference's SSOR-PCG
+                    # relies on, spars.cpp:238)
+                    use_band = False
+                    session.band_disabled = True
+                    session.band_amg = None
+                    if session.band_ckey is not None:
+                        _BAND_CACHE.pop(session.band_ckey, None)
+                    dblocks = _to_device_blocks(blocks, dev_dtype)
+                    diag_d = jnp.asarray(diag64, dev_dtype)
+                    fixed_j = jnp.asarray(fixed)
+                    continue
                 break
             continue
         r_d = jnp.asarray(r / scale, dev_dtype)
