@@ -627,13 +627,16 @@ def solve(problem: Problem, mesh: MeshData,
     """Planar nonlinear magnetostatic solve (Static2D semantics)."""
     assert problem.ProblemType == ProblemType.PLANAR, \
         "axisymmetric path in models/axisymmetric.py"
+    from ..utils import profiling
     if Aprev is None and problem.PrevSoln:
         Aprev = load_previous(problem, mesh)
-    pk = pack(problem, mesh)
+    with profiling.phase("pack"):
+        pk = pack(problem, mesh)
     c = C_APOT
-    geom = assembly.tri_geometry(pk.xy, pk.tris)
-    _circuit_preprocess(pk, geom)
-    Mx, My, Mxy = assembly.curl_matrices(geom)
+    with profiling.phase("geometry"):
+        geom = assembly.tri_geometry(pk.xy, pk.tris)
+        _circuit_preprocess(pk, geom)
+        Mx, My, Mxy = assembly.curl_matrices(geom)
 
     T = pk.tris.shape[0]
     area = geom.area
@@ -707,69 +710,86 @@ def solve(problem: Problem, mesh: MeshData,
         Mn = np.zeros((T, 3, 3))
         be = be_static
         if it > 0:
-            # element B + Newton matrices, only for the nonlinear subset
-            # (static2d.cpp:691-796); linear elements keep their mu
-            ns = np.nonzero(nl)[0]
-            tri_s = pk.tris[ns]
-            Vl = pk.rsign[tri_s] * V[pk.ridx[tri_s]]
-            lts = lt[ns]
-            fs = f[ns]
-            areas = area[ns]
-            B1 = np.sum(Vl * geom.q[ns], axis=1)
-            B2 = np.sum(Vl * geom.p[ns], axis=1)
-            # LamType 1/2 variants scale one component by 1/fill
-            B1 = np.where(lts == 2, B1 / fs, B1)
-            B2 = np.where(lts == 1, B2 / fs, B2)
-            Bmag = c * np.sqrt(B1 ** 2 + B2 ** 2) / (0.02 * areas)
-            vv, dv = assembly.hermite_vdv(Bmag, pk.bh_B[ns], pk.bh_H[ns],
-                                          pk.bh_S[ns])
-            mu_el = 1.0 / (MU0 * vv)
-            mu1[ns] = np.where(lts == 0, mu_el,
-                               np.where(lts == 1, mu_el * fs,
-                                        mu_el / (fs + mu_el * (1 - fs))))
-            mu2[ns] = np.where(lts == 0, mu_el,
-                               np.where(lts == 1,
-                                        mu_el / (fs + mu_el * (1 - fs)),
-                                        mu_el * fs))
-            # Newton matrices (static2d.cpp:700-796)
-            Mxs = Mx[ns]
-            Mys = My[ns]
-            vvec0 = np.einsum("tjw,tw->tj", Mxs + Mys, Vl)
-            Mn0 = (-200.0 * c ** 3 * dv / areas)[:, None, None] * \
-                vvec0[:, :, None] * vvec0[:, None, :]
-            Mns = Mn0
-            if (lts != 0).any():
-                # LamType 1: v = (My/t + Mx) V, u = (My/t + t*Mx) V
-                v1 = np.einsum("tjw,tw->tj",
-                               Mys / fs[:, None, None] + Mxs, Vl)
-                u1 = np.einsum("tjw,tw->tj", Mys / fs[:, None, None]
-                               + fs[:, None, None] * Mxs, Vl)
-                Mn1 = (-100.0 * c ** 3 * dv / areas)[:, None, None] * (
-                    v1[:, :, None] * u1[:, None, :]
-                    + v1[:, None, :] * u1[:, :, None])
-                v2 = np.einsum("tjw,tw->tj",
-                               Mxs / fs[:, None, None] + Mys, Vl)
-                u2 = np.einsum("tjw,tw->tj", Mxs / fs[:, None, None]
-                               + fs[:, None, None] * Mys, Vl)
-                Mn2 = (-100.0 * c ** 3 * dv / areas)[:, None, None] * (
-                    v2[:, :, None] * u2[:, None, :]
-                    + v2[:, None, :] * u2[:, :, None])
-                Mns = np.where((lts == 0)[:, None, None], Mn0,
-                               np.where((lts == 1)[:, None, None], Mn1,
-                                        Mn2))
-            Mn[ns] = Mns
-            be = be_static.copy()
-            be[ns] += np.einsum("tjk,tk->tj", Mns, Vl)
+          with profiling.phase("newton host"):
+              # element B + Newton matrices, only for the nonlinear subset
+              # (static2d.cpp:691-796); linear elements keep their mu
+              ns = np.nonzero(nl)[0]
+              tri_s = pk.tris[ns]
+              Vl = pk.rsign[tri_s] * V[pk.ridx[tri_s]]
+              lts = lt[ns]
+              fs = f[ns]
+              areas = area[ns]
+              B1 = np.sum(Vl * geom.q[ns], axis=1)
+              B2 = np.sum(Vl * geom.p[ns], axis=1)
+              # LamType 1/2 variants scale one component by 1/fill
+              B1 = np.where(lts == 2, B1 / fs, B1)
+              B2 = np.where(lts == 1, B2 / fs, B2)
+              Bmag = c * np.sqrt(B1 ** 2 + B2 ** 2) / (0.02 * areas)
+              vv, dv = assembly.hermite_vdv(Bmag, pk.bh_B[ns], pk.bh_H[ns],
+                                            pk.bh_S[ns])
+              mu_el = 1.0 / (MU0 * vv)
+              mu1[ns] = np.where(lts == 0, mu_el,
+                                 np.where(lts == 1, mu_el * fs,
+                                          mu_el / (fs + mu_el * (1 - fs))))
+              mu2[ns] = np.where(lts == 0, mu_el,
+                                 np.where(lts == 1,
+                                          mu_el / (fs + mu_el * (1 - fs)),
+                                          mu_el * fs))
+              # Newton matrices (static2d.cpp:700-796)
+              Mxs = Mx[ns]
+              Mys = My[ns]
+              vvec0 = np.einsum("tjw,tw->tj", Mxs + Mys, Vl)
+              Mn0 = (-200.0 * c ** 3 * dv / areas)[:, None, None] * \
+                  vvec0[:, :, None] * vvec0[:, None, :]
+              Mns = Mn0
+              if (lts != 0).any():
+                  # LamType 1: v = (My/t + Mx) V, u = (My/t + t*Mx) V
+                  v1 = np.einsum("tjw,tw->tj",
+                                 Mys / fs[:, None, None] + Mxs, Vl)
+                  u1 = np.einsum("tjw,tw->tj", Mys / fs[:, None, None]
+                                 + fs[:, None, None] * Mxs, Vl)
+                  Mn1 = (-100.0 * c ** 3 * dv / areas)[:, None, None] * (
+                      v1[:, :, None] * u1[:, None, :]
+                      + v1[:, None, :] * u1[:, :, None])
+                  v2 = np.einsum("tjw,tw->tj",
+                                 Mxs / fs[:, None, None] + Mys, Vl)
+                  u2 = np.einsum("tjw,tw->tj", Mxs / fs[:, None, None]
+                                 + fs[:, None, None] * Mys, Vl)
+                  Mn2 = (-100.0 * c ** 3 * dv / areas)[:, None, None] * (
+                      v2[:, :, None] * u2[:, None, :]
+                      + v2[:, None, :] * u2[:, :, None])
+                  Mns = np.where((lts == 0)[:, None, None], Mn0,
+                                 np.where((lts == 1)[:, None, None], Mn1,
+                                          Mn2))
+              Mn[ns] = Mns
+              be = be_static.copy()
+              be[ns] += np.einsum("tjk,tk->tj", Mns, Vl)
 
-        Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None] + Mn
-              + Mxy_v12)
-        blocks = _element_blocks(pk, Me)
-        b = _rhs(pk, geom, be)
+        with profiling.phase("element matrices"):
+            if it == 0:
+                Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None]
+                      + Mn + Mxy_v12)
+                blocks = _element_blocks(pk, Me)
+                b_base = _rhs(pk, geom, be_static)
+                b = b_base
+            else:
+                # only the nonlinear subset's matrices/sources changed
+                Me[ns] = (Mx[ns] / mu2[ns, None, None]
+                          + My[ns] / mu1[ns, None, None] + Mn[ns])
+                if isinstance(Mxy_v12, np.ndarray):
+                    Me[ns] += Mxy_v12[ns]
+                blocks = _element_blocks(pk, Me)
+                b = b_base.copy()
+                dbe = be[ns] - be_static[ns]
+                flat_i = pk.ridx[pk.tris[ns]].reshape(-1)
+                flat_s = pk.rsign[pk.tris[ns]].reshape(-1)
+                np.add.at(b, flat_i, -flat_s * dbe.reshape(-1))
 
         V_old = V
         V, rel_resid, cg_iters = solver.solve(
             blocks, b, pk.fixed_mask, pk.fixed_vals, problem.Precision,
-            x0=V if it > 0 else None, coords=dof_coords, session=sess)
+            x0=V if it > 0 else None, coords=dof_coords, session=sess,
+            changed=[nl] if (nonlinear and it > 0) else None)
         V = np.asarray(V)
         iters_total += int(cg_iters)
 

@@ -165,6 +165,24 @@ import collections
 _BAND_CACHE: "collections.OrderedDict[bytes, dict]" = collections.OrderedDict()
 _BAND_CACHE_MAX = 2
 
+_PATTERN_CACHE: "collections.OrderedDict[bytes, tuple]" = collections.OrderedDict()
+_PATTERN_CACHE_MAX = 2
+
+
+def _pattern_cache_key(blocks, n, fixed) -> bytes:
+    """Structure signature of the element blocks: the COO->CSR dedup
+    maps depend only on the index topology and the Dirichlet set, so
+    repeated solves over the same mesh skip the 16M-entry lexsort."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.int64(n).tobytes())
+    for b in blocks:
+        h.update(np.ascontiguousarray(b.idx).tobytes())
+        h.update(np.ascontiguousarray(b.sign).tobytes())
+    if fixed is not None:
+        h.update(np.packbits(np.asarray(fixed, bool)).tobytes())
+    return h.digest()
+
 
 def _band_cache_key(At, fixed) -> bytes:
     """Pattern signature of a Dirichlet-eliminated CSR. Repeated solves
@@ -253,26 +271,66 @@ class Session:
         self.band_disabled = False  # runtime fallback latch (indefinite
                                     # Newton systems defeat the V-cycle)
         self.band_ckey = None
+        # nonlinear-subset incremental assembly (csr_values(changed=...))
+        self.vals_static = None
+        self.sub_cache = None
 
-    def csr_values(self, blocks, n, fixed=None):
+    def csr_values(self, blocks, n, fixed=None, changed=None):
         """Dirichlet-eliminated CSR of the blocks using a cached pattern.
 
         First call builds the COO->CSR dedup map (with every diagonal
         present); later calls are value-only: mask fixed rows/columns,
         bincount into CSR slots, set unit diagonals. ~10x faster than
         rebuilding with scipy products each Newton iteration.
+
+        ``changed`` (optional): per-block boolean element masks marking
+        the only elements whose matrices differ from the previous call
+        (a Newton iteration touches just the nonlinear subset). The
+        contribution of every *unchanged* entry is frozen after the
+        first call, so later calls bincount only the changed slice.
         """
         import scipy.sparse as sp
         if self.coo is None:
-            rows, cols, _ = _blocks_coo(blocks)
-            souter = [np.asarray(b.sign, np.float64)[:, :, None]
-                      * np.asarray(b.sign, np.float64)[:, None, :]
-                      for b in blocks]
-            keepf = (~fixed).astype(np.float64) if fixed is not None \
-                else None
-            kmask = keepf[rows] * keepf[cols] if keepf is not None else None
-            self.coo = (rows, cols, souter, kmask)
+            pkey = _pattern_cache_key(blocks, n, fixed)
+            hit = _PATTERN_CACHE.get(pkey)
+            if hit is not None:
+                _PATTERN_CACHE.move_to_end(pkey)
+                self.coo, self.pattern = hit
+            else:
+                rows, cols, _ = _blocks_coo(blocks)
+                souter = [np.asarray(b.sign, np.float64)[:, :, None]
+                          * np.asarray(b.sign, np.float64)[:, None, :]
+                          for b in blocks]
+                keepf = (~fixed).astype(np.float64) if fixed is not None \
+                    else None
+                kmask = keepf[rows] * keepf[cols] if keepf is not None \
+                    else None
+                self.coo = (rows, cols, souter, kmask)
+                self._pkey = pkey
         rows, cols, souter, kmask = self.coo
+        if (changed is not None and self.vals_static is not None
+                and self.pattern is not None):
+            slot_s, souter_s, kmask_s, ch_masks = self.sub_cache
+            parts = []
+            for so_s, b, ch in zip(souter_s, blocks, ch_masks):
+                if ch is None:
+                    continue
+                parts.append((so_s * np.asarray(b.mat, np.float64)[ch])
+                             .ravel())
+            data_s = np.concatenate(parts) if parts else \
+                np.zeros(0, np.float64)
+            if kmask_s is not None:
+                data_s = data_s * kmask_s
+            nnz = self.pattern[3]
+            vals = self.vals_static + np.bincount(
+                slot_s, weights=data_s, minlength=nnz)
+            slot, indptr, indices, nnz, diag_slots = self.pattern
+            if fixed is not None:
+                vals[diag_slots[fixed]] = 1.0
+                zero_diag = vals[diag_slots] == 0.0
+                if zero_diag.any():
+                    vals[diag_slots[zero_diag]] = 1.0
+            return sp.csr_matrix((vals, indices, indptr), shape=(n, n))
         data = np.concatenate(
             [(so * np.asarray(b.mat, np.float64)).ravel()
              for so, b in zip(souter, blocks)])
@@ -302,8 +360,38 @@ class Session:
             diag_slots = slot[len(rows):]        # slot of each (i, i)
             self.pattern = (slot[:len(rows)], indptr.astype(np.int64),
                             indices, nnz, diag_slots)
+            if getattr(self, "_pkey", None) is not None:
+                _PATTERN_CACHE[self._pkey] = (self.coo, self.pattern)
+                _PATTERN_CACHE.move_to_end(self._pkey)
+                while len(_PATTERN_CACHE) > _PATTERN_CACHE_MAX:
+                    _PATTERN_CACHE.popitem(last=False)
         slot, indptr, indices, nnz, diag_slots = self.pattern
         vals = np.bincount(slot, weights=data, minlength=nnz)
+        if changed is not None:
+            # freeze everything but the changed entries for later calls
+            ent_masks = []
+            souter_s = []
+            ch_masks = []
+            for so, b, ch in zip(souter, blocks,
+                                 changed + [None] * (len(blocks)
+                                                     - len(changed))):
+                k = b.idx.shape[1]
+                if ch is not None and np.asarray(ch).any():
+                    chb = np.asarray(ch, bool)
+                    ent_masks.append(np.repeat(chb, k * k))
+                    souter_s.append(so[chb])
+                    ch_masks.append(chb)
+                else:
+                    ent_masks.append(np.zeros(b.idx.shape[0] * k * k, bool))
+                    souter_s.append(None)
+                    ch_masks.append(None)
+            ent = np.concatenate(ent_masks)
+            sub_idx = np.nonzero(ent)[0]
+            slot_s = slot[sub_idx]
+            kmask_s = kmask[sub_idx] if kmask is not None else None
+            self.sub_cache = (slot_s, souter_s, kmask_s, ch_masks)
+            self.vals_static = vals - np.bincount(
+                slot_s, weights=data[sub_idx], minlength=nnz)
         if fixed is not None:
             vals[diag_slots[fixed]] = 1.0
             zero_diag = vals[diag_slots] == 0.0
@@ -502,7 +590,7 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
 def solve(blocks, b, fixed_mask, fixed_vals, tol,
           x0=None, max_iter: int = 200000,
           inner_tol: float | None = None, inner_iter: int = 20000,
-          coords=None, session: "Session | None" = None):
+          coords=None, session: "Session | None" = None, changed=None):
     """Solve the assembled system with Dirichlet values via projection.
 
     Periodic/antiperiodic folds are already encoded in the blocks'
@@ -539,7 +627,7 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
     # unit diagonal -- the operator becomes a plain SpMV (the reference
     # instead mutates rows at SetValue time, spars.cpp:318)
     with profiling.phase("host csr assembly"):
-        At = session.csr_values(blocks, n, fixed)
+        At = session.csr_values(blocks, n, fixed, changed=changed)
     diag64 = np.asarray(At.diagonal())
 
     # rhs with Dirichlet elimination: fixed rows become identity rows.
