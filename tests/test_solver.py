@@ -66,3 +66,57 @@ def test_band_engine_matches_direct(monkeypatch):
     assert solb.residual <= p.Precision
     scale = np.abs(sol64.A).max()
     assert np.abs(solb.A - sol64.A).max() / scale < 1e-7
+
+
+def _fresh_band_caches(monkeypatch):
+    import collections
+    monkeypatch.setattr(solver, "_BAND_CACHE", collections.OrderedDict())
+    monkeypatch.setattr(solver, "_PATTERN_CACHE", collections.OrderedDict())
+
+
+def test_band_sym_mode_matches_direct(monkeypatch):
+    """Upper-band (symmetric) storage: A x = U x + U^T x - diag x must
+    reproduce the full-band solve (memory halving for 1M-class runs)."""
+    import xfemm_tpu.ops.band as band
+
+    p = benchprob.build(4000)
+    mesh = mesher.mesh_problem(p)
+    sol64 = magnetostatics.solve(p, mesh)
+
+    _fresh_band_caches(monkeypatch)
+    monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    monkeypatch.setattr(solver, "ROW_TILE_MIN", 64)
+    monkeypatch.setattr(band, "SYM_MIN_BYTES", 0)
+    orig = solver._band_bytes_estimate
+    monkeypatch.setattr(
+        solver, "_band_bytes_estimate",
+        lambda Ap, rt, sym=False, itemsize=4:
+            orig(Ap, rt, sym, itemsize) if sym and itemsize == 4 else 1e18)
+    solb = magnetostatics.solve(p, mesh)
+    assert solb.residual <= p.Precision
+    scale = np.abs(sol64.A).max()
+    assert np.abs(solb.A - sol64.A).max() / scale < 1e-7
+
+
+def test_band_sym_bf16_operator(monkeypatch):
+    """bf16 fine operator (the 1M-DOF memory mode): the refinement
+    driver must still reach the f64 contract, just with more passes."""
+    import xfemm_tpu.ops.band as band
+
+    p = benchprob.build(4000)
+    mesh = mesher.mesh_problem(p)
+    sol64 = magnetostatics.solve(p, mesh)
+
+    _fresh_band_caches(monkeypatch)
+    monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    monkeypatch.setattr(solver, "ROW_TILE_MIN", 64)
+    monkeypatch.setattr(band, "SYM_MIN_BYTES", 0)
+    orig = solver._band_bytes_estimate
+    monkeypatch.setattr(
+        solver, "_band_bytes_estimate",
+        lambda Ap, rt, sym=False, itemsize=4:
+            orig(Ap, rt, sym, itemsize) if sym and itemsize == 2 else 1e18)
+    solb = magnetostatics.solve(p, mesh)
+    assert solb.residual <= p.Precision
+    scale = np.abs(sol64.A).max()
+    assert np.abs(solb.A - sol64.A).max() / scale < 1e-7

@@ -213,6 +213,21 @@ class BandLevel(NamedTuple):
                                     # per CG iteration): ~2x the f32
                                     # matvec speed, and the preconditioner
                                     # tolerates the reduced precision
+    dvec: "np.ndarray | None" = None   # symmetric (upper-band) storage:
+                                    # A holds triu only and the product
+                                    # is U x + U^T x - diag x. Halves
+                                    # HBM for the dominant levels; same
+                                    # traffic per application
+
+
+def band_apply(A: BandMatrix, dvec, x):
+    """y = A x for square levels: plain band product, or the
+    upper-band symmetric form when ``dvec`` is present."""
+    n = x.shape[0]
+    y = band_matvec(A, x)[:n]
+    if dvec is not None:
+        y = y + band_rmatvec(A, x)[:n] - dvec * x
+    return y
 
 
 class BandAMG(NamedTuple):
@@ -221,11 +236,23 @@ class BandAMG(NamedTuple):
     n: int
 
 
-def setup_band_amg(At: sp.csr_matrix, dtype=np.float32):
+SYM_MIN_BYTES = 256 * 2 ** 20    # store levels above this as triu
+
+
+def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
+                   fine_dtype=None):
     """Build the band hierarchy (host, f64 -> device dtype). ``At`` must
     already be RCM-ordered with Dirichlet identity rows. Returns
     (BandAMG, fine_layout) -- the fine layout supports value-only
-    updates via ``update_fine_values``."""
+    updates via ``update_fine_values``.
+
+    ``sym=True`` stores large square levels as their upper triangle
+    (``band_apply`` reconstructs A x as U x + U^T x - diag x), halving
+    HBM so 1M-DOF problems fit a single chip. ``fine_dtype`` optionally
+    drops the fine operator itself to bf16: the mixed-precision
+    refinement driver then needs a couple more outer passes (each pass
+    still contracts the true f64 residual by ~1/|dA| ~ 250x), trading
+    a little convergence for another 2x of memory."""
     import jax.numpy as jnp
 
     from ..utils import profiling
@@ -256,16 +283,36 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32):
             Ac = (P.T @ A @ P).tocsr()
             Ac.sum_duplicates()
 
-        layA = pack_band_layout(A, ROW_TILE, ROW_TILE)
+        Astore = A
+        dvec = None
+        upper_sel = diag_pos = None
+        lay_full = pack_band_layout(A, ROW_TILE, ROW_TILE)
+        use_sym = sym and (lay_full[4] * lay_full[5] * lay_full[6] * 4
+                           > SYM_MIN_BYTES)
+        if use_sym:
+            rowsA = np.repeat(np.arange(n), np.diff(A.indptr))
+            usel = np.nonzero(A.indices >= rowsA)[0]
+            Astore = sp.triu(A, k=0, format="csr")
+            dvec = jnp.asarray(np.asarray(A.diagonal()), np.float32)
+            upper_sel = usel
+            diag_pos = Astore.indptr[:-1].astype(np.int64)
+        layA = pack_band_layout(Astore, ROW_TILE, ROW_TILE)
         if first:
-            fine_layout = layA
+            fine_layout = layA + ((upper_sel, diag_pos) if use_sym
+                                  else (None, None))
         cch_p = max(ROW_TILE // AGG, 8)
         layP = pack_band_layout(P, ROW_TILE, cch_p)
-        Adata = At.data if first else A.data   # fine op from f64 values
-        Adev = fill_band_device(layA, Adata, ROW_TILE, dtype)
+        lvl_dtype = fine_dtype if (first and fine_dtype is not None) \
+            else dtype
+        if first:
+            Adata = At.data[upper_sel] if use_sym else At.data
+        else:
+            Adata = Astore.data
+        Adev = fill_band_device(layA, Adata, ROW_TILE, lvl_dtype)
         Pdev = fill_band_device(layP, P.data, cch_p, dtype)
         Abf = Pbf = None
-        if Adev.dense.size * 4 > BF16_SMOOTH_MIN:
+        if (Adev.dense.dtype != jnp.bfloat16
+                and Adev.dense.size * 4 > BF16_SMOOTH_MIN):
             Abf = BandMatrix(dense=Adev.dense.astype(jnp.bfloat16),
                              shift0=Adev.shift0, cchunk=Adev.cchunk,
                              ncols=Adev.ncols)
@@ -277,7 +324,7 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32):
             A=Adev,
             invd=jnp.asarray(invd, dtype),
             omega=jnp.asarray(omega, dtype),
-            P=Pdev, Pbf=Pbf, Abf=Abf))
+            P=Pdev, Pbf=Pbf, Abf=Abf, dvec=dvec))
         A = Ac
         first = False
 
@@ -313,14 +360,22 @@ def update_fine_values(amg: BandAMG, fine_layout, data,
     CSR values (a few MB) -- shipping the multi-GB dense band through
     the interconnect every Newton iteration would dwarf the solve."""
     import jax.numpy as jnp
-    tile, rloc, wloc, shift0, NT, R, W, ncols = fine_layout
+    if len(fine_layout) == 10:
+        (tile, rloc, wloc, shift0, NT, R, W, ncols,
+         upper_sel, diag_pos) = fine_layout
+    else:
+        tile, rloc, wloc, shift0, NT, R, W, ncols = fine_layout
+        upper_sel = diag_pos = None
+    if upper_sel is not None:
+        data = np.ascontiguousarray(data[upper_sel])
     if idx_dev is None:
         idx_dev = (jnp.asarray((tile * R + rloc).astype(np.int32)),
                    jnp.asarray(wloc.astype(np.int32)))
-    dense = _device_band_fill(idx_dev[0], idx_dev[1],
-                              jnp.asarray(data.astype(np.float32)),
-                              (NT, R, W))
     lv0 = amg.levels[0]
+    fdt = lv0.A.dense.dtype
+    dense = _device_band_fill(idx_dev[0], idx_dev[1],
+                              jnp.asarray(data.astype(np.float32))
+                              .astype(fdt), (NT, R, W))
     newA = BandMatrix(dense=dense, shift0=shift0,
                       cchunk=lv0.A.cchunk, ncols=ncols)
     newAbf = None
@@ -328,8 +383,12 @@ def update_fine_values(amg: BandAMG, fine_layout, data,
         newAbf = BandMatrix(dense=dense.astype(jnp.bfloat16),
                             shift0=shift0, cchunk=lv0.A.cchunk,
                             ncols=ncols)
+    new_dvec = None
+    if lv0.dvec is not None:
+        new_dvec = jnp.asarray(data[diag_pos].astype(np.float32))
     levels = (BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
-                        P=lv0.P, Abf=newAbf),) + amg.levels[1:]
+                        P=lv0.P, Abf=newAbf, dvec=new_dvec),) \
+        + amg.levels[1:]
     return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n)
 
 
@@ -345,14 +404,14 @@ def band_vcycle(amg: BandAMG, r):
         As = lv.Abf if lv.Abf is not None else lv.A
         Ps = lv.Pbf if lv.Pbf is not None else lv.P
         z = lv.omega * lv.invd * r
-        d = r - band_matvec(As, z)[:r.shape[0]]
+        d = r - band_apply(As, lv.dvec, z)
         rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
                   else amg.coarse_inv.shape[0])
         rc = band_rmatvec(Ps, d)[:rc_len]
         zc = cycle(l + 1, rc)
         z = z + band_matvec(Ps, zc)[:r.shape[0]]
         z = z + lv.omega * lv.invd * (
-            r - band_matvec(As, z)[:r.shape[0]])
+            r - band_apply(As, lv.dvec, z))
         return z
 
     return cycle(0, r)
@@ -367,9 +426,10 @@ def band_pcg(amg: BandAMG, b, tol, x0, max_iter, stall_window: int = 120):
     import jax.numpy as jnp
 
     n = b.shape[0]
+    lv0 = amg.levels[0]
 
     def op(x):
-        return band_matvec(amg.levels[0].A, x)[:n]
+        return band_apply(lv0.A, lv0.dvec, x)
 
     def prec(r):
         return band_vcycle(amg, r)

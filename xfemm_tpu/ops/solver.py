@@ -200,14 +200,15 @@ def _band_cache_key(At, fixed) -> bytes:
     return h.digest()
 
 
-def _band_bytes_estimate(Ap, row_tile: int) -> float:
+def _band_bytes_estimate(Ap, row_tile: int, sym: bool = False,
+                         itemsize: int = 4) -> float:
     n = Ap.shape[0]
     deg = np.diff(Ap.indptr)
     rows = np.repeat(np.arange(n), deg)
     bw = int(np.abs(rows - Ap.indices).max()) if Ap.nnz else 0
     NT = (n + row_tile - 1) // row_tile
-    K = (2 * bw) // row_tile + 2
-    return float(NT) * row_tile * (K * row_tile) * 4.0
+    K = ((bw if sym else 2 * bw)) // row_tile + 2
+    return float(NT) * row_tile * (K * row_tile) * float(itemsize)
 
 
 def _csr_perm_map(At, Ap, perm, iperm):
@@ -705,10 +706,25 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             Ap = At[perm][:, perm].tocsr()
             Ap.sum_duplicates()
             est_bytes = _band_bytes_estimate(Ap, band_mod.ROW_TILE)
+            sym = fine_dtype = None
             if est_bytes <= 6e9:
+                sym = False
+            elif _band_bytes_estimate(Ap, band_mod.ROW_TILE,
+                                      sym=True) <= 6e9:
+                sym = True          # triu storage halves the footprint
+            elif _band_bytes_estimate(Ap, band_mod.ROW_TILE, sym=True,
+                                      itemsize=2) <= 6e9:
+                sym = True          # 1M-class: bf16 fine operator; the
+                fine_dtype = "bf16"  # refinement driver absorbs the
+                                     # reduced operator precision
+            if sym is not None:
+                import jax.numpy as _jnp
                 with profiling.phase("band amg setup"):
                     session.band_amg, session.band_layout = \
-                        band_mod.setup_band_amg(Ap)
+                        band_mod.setup_band_amg(
+                            Ap, sym=sym,
+                            fine_dtype=(_jnp.bfloat16 if fine_dtype
+                                        else None))
                     if session.band_data_map is None:
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
@@ -731,8 +747,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             Ap_data = _permuted_data(At, session.band_data_map)
             with profiling.phase("band update"):
                 if session.band_flat_idx is None:
-                    tile, rloc, wloc, shift0, NT, R, W, _nc = \
-                        session.band_layout
+                    tile, rloc, wloc, shift0, NT, R, W = \
+                        session.band_layout[:7]
                     session.band_flat_idx = (
                         jnp.asarray((tile * R + rloc).astype(np.int32)),
                         jnp.asarray(wloc.astype(np.int32)))
