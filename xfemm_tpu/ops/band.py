@@ -46,6 +46,9 @@ COARSE_MAX = 1500        # dense-inverse threshold
 ROW_TILE = 512           # rows per band tile
 BF16_SMOOTH_MIN = 32 * 2 ** 20   # bf16 copy for smoothing matvecs when a
                                  # level's f32 band exceeds this (bytes)
+BF16_SMOOTH_MAX = 3 * 10 ** 9    # ...but skip the copy for giant levels
+                                 # (1M-class): the f32 band is already at
+                                 # the HBM budget, smoothing shares it
 
 
 @jax.tree_util.register_pytree_node_class
@@ -205,9 +208,14 @@ class BandLevel(NamedTuple):
     A: BandMatrix
     invd: "np.ndarray"       # (n,) device
     omega: "np.ndarray"      # scalar device
-    P: BandMatrix | None     # fine(rows) x coarse(cols); restriction is
-                             # band_rmatvec on the same band
-    Pbf: BandMatrix | None = None   # bf16 prolongator for cycle transfers
+    P: BandMatrix | None     # unused on device: grid transfers are the
+                             # unsmoothed aggregation (reshape-sum and
+                             # repeat) -- measured identical CG counts
+                             # to smoothed-P transfers, since the
+                             # smoothed P still shapes the GALERKIN
+                             # coarse matrices on host; kept as a field
+                             # for explicit-P experiments
+    Pbf: BandMatrix | None = None
     Abf: BandMatrix | None = None   # bf16 copy for the V-cycle smoothing
                                     # residuals (2 of the 3 fine SpMVs
                                     # per CG iteration): ~2x the f32
@@ -300,31 +308,34 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         if first:
             fine_layout = layA + ((upper_sel, diag_pos) if use_sym
                                   else (None, None))
-        cch_p = max(ROW_TILE // AGG, 8)
-        layP = pack_band_layout(P, ROW_TILE, cch_p)
-        lvl_dtype = fine_dtype if (first and fine_dtype is not None) \
-            else dtype
+
+        # storage policy: the FINE operator must stay f32 unless
+        # explicitly overridden (refinement cannot converge past
+        # cond(A) * eps of the operator dtype); coarse matrices are
+        # preconditioner-internal, so large ones store bf16-only. Grid
+        # transfers use the unsmoothed aggregation (see band_vcycle),
+        # so no prolongator bands live on device at all.
+        lvl_dtype = fine_dtype if fine_dtype is not None else dtype
+        A_dtype = lvl_dtype if first else (
+            jnp.bfloat16 if layA[4] * layA[5] * layA[6] * 4 > 1e9
+            else dtype)
         if first:
             Adata = At.data[upper_sel] if use_sym else At.data
         else:
             Adata = Astore.data
-        Adev = fill_band_device(layA, Adata, ROW_TILE, lvl_dtype)
-        Pdev = fill_band_device(layP, P.data, cch_p, dtype)
-        Abf = Pbf = None
+        Adev = fill_band_device(layA, Adata, ROW_TILE, A_dtype)
+        Abf = None
         if (Adev.dense.dtype != jnp.bfloat16
-                and Adev.dense.size * 4 > BF16_SMOOTH_MIN):
+                and BF16_SMOOTH_MIN < Adev.dense.size * 4
+                <= BF16_SMOOTH_MAX):
             Abf = BandMatrix(dense=Adev.dense.astype(jnp.bfloat16),
                              shift0=Adev.shift0, cchunk=Adev.cchunk,
                              ncols=Adev.ncols)
-        if Pdev.dense.size * 4 > BF16_SMOOTH_MIN:
-            Pbf = BandMatrix(dense=Pdev.dense.astype(jnp.bfloat16),
-                             shift0=Pdev.shift0, cchunk=Pdev.cchunk,
-                             ncols=Pdev.ncols)
         levels.append(BandLevel(
             A=Adev,
             invd=jnp.asarray(invd, dtype),
             omega=jnp.asarray(omega, dtype),
-            P=Pdev, Pbf=Pbf, Abf=Abf, dvec=dvec))
+            P=None, Abf=Abf, dvec=dvec))
         A = Ac
         first = False
 
@@ -353,6 +364,18 @@ def _device_band_fill(row_idx, col_idx, vals, shape):
     return dense.reshape(shape)
 
 
+@functools.partial(__import__("jax").jit, donate_argnums=(0,))
+def _device_band_update(dense, row_idx, col_idx, vals):
+    """In-place value refresh of an existing band (same pattern): every
+    nnz slot is rewritten, structural zeros are untouched, and donation
+    lets XLA reuse the buffer -- no multi-GB transient, which is what
+    lets 1M-DOF hierarchies update within a 16 GB part."""
+    NT, R, W = dense.shape
+    vals = vals.astype(dense.dtype)
+    return (dense.reshape(NT * R, W).at[row_idx, col_idx].set(vals)
+            .reshape(NT, R, W))
+
+
 def update_fine_values(amg: BandAMG, fine_layout, data,
                        idx_dev=None) -> BandAMG:
     """New fine-level matrix values (same pattern), keeping the frozen
@@ -372,10 +395,8 @@ def update_fine_values(amg: BandAMG, fine_layout, data,
         idx_dev = (jnp.asarray((tile * R + rloc).astype(np.int32)),
                    jnp.asarray(wloc.astype(np.int32)))
     lv0 = amg.levels[0]
-    fdt = lv0.A.dense.dtype
-    dense = _device_band_fill(idx_dev[0], idx_dev[1],
-                              jnp.asarray(data.astype(np.float32))
-                              .astype(fdt), (NT, R, W))
+    dense = _device_band_update(lv0.A.dense, idx_dev[0], idx_dev[1],
+                                jnp.asarray(data.astype(np.float32)))
     newA = BandMatrix(dense=dense, shift0=shift0,
                       cchunk=lv0.A.cchunk, ncols=ncols)
     newAbf = None
@@ -387,7 +408,7 @@ def update_fine_values(amg: BandAMG, fine_layout, data,
     if lv0.dvec is not None:
         new_dvec = jnp.asarray(data[diag_pos].astype(np.float32))
     levels = (BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
-                        P=lv0.P, Abf=newAbf, dvec=new_dvec),) \
+                        P=None, Abf=newAbf, dvec=new_dvec),) \
         + amg.levels[1:]
     return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n)
 
@@ -402,14 +423,20 @@ def band_vcycle(amg: BandAMG, r):
             return amg.coarse_inv @ r
         lv = amg.levels[l]
         As = lv.Abf if lv.Abf is not None else lv.A
-        Ps = lv.Pbf if lv.Pbf is not None else lv.P
         z = lv.omega * lv.invd * r
         d = r - band_apply(As, lv.dvec, z)
         rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
                   else amg.coarse_inv.shape[0])
-        rc = band_rmatvec(Ps, d)[:rc_len]
+        # unsmoothed-aggregation transfers: restriction is a reshape
+        # segment-sum over the contiguous AGG runs, prolongation the
+        # matching repeat (adjoint pair -> M stays symmetric). The
+        # smoothed prolongator only shapes the Galerkin coarse matrices
+        # at setup; using it for the runtime transfers too measured
+        # ZERO iteration difference, so the device stores no P at all.
+        pad = rc_len * AGG - d.shape[0]
+        rc = jnp.pad(d, (0, pad)).reshape(rc_len, AGG).sum(axis=1)
         zc = cycle(l + 1, rc)
-        z = z + band_matvec(Ps, zc)[:r.shape[0]]
+        z = z + jnp.repeat(zc, AGG)[:r.shape[0]]
         z = z + lv.omega * lv.invd * (
             r - band_apply(As, lv.dvec, z))
         return z
@@ -470,3 +497,55 @@ def band_pcg(amg: BandAMG, b, tol, x0, max_iter, stall_window: int = 120):
              jnp.array(0, jnp.int32))
     x, r, p, res, it, _, _ = jax.lax.while_loop(cond, body, state)
     return x, jnp.sqrt(jnp.abs(res) / res0), it
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("m",))
+def band_fgmres(amg: BandAMG, b, m: int = 16):
+    """One GMRES(m) cycle, right-preconditioned by the band V-cycle.
+
+    The bf16 fine operator perturbs A by ~4e-3 of its norm -- more than
+    the smallest eigenvalues of an ill-conditioned FEM system, so the
+    perturbed operator is effectively indefinite and CG diverges (three-
+    term recurrences have no residual-minimization safety net). GMRES
+    minimizes the residual of the perturbed system, contracting until
+    the bf16 floor; the mixed-precision refinement driver then restarts
+    it from the true f64 residual, exactly as it restarts CG passes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    lv0 = amg.levels[0]
+    n = b.shape[0]
+
+    def op(x):
+        return band_apply(lv0.A, lv0.dvec, x)
+
+    beta = jnp.linalg.norm(b)
+    bsafe = jnp.maximum(beta, 1e-30)
+    V = jnp.zeros((m + 1, n), b.dtype).at[0].set(b / bsafe)
+    Z = jnp.zeros((m, n), b.dtype)
+    H = jnp.zeros((m + 1, m), b.dtype)
+
+    def body(j, carry):
+        V, Z, H = carry
+        z = band_vcycle(amg, V[j])
+        w = op(z)
+        mask = jnp.arange(m + 1) <= j
+        # classical Gram-Schmidt, two passes (stable and all-matmul)
+        h1 = jnp.where(mask, V @ w, 0.0)
+        w = w - h1 @ V
+        h2 = jnp.where(mask, V @ w, 0.0)
+        w = w - h2 @ V
+        hcol = h1 + h2
+        wn = jnp.linalg.norm(w)
+        V = V.at[j + 1].set(w / jnp.maximum(wn, 1e-30))
+        Z = Z.at[j].set(z)
+        H = H.at[:, j].set(hcol.at[j + 1].add(wn))
+        return V, Z, H
+
+    V, Z, H = jax.lax.fori_loop(0, m, body, (V, Z, H))
+    e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+    y, _, _, _ = jnp.linalg.lstsq(H, e1)
+    x = y @ Z
+    rel = jnp.linalg.norm(e1 - H @ y) / bsafe
+    return x, rel, jnp.array(m, jnp.int32)

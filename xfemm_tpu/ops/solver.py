@@ -710,10 +710,12 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             if est_bytes <= 6e9:
                 sym = False
             elif _band_bytes_estimate(Ap, band_mod.ROW_TILE,
-                                      sym=True) <= 6e9:
-                sym = True          # triu storage halves the footprint
+                                      sym=True) <= 11e9:
+                sym = True          # triu storage halves the footprint;
+                                    # smoothing shares the f32 band (no
+                                    # bf16 copy above BF16_SMOOTH_MAX)
             elif _band_bytes_estimate(Ap, band_mod.ROW_TILE, sym=True,
-                                      itemsize=2) <= 6e9:
+                                      itemsize=2) <= 8e9:
                 sym = True          # 1M-class: bf16 fine operator; the
                 fine_dtype = "bf16"  # refinement driver absorbs the
                                      # reduced operator precision
@@ -755,6 +757,10 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 session.band_amg = band_mod.update_fine_values(
                     session.band_amg, session.band_layout, Ap_data,
                     session.band_flat_idx)
+                if session.band_ckey is not None \
+                        and session.band_ckey in _BAND_CACHE:
+                    _BAND_CACHE[session.band_ckey]["band_amg"] = \
+                        session.band_amg
         use_band = session.band_amg is not None
 
     if coords is not None and not use_band:
@@ -815,10 +821,19 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             from . import band as band_mod
             perm, iperm = session.perm
             r_d = jnp.asarray((r / scale)[perm], dev_dtype)
+            lv0A = session.band_amg.levels[0].A.dense
             with profiling.phase("device cg"):
-                d_d, rr, it = band_mod.band_pcg(
-                    session.band_amg, r_d, tol_d,
-                    jnp.zeros(n, dev_dtype), int(inner_iter))
+                if lv0A.dtype == jnp.bfloat16:
+                    # bf16 operator: CG's three-term recurrence diverges
+                    # on the (effectively indefinite) perturbed system;
+                    # GMRES(m) restarted by the refinement loop is the
+                    # stable inner solver (see band.band_fgmres)
+                    d_d, rr, it = band_mod.band_fgmres(
+                        session.band_amg, r_d, m=24)
+                else:
+                    d_d, rr, it = band_mod.band_pcg(
+                        session.band_amg, r_d, tol_d,
+                        jnp.zeros(n, dev_dtype), int(inner_iter))
                 d_d.block_until_ready()
             total_it += int(it)
             if session.first_iters is None:
