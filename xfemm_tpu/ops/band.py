@@ -49,6 +49,8 @@ BF16_SMOOTH_MIN = 32 * 2 ** 20   # bf16 copy for smoothing matvecs when a
 BF16_SMOOTH_MAX = 3 * 10 ** 9    # ...but skip the copy for giant levels
                                  # (1M-class): the f32 band is already at
                                  # the HBM budget, smoothing shares it
+P_MAX_BYTES = 10 ** 9            # smoothed-prolongator bands (bf16) above
+                                 # this fall back to aggregation transfers
 
 
 @jax.tree_util.register_pytree_node_class
@@ -208,13 +210,13 @@ class BandLevel(NamedTuple):
     A: BandMatrix
     invd: "np.ndarray"       # (n,) device
     omega: "np.ndarray"      # scalar device
-    P: BandMatrix | None     # unused on device: grid transfers are the
-                             # unsmoothed aggregation (reshape-sum and
-                             # repeat) -- measured identical CG counts
-                             # to smoothed-P transfers, since the
-                             # smoothed P still shapes the GALERKIN
-                             # coarse matrices on host; kept as a field
-                             # for explicit-P experiments
+    P: BandMatrix | None     # smoothed prolongator band (bf16): using
+                             # it for the V-cycle transfers instead of
+                             # plain aggregation halves CG iterations
+                             # (66 vs 153 at 254k DOFs). None for levels
+                             # whose band exceeds the storage budget
+                             # (1M-class fine level): those fall back to
+                             # reshape-sum/repeat transfers.
     Pbf: BandMatrix | None = None
     Abf: BandMatrix | None = None   # bf16 copy for the V-cycle smoothing
                                     # residuals (2 of the 3 fine SpMVs
@@ -324,6 +326,11 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         else:
             Adata = Astore.data
         Adev = fill_band_device(layA, Adata, ROW_TILE, A_dtype)
+        cch_p = max(ROW_TILE // AGG, 8)
+        layP = pack_band_layout(P, ROW_TILE, cch_p)
+        Pdev = None
+        if layP[4] * layP[5] * layP[6] * 2 <= P_MAX_BYTES:
+            Pdev = fill_band_device(layP, P.data, cch_p, jnp.bfloat16)
         Abf = None
         if (Adev.dense.dtype != jnp.bfloat16
                 and BF16_SMOOTH_MIN < Adev.dense.size * 4
@@ -335,7 +342,7 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             A=Adev,
             invd=jnp.asarray(invd, dtype),
             omega=jnp.asarray(omega, dtype),
-            P=None, Abf=Abf, dvec=dvec))
+            P=Pdev, Abf=Abf, dvec=dvec))
         A = Ac
         first = False
 
@@ -408,7 +415,7 @@ def update_fine_values(amg: BandAMG, fine_layout, data,
     if lv0.dvec is not None:
         new_dvec = jnp.asarray(data[diag_pos].astype(np.float32))
     levels = (BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
-                        P=None, Abf=newAbf, dvec=new_dvec),) \
+                        P=lv0.P, Abf=newAbf, dvec=new_dvec),) \
         + amg.levels[1:]
     return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n)
 
@@ -427,16 +434,20 @@ def band_vcycle(amg: BandAMG, r):
         d = r - band_apply(As, lv.dvec, z)
         rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
                   else amg.coarse_inv.shape[0])
-        # unsmoothed-aggregation transfers: restriction is a reshape
-        # segment-sum over the contiguous AGG runs, prolongation the
-        # matching repeat (adjoint pair -> M stays symmetric). The
-        # smoothed prolongator only shapes the Galerkin coarse matrices
-        # at setup; using it for the runtime transfers too measured
-        # ZERO iteration difference, so the device stores no P at all.
-        pad = rc_len * AGG - d.shape[0]
-        rc = jnp.pad(d, (0, pad)).reshape(rc_len, AGG).sum(axis=1)
+        if lv.P is not None:
+            # smoothed-prolongator transfers (bf16): halves CG
+            # iterations vs plain aggregation
+            rc = band_rmatvec(lv.P, d)[:rc_len]
+        else:
+            # aggregation transfers (adjoint pair: segment-sum/repeat)
+            # for levels whose P band exceeds the HBM budget
+            pad = rc_len * AGG - d.shape[0]
+            rc = jnp.pad(d, (0, pad)).reshape(rc_len, AGG).sum(axis=1)
         zc = cycle(l + 1, rc)
-        z = z + jnp.repeat(zc, AGG)[:r.shape[0]]
+        if lv.P is not None:
+            z = z + band_matvec(lv.P, zc)[:r.shape[0]]
+        else:
+            z = z + jnp.repeat(zc, AGG)[:r.shape[0]]
         z = z + lv.omega * lv.invd * (
             r - band_apply(As, lv.dvec, z))
         return z
