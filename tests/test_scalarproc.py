@@ -16,7 +16,9 @@ from xfemm_tpu.post.scalarproc import ElecPostProcessor, HeatPostProcessor
 @pytest.fixture(scope="module")
 def heat(fixtures):
     g = ansfile.read_ans(str(fixtures / "HPTemp0.anh"))
-    return HeatPostProcessor(g.problem, g.mesh, np.real(g.values))
+    p = HeatPostProcessor(g.problem, g.mesh, np.real(g.values))
+    p.smoothing = False      # .out.check "Field Smoothing OFF" section
+    return p
 
 
 def test_heat_block_integrals(heat):
@@ -48,6 +50,7 @@ def test_heat_point_values(heat):
 def test_electro_integrals_and_points(fixtures):
     g = ansfile.read_ans(str(fixtures / "EPtest.res"))
     post = ElecPostProcessor(g.problem, g.mesh, np.real(g.values))
+    post.smoothing = False   # .out.check "Field Smoothing OFF" section
     assert post.block_integral(1, {0}) == pytest.approx(1.513797, abs=5e-6)
     assert post.block_integral(2, {0}) == pytest.approx(4.156622, abs=5e-6)
     E = post.block_integral(4, {0})
@@ -61,3 +64,23 @@ def test_electro_integrals_and_points(fixtures):
     pv = post.get_point_values(0.10, 0.80)
     assert pv["V"] == pytest.approx(38.170717, abs=5e-6)
     assert pv["Ex"] == pytest.approx(-2.867381, abs=5e-6)
+
+
+def test_smoothed_point_values(fixtures):
+    """Smoothed (default) point values vs the reference's "Field
+    Smoothing ON" sections. Our nodal patch fit weights ring nodes once
+    where the reference's ccw+cw scans count most twice, so agreement
+    is ~1e-4 relative rather than exact."""
+    g = ansfile.read_ans(str(fixtures / "HPTemp0.anh"))
+    heat = HeatPostProcessor(g.problem, g.mesh, np.real(g.values))
+    pv = heat.get_point_values(0.005, 0.005)
+    assert pv["T"] == pytest.approx(306.833130, abs=5e-6)
+    assert pv["Fx"] == pytest.approx(327.588978, rel=2e-3)
+    assert pv["Fy"] == pytest.approx(-31.309126, rel=2e-2)
+
+    ge = ansfile.read_ans(str(fixtures / "EPtest.res"))
+    post = ElecPostProcessor(ge.problem, ge.mesh, np.real(ge.values))
+    pv = post.get_point_values(0.25, 0.0)
+    assert pv["V"] == pytest.approx(48.386490, abs=5e-6)
+    assert pv["Ex"] == pytest.approx(32.241565, rel=2e-2)
+    assert pv["Ey"] == pytest.approx(2.438517, rel=2e-1)

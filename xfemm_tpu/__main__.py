@@ -82,6 +82,16 @@ def cmd_solve(args) -> int:
     return 0
 
 
+def cmd_script(args) -> int:
+    from .scripting import lua
+    try:
+        lua.run_file(args.file)
+    except lua.LuaError as e:
+        print(f"lua error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="xfemm_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -93,6 +103,10 @@ def main(argv=None) -> int:
     spp.add_argument("--premeshed", action="store_true",
                      help="read existing .node/.ele/.edge/.pbc files")
     spp.set_defaults(fn=cmd_solve)
+    lp = sub.add_parser("script", help="run a FEMM Lua automation script "
+                        "(femmcli --lua-script equivalent)")
+    lp.add_argument("file")
+    lp.set_defaults(fn=cmd_script)
     args = ap.parse_args(argv)
     return args.fn(args)
 

@@ -238,10 +238,16 @@ class Solution:
                                          sol.label_case)
         elif ft == FileType.HEATFLOW:
             from .post.scalarproc import HeatPostProcessor
-            self.post = HeatPostProcessor(doc.problem, mesh, sol.T)
+            nbc = getattr(sol, "node_conductor", None)
+            self.post = HeatPostProcessor(
+                doc.problem, mesh, sol.T,
+                node_bc=(nbc >= 0) if nbc is not None else None)
         else:
             from .post.scalarproc import ElecPostProcessor
-            self.post = ElecPostProcessor(doc.problem, mesh, sol.V)
+            nbc = getattr(sol, "node_conductor", None)
+            self.post = ElecPostProcessor(
+                doc.problem, mesh, sol.V,
+                node_bc=(nbc >= 0) if nbc is not None else None)
 
     # ------------------------------------------------------------------ #
     def point_values(self, x: float, y: float) -> dict:

@@ -255,7 +255,9 @@ def mi_modifyboundprop(name, propnum, value):
     bp = _d().problem.lineproplist[_d().problem.boundary_index(name)]
     fields = ["name", "A0", "A1", "A2", "phi", "Mu", "Sig", "c0", "c1",
               "BdryFormat", "InnerAngle", "OuterAngle"]
-    setattr(bp, fields[propnum], value)
+    if fields[int(propnum)] == "BdryFormat":
+        value = int(value)
+    setattr(bp, fields[int(propnum)], value)
 
 
 # --------------------------- pipeline --------------------------------- #
@@ -268,7 +270,11 @@ def mi_createmesh():
 
 
 def mi_analyze(flag=0):
+    # the reference's analyze always re-meshes the current geometry
+    # (femmcli runs fmesher then fsolver); keep that contract so
+    # property edits between analyses take effect
     global _sol
+    _d()._mesh = None
     _sol = _d().analyze()
 
 
@@ -288,8 +294,13 @@ def mo_getpointvalues(x, y):
     # energy density E = B.H/2
     E = ((v["B1"] * np.conj(v["H1"])).real
          + (v["B2"] * np.conj(v["H2"])).real) / 2.0
-    return (v["A"], v["B1"], v["B2"], 0.0, E, v["H1"], v["H2"],
-            v.get("Je", 0.0), 0.0, v["mu1"], v["mu2"], 0.0, 0.0)
+    out = (v["A"], v["B1"], v["B2"], v.get("Sig", 0.0), E,
+           v["H1"], v["H2"], v.get("Je", 0.0), v.get("Js", 0.0),
+           v["mu1"], v["mu2"], v.get("Pe", 0.0), v.get("Ph", 0.0))
+    if _d().problem.Frequency == 0:
+        # the scripting layer exposes real numbers for DC solutions
+        out = tuple(x.real if isinstance(x, complex) else x for x in out)
+    return out
 
 
 def mo_selectblock(x, y):
@@ -349,3 +360,81 @@ for _name in ("mi_zoomnatural", "mi_zoom", "mi_showgrid", "mi_hidegrid",
               "hideconsole", "messagebox", "makeplot", "mi_close",
               "mo_close"):
     globals()[_name] = _noop
+
+
+# ----------------- heat-flow verbs (hi_*/ho_*) ------------------------- #
+# (LuaHeatflowCommands.cpp registrations; the in-memory session flow is
+# identical to magnetics: analyze solves by filetype, the postprocessor
+# handle exposes point values/integrals)
+def hi_analyze(flag=0):
+    mi_analyze(flag)
+
+
+def hi_loadsolution():
+    return mi_loadsolution()
+
+
+def hi_saveas(path):
+    mi_saveas(path)
+
+
+def ho_getpointvalues(x, y):
+    """T, Fx, Fy, Gx, Gy, kx, ky (LuaHeatflowCommands luaGetpointvals)."""
+    v = _s().point_values(x, y)
+    if not v:
+        return None
+    return (v["T"], v["Fx"], v["Fy"], v["Gx"], v["Gy"], v["Kx"], v["Ky"])
+
+
+def ho_blockintegral(inttype):
+    return mo_blockintegral(inttype)
+
+
+def ho_lineintegral(inttype, contour=None):
+    return mo_lineintegral(inttype, contour)
+
+
+def ho_getconductorproperties(name):
+    sol = _sol.raw
+    p = _d().problem
+    for i, c in enumerate(p.circproplist):
+        if c.name == name:
+            return (sol.conductor_V[i], sol.conductor_q[i])
+    raise KeyError(name)
+
+
+# -------------- electrostatics verbs (ei_*/eo_*) ----------------------- #
+def ei_analyze(flag=0):
+    mi_analyze(flag)
+
+
+def ei_loadsolution():
+    return mi_loadsolution()
+
+
+def ei_saveas(path):
+    mi_saveas(path)
+
+
+def eo_getpointvalues(x, y):
+    """V, Dx, Dy, Ex, Ey, ex, ey, nrg (LuaElectrostaticsCommands)."""
+    v = _s().point_values(x, y)
+    if not v:
+        return None
+    from .post.scalarproc import EPS0
+    nrg = (v["Dx"] * v["Ex"] + v["Dy"] * v["Ey"]) / 2.0
+    # the scripting layer reports RELATIVE permittivity (femm42 ex/ey)
+    return (v["V"], v["Dx"], v["Dy"], v["Ex"], v["Ey"],
+            v["Kx"] / EPS0, v["Ky"] / EPS0, nrg)
+
+
+def eo_blockintegral(inttype):
+    return mo_blockintegral(inttype)
+
+
+def eo_lineintegral(inttype, contour=None):
+    return mo_lineintegral(inttype, contour)
+
+
+def eo_getconductorproperties(name):
+    return ho_getconductorproperties(name)

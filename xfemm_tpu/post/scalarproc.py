@@ -37,10 +37,15 @@ class ScalarPostProcessor:
     """Shared machinery; ``mode`` is 'heat' or 'electro'."""
 
     def __init__(self, problem: Problem, mesh: MeshData, V: np.ndarray,
-                 mode: str):
+                 mode: str, node_bc: np.ndarray | None = None):
         self.problem = problem
         self.mesh = mesh
         self.V = np.asarray(V, float)
+        self.node_bc = node_bc    # True where the node carries a fixed
+                                  # conductor/point BC (getNodalD punts)
+        self.smoothing = True     # setSmoothing(): nodal-patch smoothed
+                                  # D/F at point queries (reference
+                                  # default, PostProcessor.cpp:77)
         self.mode = mode
         self.lc = LENGTH_TO_METERS[problem.LengthUnits]
         self.axi = problem.ProblemType == ProblemType.AXISYMMETRIC
@@ -51,6 +56,8 @@ class ScalarPostProcessor:
                              for i in mesh.element_labels], np.int64)
         self._geom()
         self._element_fields()
+        self._conlist = None      # node -> adjacent elements (lazy)
+        self._nodal_cache: dict = {}
 
     # ------------------------------------------------------------------ #
     def _geom(self):
@@ -131,6 +138,79 @@ class ScalarPostProcessor:
         idx = np.nonzero(ok)[0]
         return int(idx[0]) if len(idx) else -1
 
+    def _node_elements(self):
+        if self._conlist is None:
+            tris = self.mesh.elements
+            T = tris.shape[0]
+            flat = tris.ravel()
+            order = np.argsort(flat, kind="stable")
+            elems = np.repeat(np.arange(T), 3)[order]
+            starts = np.searchsorted(flat[order],
+                                     np.arange(len(self.mesh.nodes) + 1))
+            self._conlist = (elems, starts)
+        return self._conlist
+
+    def _nodal_D(self, t: int) -> np.ndarray:
+        """Smoothed flux density at element t's nodes: weighted plane
+        fit of the potential over the same-material node patch
+        (PostProcessor.cpp:894 getNodalD), then D = K E / AECF."""
+        if t in self._nodal_cache:
+            return self._nodal_cache[t]
+        elems, starts = self._node_elements()
+        tri = self.mesh.elements[t]
+        xy = self.mesh.nodes
+        out = np.zeros((3, 2))
+        for i, j in enumerate(tri):
+            if self.node_bc is not None and self.node_bc[j]:
+                # node on a fixed conductor: the patch straddles the BC,
+                # use the element value (PostProcessor.cpp:975-1005)
+                out[i] = (self.Dx[t], self.Dy[t])
+                continue
+            adj = elems[starts[j]:starts[j + 1]]
+            same = adj[self.blk[adj] == self.blk[t]]
+            if len(same) == 0:
+                out[i] = (self.Dx[t], self.Dy[t])
+                continue
+            patch = np.unique(self.mesh.elements[same].ravel())
+            dx = xy[patch, 0] - xy[j, 0]
+            dy = xy[patch, 1] - xy[j, 1]
+            dv = self.V[j] - self.V[patch]
+            ii = float(len(patch))
+            A = np.array([[ii, dx.sum(), dy.sum()],
+                          [dx.sum(), (dx * dx).sum(), (dx * dy).sum()],
+                          [dy.sum(), (dx * dy).sum(), (dy * dy).sum()]])
+            rhs = np.array([dv.sum(), (dx * dv).sum(), (dy * dv).sum()])
+            try:
+                sol = np.linalg.solve(A, rhs)
+                Ex, Ey = sol[1] / self.lc, sol[2] / self.lc
+            except np.linalg.LinAlgError:
+                out[i] = (self.Dx[t], self.Dy[t])
+                continue
+            if self.mode == "heat":
+                # K evaluated at the NODE temperature, no AECF here
+                # (PostProcessor.cpp:1079-1083)
+                knx, kny = self.mats[self.blk[t]].get_k(self.V[j])
+                out[i] = (knx * Ex, kny * Ey)
+            else:
+                aecf = self._aecf()[t]
+                out[i] = (self.kx[t] * Ex / aecf, self.ky[t] * Ey / aecf)
+        self._nodal_cache[t] = out
+        return out
+
+    def _point_D(self, x: float, y: float, t: int) -> tuple:
+        """Barycentric interpolation of the smoothed nodal D
+        (PostProcessor.cpp:1153 getPointD)."""
+        d = self._nodal_D(t)
+        tri = self.mesh.elements[t]
+        xy = self.mesh.nodes[tri]
+        d1 = xy[1] - xy[0]
+        d2 = xy[2] - xy[0]
+        det = d1[0] * d2[1] - d1[1] * d2[0]
+        s = ((x - xy[0][0]) * d2[1] - (y - xy[0][1]) * d2[0]) / det
+        u = ((y - xy[0][1]) * d1[0] - (x - xy[0][0]) * d1[1]) / det
+        w = np.array([1 - s - u, s, u])
+        return float(w @ d[:, 0]), float(w @ d[:, 1])
+
     def get_point_values(self, x: float, y: float) -> dict:
         t = self.find_element(x, y)
         if t < 0:
@@ -144,8 +224,14 @@ class ScalarPostProcessor:
         u = ((y - xy[0][1]) * d1[0] - (x - xy[0][0]) * d1[1]) / det
         V = ((1 - s - u) * self.V[tri[0]] + s * self.V[tri[1]]
              + u * self.V[tri[2]])
-        out = {"V": V, "Dx": self.Dx[t], "Dy": self.Dy[t],
-               "Ex": self.Ex[t], "Ey": self.Ey[t],
+        # smoothed D like the reference default (getPointD w/ Smooth);
+        # E recovered from the smoothed D through the local material
+        if self.smoothing:
+            Dx, Dy = self._point_D(x, y, t)
+        else:
+            Dx, Dy = self.Dx[t], self.Dy[t]
+        out = {"V": V, "Dx": Dx, "Dy": Dy,
+               "Ex": Dx / self.kx[t], "Ey": Dy / self.ky[t],
                "Kx": self.kx[t], "Ky": self.ky[t]}
         if self.mode == "heat":
             # point K is evaluated at the interpolated temperature and
@@ -154,8 +240,8 @@ class ScalarPostProcessor:
             aecf = self._aecf()[t]
             kx /= aecf
             ky /= aecf
-            out.update(T=V, Fx=self.Dx[t], Fy=self.Dy[t], Kx=kx, Ky=ky,
-                       Gx=self.Dx[t] / kx, Gy=self.Dy[t] / ky)
+            out.update(T=V, Fx=Dx, Fy=Dy, Kx=kx, Ky=ky,
+                       Gx=Dx / kx, Gy=Dy / ky)
         return out
 
     # ------------------------------------------------------------------ #
@@ -250,10 +336,10 @@ class ScalarPostProcessor:
 
 
 class HeatPostProcessor(ScalarPostProcessor):
-    def __init__(self, problem, mesh, T):
-        super().__init__(problem, mesh, T, "heat")
+    def __init__(self, problem, mesh, T, node_bc=None):
+        super().__init__(problem, mesh, T, "heat", node_bc=node_bc)
 
 
 class ElecPostProcessor(ScalarPostProcessor):
-    def __init__(self, problem, mesh, V):
-        super().__init__(problem, mesh, V, "electro")
+    def __init__(self, problem, mesh, V, node_bc=None):
+        super().__init__(problem, mesh, V, "electro", node_bc=node_bc)
