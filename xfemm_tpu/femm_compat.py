@@ -226,11 +226,33 @@ def mi_addmaterial(name, mux=1, muy=1, Hc=0, J=0, Cduct=0, Lam_d=0,
     _d().problem.blockproplist.append(m)
 
 
+# A few standard materials built in (physical constants, the same
+# values FEMM's library documents publicly): enough for scripts that
+# pull common names without shipping a library file. Full libraries
+# load via libpath= or the XFEMM_TPU_MATLIB environment variable.
+_BUILTIN_MATERIALS = {
+    "air": dict(mu_x=1.0, mu_y=1.0),
+    "copper": dict(mu_x=1.0, mu_y=1.0, Cduct=58.0),
+    "aluminum, 1100": dict(mu_x=1.0, mu_y=1.0, Cduct=34.45),
+    "316 stainless steel": dict(mu_x=1.008, mu_y=1.008, Cduct=1.334),
+}
+
+
 def mi_getmaterial(name, libpath=None):
-    """Pull a material from a library file (mi_getmaterial); femm's
-    built-in library location must be passed explicitly here."""
+    """Pull a material from a library file (mi_getmaterial), a built-in
+    standard material, or $XFEMM_TPU_MATLIB."""
+    import os
     if libpath is None:
-        raise ValueError("pass libpath= pointing at a matlib.dat")
+        libpath = os.environ.get("XFEMM_TPU_MATLIB")
+    if libpath is None:
+        key = name.lower()
+        if key in _BUILTIN_MATERIALS:
+            m = MagneticMaterial(name=name, **_BUILTIN_MATERIALS[key])
+            _d().problem.blockproplist.append(m)
+            return
+        raise ValueError(
+            f"material {name!r} is not built in; pass libpath= or set "
+            "XFEMM_TPU_MATLIB to a matlib.dat")
     _d().add_material_from_library(libpath, name)
 
 

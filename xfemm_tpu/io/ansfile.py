@@ -136,9 +136,17 @@ def read_ans(path: str) -> SolutionFile:
     """Parse a solution file: .ans (magnetics), .anh (heat flow) or .res
     (electrostatics), own output or the reference's."""
     lower = path.lower()
-    if ".anh" in lower:
+    # exact extension first; fall back to suffixed copies (.anh.golden).
+    # Substring matching alone misfires on names like foo.result.ans.
+    if lower.endswith(".anh"):
         ftype = FileType.HEATFLOW
-    elif ".res" in lower:
+    elif lower.endswith(".res"):
+        ftype = FileType.ELECTROSTATICS
+    elif lower.endswith(".ans"):
+        ftype = FileType.MAGNETICS
+    elif ".anh." in lower:
+        ftype = FileType.HEATFLOW
+    elif ".res." in lower:
         ftype = FileType.ELECTROSTATICS
     else:
         ftype = FileType.MAGNETICS

@@ -199,6 +199,7 @@ struct Mesh {
     std::vector<double> region_maxarea;        // indexed by attr-1
     double minangle = 0.0;
     bool no_boundary_steiner = false;
+    int n_input = 0;   // vertices below this id are input (pre-refine)
     int nsuper0 = 0;
     int last_tri = 0;
 
@@ -792,9 +793,26 @@ bool circum(const Mesh &m, int t, CircumData &cd) {
     return true;
 }
 
-inline bool in_diametral(const Mesh &m, int a, int b, double x, double y) {
-    return (m.px[a] - x) * (m.px[b] - x) + (m.py[a] - y) * (m.py[b] - y) <
-           0.0;
+inline bool in_diametral(const Mesh &m, int a, int b, double x, double y,
+                         bool lens = true) {
+    // Diametral LENS (Shewchuk): the point encroaches only if the angle
+    // it subtends at the segment exceeds the lens angle derived from the
+    // quality bound, not the 90 degrees of the diametral circle. The
+    // circle test cascades boundary splits near curved inputs and grades
+    // whole regions ~4x finer than the area constraints ask for. Callers
+    // that MUST make progress (a proposed point that cannot be inserted)
+    // pass lens=false for the plain circle.
+    double dax = m.px[a] - x, day = m.py[a] - y;
+    double dbx = m.px[b] - x, dby = m.py[b] - y;
+    double dot = dax * dbx + day * dby;
+    if (dot >= 0.0) return false;
+    if (!lens) return true;
+    double g = std::cos(m.minangle * M_PI / 180.0);
+    g = 2.0 * g * g - 1.0;           // = cos(2*minangle)
+    if (g <= 0.0) return true;       // minangle >= 45: plain circle
+    double la2 = dax * dax + day * day;
+    double lb2 = dbx * dbx + dby * dby;
+    return dot * dot >= g * g * la2 * lb2;
 }
 
 void refine(Mesh &m) {
@@ -846,16 +864,50 @@ void refine(Mesh &m) {
     const size_t maxiter = 80u * 1000u * 1000u;
     const bool dbg = getenv("TPUMESH_DEBUG") != nullptr;
 
+    // Scan the insertion neighborhood of p for a constrained edge whose
+    // diametral lens contains p. Returns the edge key or 0.
+    auto find_encroached = [&](double ix, double iy, int tc) -> uint64_t {
+        std::vector<int> st{tc};
+        std::unordered_set<int> seen{tc};
+        double p[2] = {ix, iy};
+        while (!st.empty()) {
+            int tt = st.back();
+            st.pop_back();
+            for (int i = 0; i < 3; ++i) {
+                int a = m.tris[tt].v[(i + 1) % 3];
+                int b = m.tris[tt].v[(i + 2) % 3];
+                int nt = m.tris[tt].n[i];
+                if (m.is_constrained(a, b)) {
+                    if (in_diametral(m, a, b, ix, iy)) return ekey(a, b);
+                } else if (nt >= 0 && !seen.count(nt) &&
+                           m.incircle_tri(nt, p) > 0.0) {
+                    seen.insert(nt);
+                    st.push_back(nt);
+                }
+            }
+        }
+        return 0;
+    };
+
     // centroid fallback for area-driven splits whose circumcenter is
     // blocked (escapes the region or encroaches a protected segment): the
     // centroid is always strictly inside the triangle, so insertion cannot
     // leak across constraints. Without this, "-Y" meshes keep arbitrarily
-    // large triangles next to curved protected boundaries.
+    // large triangles next to curved protected boundaries. The centroid
+    // must still respect segment encroachment (else near-boundary points
+    // accumulate that quality refinement can never clean up): split the
+    // offending non-protected segment instead.
     auto insert_centroid = [&](int t) {
         double gx = (m.px[m.tris[t].v[0]] + m.px[m.tris[t].v[1]] +
                      m.px[m.tris[t].v[2]]) / 3.0;
         double gy = (m.py[m.tris[t].v[0]] + m.py[m.tris[t].v[1]] +
                      m.py[m.tris[t].v[2]]) / 3.0;
+        uint64_t enck = find_encroached(gx, gy, t);
+        if (enck && !m.is_protected(enck)) {
+            int a = int(enck >> 32), b = int(enck & 0xffffffffu);
+            if (split_segment(a, b) >= 0) queue.push_back(t);
+            return -1;
+        }
         std::vector<int> created;
         int v = add_point(m, gx, gy, 0, &created, t);
         if (v >= 0)
@@ -947,7 +999,7 @@ void refine(Mesh &m) {
                 int a = m.tris[t].v[(i + 1) % 3];
                 int b = m.tris[t].v[(i + 2) % 3];
                 if (m.is_constrained(a, b) &&
-                    in_diametral(m, a, b, ix, iy)) {
+                    in_diametral(m, a, b, ix, iy, /*lens=*/false)) {
                     if (split_segment(a, b) >= 0) {  // no-op when protected
                         queue.push_back(t);
                         acted = true;
@@ -1178,6 +1230,7 @@ int tpumesh_triangulate(
         }
     }
 
+    m.n_input = (int)m.px.size();
     refine(m);
 
     // ---- sliver cleanup ----

@@ -448,7 +448,17 @@ def _tostr(v) -> str:
     if isinstance(v, str):
         return v
     if isinstance(v, complex):
-        return f"{_num_to_str(v.real)}+I*{_num_to_str(v.imag)}"
+        # femmcomplex.cpp formatting: "re", "re+I", "re-I", "re+I*im"
+        re_s = _num_to_str(v.real)
+        if v.imag == 0:
+            return re_s
+        if v.imag == 1:
+            return re_s + "+I"
+        if v.imag == -1:
+            return re_s + "-I"
+        if v.imag > 0:
+            return re_s + "+I*" + _num_to_str(v.imag)
+        return re_s + "-I*" + _num_to_str(-v.imag)
     return str(v)
 
 
@@ -480,7 +490,19 @@ class Interpreter:
         for scope in reversed(self._locals):
             if name in scope:
                 return scope[name]
-        return self.globals.get(name)
+        v = self.globals.get(name)
+        if v is None and "_" in name:
+            # femmcli registers every verb under two spellings
+            # (mi_addnode / mi_add_node, showconsole / show_console);
+            # fall back to the compact form
+            m = re.match(r"^(m|e|h)(i|o)_(.+)$", name)
+            if m:
+                alt = f"{m.group(1)}{m.group(2)}_" + \
+                    m.group(3).replace("_", "")
+            else:
+                alt = name.replace("_", "")
+            v = self.globals.get(alt)
+        return v
 
     def set_var(self, name, value):
         for scope in reversed(self._locals):
@@ -537,6 +559,7 @@ class Interpreter:
         g["messagebox"] = lambda *a: self.output(
             " ".join(_tostr(x) for x in a))
         g["pause"] = lambda *a: None
+        g["quit"] = lambda *a: None
 
         def lassert(v, msg=None):
             if not _truthy(v):
@@ -544,6 +567,17 @@ class Interpreter:
             return v
 
         g["assert"] = lassert
+
+        import os as _os
+
+        g["chdir"] = lambda p: (_os.chdir(p), None)[1]
+        g["getcwd"] = lambda: _os.getcwd()
+        g["openfile"] = _openfile
+        g["closefile"] = lambda fh: (fh.close(), None)[1] if fh else None
+        g["remove"] = lambda p: (_os.remove(p), None)[1]
+        g["read"] = lambda fh, fmt="*l": _luaread(fh, fmt)
+        g["date"] = lambda fmt=None: __import__("time").strftime(
+            fmt or "%c")
         g["write"] = lambda *a: self.output(
             "".join(_tostr(x) for x in a).rstrip("\n"))
         g["exit"] = lambda *a: (_ for _ in ()).throw(_Return([]))
@@ -823,6 +857,28 @@ def _lua_format(fmt, args):
         out.append(c)
         i += 1
     return "".join(out)
+
+
+def _openfile(path, mode="r"):
+    try:
+        return open(path, mode)
+    except OSError:
+        return None
+
+
+def _luaread(fh, fmt="*l"):
+    if fmt == "*a":
+        return fh.read()
+    if fmt == "*n":
+        line = fh.readline()
+        try:
+            return float(line)
+        except ValueError:
+            return None
+    line = fh.readline()
+    if not line:
+        return None
+    return line.rstrip("\n")
 
 
 def _wrap_femm(fn):
