@@ -71,3 +71,32 @@ def test_partition_covers_all_elements():
     mats = ps.blocks[0][2].reshape(-1, 3, 3)
     nonzero_elems = int((np.abs(mats).sum(axis=(1, 2)) > 0).sum())
     assert nonzero_elems == blocks[0][0].shape[0]
+
+
+def test_distributed_schwarz_amg():
+    """Additive-Schwarz local-AMG preconditioning (parallel/schwarz.py):
+    same answer as the single-chip solve, in FEWER iterations than the
+    Jacobi-preconditioned distributed CG."""
+    import jax
+    from jax.sharding import Mesh
+
+    from xfemm_tpu.ops.solver import ElementBlock, solve
+    from xfemm_tpu.parallel import halo, partition as part
+
+    pk, blocks, b, coords = _system()
+    eb = [ElementBlock(idx=blocks[0][0], sign=blocks[0][1],
+                       mat=blocks[0][2])]
+    x_single, _, _ = solve(eb, b, pk.fixed_mask, pk.fixed_vals, 1e-10)
+    x_single = np.asarray(x_single)
+
+    ndev = 8
+    ps = part.partition(blocks, pk.nreduced, pk.fixed_mask, pk.fixed_vals,
+                        coords, ndev)
+    dev_mesh = Mesh(np.array(jax.devices()[:ndev]), ("d",))
+    x_j, _, it_jac = halo.solve_distributed(ps, b, 1e-10, dev_mesh)
+    x_s, res_s, it_sch = halo.solve_distributed(ps, b, 1e-10, dev_mesh,
+                                                schwarz=True)
+    scale = np.abs(x_single).max()
+    assert np.abs(x_s - x_single).max() / scale < 1e-8
+    assert res_s <= 1e-8
+    assert it_sch < it_jac

@@ -75,7 +75,7 @@ def _local_matvec(da: DeviceArrays, x_own, hmax, axis_name):
 
 
 def _pcg_shard(da: DeviceArrays, b, x0, diag, tol, max_iter, hmax,
-               axis_name):
+               axis_name, amg=None, coarse=None):
     fixed = da.fixed_mask
 
     def op(x):
@@ -87,11 +87,48 @@ def _pcg_shard(da: DeviceArrays, b, x0, diag, tol, max_iter, hmax,
         return jax.lax.psum(jnp.dot(u, v), axis_name)
 
     invd = jnp.where(da.valid, 1.0 / diag, 0.0)
+
+    if amg is None:
+        def prec_local(r):
+            return invd * r
+    else:
+        from ..ops.amg import vcycle
+
+        def prec_local(r):
+            # additive Schwarz: local V-cycle on the owned block, no
+            # communication (the local matrix carries identity rows at
+            # Dirichlet/padding slots, so those components pass through)
+            z = vcycle(amg, r)
+            return jnp.where(da.valid, z, 0.0)
+
+    if coarse is None:
+        prec = prec_local
+    else:
+        coarse_inv, aggc = coarse
+        nmax = da.fixed_mask.shape[0]
+        m = (nmax + aggc - 1) // aggc
+
+        def prec(r):
+            # two-level additive Schwarz: add a GLOBAL coarse correction
+            # over per-shard contiguous aggregates. One all_gather of
+            # ndev*m values, replicated tiny dense solve, local scatter.
+            z = prec_local(r)
+            rm = jnp.where(da.fixed_mask, 0.0, jnp.where(da.valid, r, 0.0))
+            pad = m * aggc - nmax
+            rc = jnp.pad(rm, (0, pad)).reshape(m, aggc).sum(axis=1)
+            rc_all = jax.lax.all_gather(rc, axis_name).reshape(-1)
+            zc = coarse_inv @ rc_all
+            me = jax.lax.axis_index(axis_name)
+            zc_me = jax.lax.dynamic_slice(zc, (me * m,), (m,))
+            zfine = jnp.repeat(zc_me, aggc)[:nmax]
+            zfine = jnp.where(da.fixed_mask | ~da.valid, 0.0, zfine)
+            return z + zfine
+
     res0 = pdot(invd * b, b)
     res0 = jnp.where(res0 == 0.0, 1.0, res0)
 
     r = b - op(x0)
-    z = invd * r
+    z = prec(r)
     p = z
     res = pdot(z, r)
 
@@ -106,7 +143,7 @@ def _pcg_shard(da: DeviceArrays, b, x0, diag, tol, max_iter, hmax,
         delta = res / pdot(p, u)
         x = x + delta * p
         r = r - delta * u
-        z = invd * r
+        z = prec(r)
         res_new = pdot(z, r)
         p = z + (res_new / res) * p
         return x, r, p, res_new, it + 1
@@ -117,25 +154,28 @@ def _pcg_shard(da: DeviceArrays, b, x0, diag, tol, max_iter, hmax,
 
 
 def make_distributed_pcg(mesh: Mesh, hmax: int, max_iter: int = 200000,
-                         axis_name: str = "d"):
+                         axis_name: str = "d", amg=None, coarse=None):
     """Build a jitted distributed PCG over a 1-D device mesh.
 
     Returns ``solve(da, b_dev, fixed_vals_dev, tol, x0_dev)`` operating on
-    (ndev, nmax) arrays sharded along the device axis.
+    (ndev, nmax) arrays sharded along the device axis. ``amg`` is an
+    optional stacked per-shard hierarchy (parallel/schwarz.py) applied as
+    an additive-Schwarz V-cycle preconditioner.
     """
     spec = P(axis_name)
 
+    coarse_aggc = None if coarse is None else coarse[1]
+
     def solve(da: DeviceArrays, b, diag, tol, x0):
         nblk = len(da.blocks_idx)
-        in_specs = (
-            DeviceArrays(blocks_idx=(spec,) * nblk,
-                         blocks_sign=(spec,) * nblk,
-                         blocks_mat=(spec,) * nblk,
-                         fixed_mask=spec, fixed_vals=spec, valid=spec),
-            spec, spec, spec, P())
+        da_spec = DeviceArrays(blocks_idx=(spec,) * nblk,
+                               blocks_sign=(spec,) * nblk,
+                               blocks_mat=(spec,) * nblk,
+                               fixed_mask=spec, fixed_vals=spec,
+                               valid=spec)
         out_specs = (spec, P(), P())
 
-        def kern(da_l, b_l, diag_l, x0_l, tol_l):
+        def kern(da_l, b_l, diag_l, x0_l, tol_l, amg_l, coarse_l):
             # leading singleton device axis is stripped by shard_map
             da_s = DeviceArrays(
                 blocks_idx=tuple(a[0] for a in da_l.blocks_idx),
@@ -144,14 +184,24 @@ def make_distributed_pcg(mesh: Mesh, hmax: int, max_iter: int = 200000,
                 fixed_mask=da_l.fixed_mask[0],
                 fixed_vals=da_l.fixed_vals[0],
                 valid=da_l.valid[0])
+            amg_s = (None if amg_l is None
+                     else jax.tree_util.tree_map(lambda a: a[0], amg_l))
+            coarse_s = (None if coarse_l is None
+                        else (coarse_l, coarse_aggc))
             x, rr, it = _pcg_shard(da_s, b_l[0], x0_l[0], diag_l[0], tol_l,
-                                   max_iter, hmax, axis_name)
+                                   max_iter, hmax, axis_name, amg=amg_s,
+                                   coarse=coarse_s)
             return x[None], rr, it
 
+        amg_spec = (None if amg is None
+                    else jax.tree_util.tree_map(lambda _: spec, amg))
+        coarse_spec = None if coarse is None else P()   # replicated
         fn = jax.shard_map(kern, mesh=mesh,
-                           in_specs=(in_specs[0], spec, spec, spec, P()),
+                           in_specs=(da_spec, spec, spec, spec, P(),
+                                     amg_spec, coarse_spec),
                            out_specs=out_specs)
-        return jax.jit(fn)(da, b, diag, x0, jnp.asarray(tol))
+        return jax.jit(fn)(da, b, diag, x0, jnp.asarray(tol), amg,
+                           None if coarse is None else coarse[0])
 
     return solve
 
@@ -197,7 +247,7 @@ def distributed_diag(mesh: Mesh, da: DeviceArrays, hmax: int,
 
 def solve_distributed(ps: PartitionedSystem, b: "np.ndarray",
                       tol: float, mesh: Mesh, x0=None,
-                      max_iter: int = 200000):
+                      max_iter: int = 200000, schwarz: bool = False):
     """End-to-end distributed solve from a PartitionedSystem.
 
     ``b`` is in reduced-DOF numbering; returns (x_reduced, relres, iters).
@@ -239,6 +289,13 @@ def solve_distributed(ps: PartitionedSystem, b: "np.ndarray",
         x0_dev = jnp.asarray(ps.to_devices(x0))
         x0_dev = jnp.where(da.fixed_mask, da.fixed_vals, x0_dev)
 
-    solver = make_distributed_pcg(mesh, ps.hmax, max_iter)
+    amg = None
+    coarse = None
+    if schwarz:
+        from .schwarz import build_global_coarse, build_schwarz_amg
+        amg = build_schwarz_amg(ps, dtype=np.float64)
+        coarse = build_global_coarse(ps)
+    solver = make_distributed_pcg(mesh, ps.hmax, max_iter, amg=amg,
+                                  coarse=coarse)
     x_dev, relres, iters = solver(da, rhs, diag, tol, x0_dev)
     return ps.from_devices(np.asarray(x_dev)), float(relres), int(iters)
