@@ -72,3 +72,73 @@ def test_antiperiodic_age_torque(fixtures):
         tq = femm.mo_gapintegral("AGE", 0)
         ref = math.sin(math.radians(deg))
         assert abs(tq - ref) <= 4.2e-5
+
+
+def test_heat_document_from_verbs():
+    """A heat-flow problem built entirely from the hi_* verb surface
+    (LuaHeatflowCommands equivalents): 1-D conduction across a unit
+    square, fixed 0 K / 100 K walls, k = 1 -- T(x) = 100 x."""
+    femm.hi_newdocument()
+    femm.hi_probdef("meters", "planar", 1e-8, 1)
+    femm.hi_addnode(0, 0)
+    femm.hi_addnode(1, 0)
+    femm.hi_addnode(1, 1)
+    femm.hi_addnode(0, 1)
+    femm.hi_addsegment(0, 0, 1, 0)
+    femm.hi_addsegment(1, 0, 1, 1)
+    femm.hi_addsegment(1, 1, 0, 1)
+    femm.hi_addsegment(0, 1, 0, 0)
+    femm.hi_addmaterial("iron", kx=1.0, ky=1.0)
+    femm.hi_addboundprop("cold", 0, 0.0)
+    femm.hi_addboundprop("hot", 0, 100.0)
+    femm.hi_addblocklabel(0.5, 0.5)
+    femm.hi_selectlabel(0.5, 0.5)
+    femm.hi_setblockprop("iron", 1, 0, 0)
+    femm.hi_clearselected()
+    femm.hi_selectnode(0, 0)
+    femm.hi_selectnode(0, 1)
+    femm.hi_setsegmentprop("cold", 0, 1, 0, 0)
+    femm.hi_clearselected()
+    femm.hi_selectnode(1, 0)
+    femm.hi_selectnode(1, 1)
+    femm.hi_setsegmentprop("hot", 0, 1, 0, 0)
+    femm.hi_clearselected()
+    femm.hi_analyze()
+    femm.hi_loadsolution()
+    for x in (0.25, 0.5, 0.75):
+        T = femm.ho_getpointvalues(x, 0.5)[0]
+        assert abs(T - 100.0 * x) < 1e-6, (x, T)
+
+
+def test_electro_document_from_verbs():
+    """Same 1-D check through the ei_* surface: V(x) = 10 x."""
+    femm.ei_newdocument()
+    femm.ei_probdef("meters", "planar", 1e-8, 1)
+    femm.ei_addnode(0, 0)
+    femm.ei_addnode(1, 0)
+    femm.ei_addnode(1, 1)
+    femm.ei_addnode(0, 1)
+    femm.ei_addsegment(0, 0, 1, 0)
+    femm.ei_addsegment(1, 0, 1, 1)
+    femm.ei_addsegment(1, 1, 0, 1)
+    femm.ei_addsegment(0, 1, 0, 0)
+    femm.ei_addmaterial("diel", ex=4.0, ey=4.0)
+    femm.ei_addboundprop("gnd", 0.0, 0, 0, 0, 0)
+    femm.ei_addboundprop("live", 10.0, 0, 0, 0, 0)
+    femm.ei_addblocklabel(0.5, 0.5)
+    femm.ei_selectlabel(0.5, 0.5)
+    femm.ei_setblockprop("diel", 1, 0, 0)
+    femm.ei_clearselected()
+    femm.ei_selectnode(0, 0)
+    femm.ei_selectnode(0, 1)
+    femm.ei_setsegmentprop("gnd", 0, 1, 0, 0)
+    femm.ei_clearselected()
+    femm.ei_selectnode(1, 0)
+    femm.ei_selectnode(1, 1)
+    femm.ei_setsegmentprop("live", 0, 1, 0, 0)
+    femm.ei_clearselected()
+    femm.ei_analyze()
+    femm.ei_loadsolution()
+    for x in (0.25, 0.75):
+        V = femm.eo_getpointvalues(x, 0.5)[0]
+        assert abs(V - 10.0 * x) < 1e-6, (x, V)

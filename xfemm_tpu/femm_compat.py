@@ -40,6 +40,8 @@ _sol: api.Solution | None = None
 _selected_nodes: list[int] = []
 _selected_labels: list[int] = []
 _selected_groups: list[int] = []
+_selected_segments: list[int] = []
+_selected_arcs: list[int] = []
 
 
 def _d() -> api.Document:
@@ -57,9 +59,10 @@ def _s() -> api.Solution:
 def newdocument(doctype: int = 0):
     """0 magnetics, 2 heat flow, 1 electrostatics (femm doc types)."""
     global _doc, _sol
-    kind = {0: "magnetics", 1: "electrostatics", 2: "heatflow"}[doctype]
+    kind = {0: "magnetics", 1: "electrostatics", 2: "heatflow"}[int(doctype)]
     _doc = api.new_document(kind)
     _sol = None
+    mi_clearselected()
     return _doc
 
 
@@ -67,6 +70,7 @@ def opendocument(path: str):
     global _doc, _sol
     _doc = api.open_document(path)
     _sol = None
+    mi_clearselected()
     return _doc
 
 
@@ -136,6 +140,8 @@ def mi_clearselected():
     _selected_nodes.clear()
     _selected_labels.clear()
     _selected_groups.clear()
+    _selected_segments.clear()
+    _selected_arcs.clear()
 
 
 def mi_setnodeprop(propname="", groupno=0, inconductor=""):
@@ -460,3 +466,338 @@ def eo_lineintegral(inttype, contour=None):
 
 def eo_getconductorproperties(name):
     return ho_getconductorproperties(name)
+
+
+# ------------------ selection & editing (additional verbs) ------------- #
+def mi_selectsegment(x, y):
+    """Select the segment nearest (x, y) (LuaCommonCommands
+    luaSelectSegment); its endpoints are also marked so the
+    set*segmentprop verbs see it."""
+    p = _d().problem
+    best, bd = -1, 1e300
+    for i, seg in enumerate(p.linelist):
+        a = p.nodelist[seg.n0]
+        bnd = p.nodelist[seg.n1]
+        ax, ay, bx, by = a.x, a.y, bnd.x, bnd.y
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((x - ax) * dx
+                                                   + (y - ay) * dy) / L2))
+        d2 = (ax + t * dx - x) ** 2 + (ay + t * dy - y) ** 2
+        if d2 < bd:
+            best, bd = i, d2
+    if best >= 0:
+        _selected_segments.append(best)
+        seg = p.linelist[best]
+        _selected_nodes.extend([seg.n0, seg.n1])
+    return best
+
+
+def mi_selectarcsegment(x, y):
+    p = _d().problem
+    best, bd = -1, 1e300
+    for i, arc in enumerate(p.arclist):
+        a = p.nodelist[arc.n0]
+        b = p.nodelist[arc.n1]
+        mx, my = (a.x + b.x) / 2, (a.y + b.y) / 2
+        d2 = (mx - x) ** 2 + (my - y) ** 2
+        if d2 < bd:
+            best, bd = i, d2
+    if best >= 0:
+        _selected_arcs.append(best)
+        arc = p.arclist[best]
+        _selected_nodes.extend([arc.n0, arc.n1])
+    return best
+
+
+def mi_selectcircle(x, y, R, editmode=4):
+    """Select all entities within radius R of (x, y)."""
+    p = _d().problem
+    for i, nd in enumerate(p.nodelist):
+        if (nd.x - x) ** 2 + (nd.y - y) ** 2 <= R * R:
+            _selected_nodes.append(i)
+    for i, lab in enumerate(p.labellist):
+        if (lab.x - x) ** 2 + (lab.y - y) ** 2 <= R * R:
+            _selected_labels.append(i)
+
+
+def mi_selectrectangle(x1, y1, x2, y2, editmode=4):
+    p = _d().problem
+    xlo, xhi = min(x1, x2), max(x1, x2)
+    ylo, yhi = min(y1, y2), max(y1, y2)
+    for i, nd in enumerate(p.nodelist):
+        if xlo <= nd.x <= xhi and ylo <= nd.y <= yhi:
+            _selected_nodes.append(i)
+    for i, lab in enumerate(p.labellist):
+        if xlo <= lab.x <= xhi and ylo <= lab.y <= yhi:
+            _selected_labels.append(i)
+
+
+def mi_deleteselectednodes():
+    p = _d().problem
+    for i in sorted(set(_selected_nodes), reverse=True):
+        # drop segments/arcs touching the node, then the node itself
+        p.linelist[:] = [s for s in p.linelist
+                         if s.n0 != i and s.n1 != i]
+        p.arclist[:] = [a for a in p.arclist if a.n0 != i and a.n1 != i]
+        del p.nodelist[i]
+        for s in p.linelist:
+            if s.n0 > i:
+                s.n0 -= 1
+            if s.n1 > i:
+                s.n1 -= 1
+        for a in p.arclist:
+            if a.n0 > i:
+                a.n0 -= 1
+            if a.n1 > i:
+                a.n1 -= 1
+    _selected_nodes.clear()
+    _d()._mesh = None
+
+
+def mi_deleteselectedsegments():
+    p = _d().problem
+    for i in sorted(set(_selected_segments), reverse=True):
+        del p.linelist[i]
+    _selected_segments.clear()
+    _d()._mesh = None
+
+
+def mi_deleteselectedarcsegments():
+    p = _d().problem
+    for i in sorted(set(_selected_arcs), reverse=True):
+        del p.arclist[i]
+    _selected_arcs.clear()
+    _d()._mesh = None
+
+
+def mi_deleteselectedlabels():
+    p = _d().problem
+    for i in sorted(set(_selected_labels), reverse=True):
+        del p.labellist[i]
+    _selected_labels.clear()
+    _d()._mesh = None
+
+
+def mi_deleteselected():
+    mi_deleteselectedsegments()
+    mi_deleteselectedarcsegments()
+    mi_deleteselectedlabels()
+    mi_deleteselectednodes()
+
+
+def mi_setgroup(g):
+    """Move every selected entity into group g (LuaCommonCommands
+    luaSetGroup)."""
+    p = _d().problem
+    for i in set(_selected_nodes):
+        p.nodelist[i].InGroup = int(g)
+    for i in set(_selected_segments):
+        p.linelist[i].InGroup = int(g)
+    for i in set(_selected_arcs):
+        p.arclist[i].InGroup = int(g)
+    for i in set(_selected_labels):
+        p.labellist[i].InGroup = int(g)
+    mi_clearselected()
+
+
+def mi_scale(bx, by, factor):
+    from .geometry import editor
+    editor.transform_selection(
+        _d().problem, "scale", (complex(bx, by), factor),
+        group=_selected_groups[-1] if _selected_groups else None)
+    _d()._mesh = None
+
+
+def mi_addbhpoint(name, b, h):
+    p = _d().problem
+    m = p.blockproplist[p.material_index(name)]
+    m.Bdata.append(float(b))
+    m.Hdata.append(float(h))
+    m.slope = []          # invalidate the spline fit
+
+
+def mi_clearbhpoints(name):
+    p = _d().problem
+    m = p.blockproplist[p.material_index(name)]
+    m.Bdata.clear()
+    m.Hdata.clear()
+    m.slope = []
+
+
+def mi_modifymaterial(name, propnum, value):
+    """mi_modifymaterial field order (LuaMagneticsCommands
+    luaModifyMaterialProp)."""
+    p = _d().problem
+    m = p.blockproplist[p.material_index(name)]
+    fields = ["name", "mu_x", "mu_y", "H_c", "J", "Cduct", "Lam_d",
+              "Theta_hn", "LamFill", "LamType", "Theta_hx", "Theta_hy",
+              "NStrands", "WireD"]
+    f = fields[int(propnum)]
+    if f == "J":
+        value = complex(value)
+    setattr(m, f, value)
+
+
+def mi_modifycircprop(name, propnum, value):
+    p = _d().problem
+    c = p.circproplist[p.circuit_index(name)]
+    if int(propnum) == 0:
+        c.name = value
+    elif int(propnum) == 1:
+        c.Amps = complex(value)
+    else:
+        c.CircType = int(value)
+
+
+def mi_setcurrent(name, amps):
+    mi_modifycircprop(name, 1, amps)
+
+
+def mi_getprobleminfo():
+    p = _d().problem
+    from .constants import LENGTH_TO_METERS
+    return (int(p.ProblemType), p.Frequency,
+            LENGTH_TO_METERS[p.LengthUnits], p.Depth)
+
+
+def mi_getboundingbox():
+    p = _d().problem
+    xs = [n.x for n in p.nodelist]
+    ys = [n.y for n in p.nodelist]
+    return (min(xs), max(xs), min(ys), max(ys))
+
+
+def mi_purgemesh():
+    _d()._mesh = None
+
+
+def mi_gettitle():
+    return _d().path or ""
+
+
+def mi_saveas_alias(path):
+    mi_saveas(path)
+
+
+# -------- heat-flow / electrostatics document + property verbs --------- #
+def hi_probdef(units="meters", probtype="planar", precision=1e-8,
+               depth=1.0, minangle=30.0, prevsoln="", timestep=0.0):
+    """hi_probdef(units, type, precision, depth, minangle,
+    (prevsoln, timestep)) -- LuaHeatflowCommands luaProblemDefinition."""
+    p = _d().problem
+    p.LengthUnits = _UNITS[units]
+    p.ProblemType = (ProblemType.AXISYMMETRIC if probtype.startswith("axi")
+                     else ProblemType.PLANAR)
+    p.Precision = precision
+    p.Depth = depth
+    p.MinAngle = minangle
+    p.PrevSoln = prevsoln
+    p.dT = timestep
+
+
+def ei_probdef(units="meters", probtype="planar", precision=1e-8,
+               depth=1.0, minangle=30.0):
+    p = _d().problem
+    p.LengthUnits = _UNITS[units]
+    p.ProblemType = (ProblemType.AXISYMMETRIC if probtype.startswith("axi")
+                     else ProblemType.PLANAR)
+    p.Precision = precision
+    p.Depth = depth
+    p.MinAngle = minangle
+
+
+def hi_addmaterial(name, kx=1.0, ky=1.0, qv=0.0, kt=0.0):
+    from .geometry.problem import HeatMaterial
+    _d().problem.blockproplist.append(
+        HeatMaterial(name=name, Kx=kx, Ky=ky, qv=qv, Kt=kt))
+
+
+def hi_addtkpoint(name, T, k):
+    p = _d().problem
+    m = p.blockproplist[p.material_index(name)]
+    m.Tdata.append(float(T))
+    m.Kdata.append(float(k))
+
+
+def hi_cleartkpoints(name):
+    p = _d().problem
+    m = p.blockproplist[p.material_index(name)]
+    m.Tdata.clear()
+    m.Kdata.clear()
+
+
+def ei_addmaterial(name, ex=1.0, ey=1.0, qv=0.0):
+    from .geometry.problem import ElectrostaticsMaterial
+    _d().problem.blockproplist.append(
+        ElectrostaticsMaterial(name=name, ex=ex, ey=ey, qv=qv))
+
+
+def hi_addboundprop(name, fmt=0, Tset=0.0, qs=0.0, Tinf=0.0, h=0.0,
+                    beta=0.0):
+    _d().problem.lineproplist.append(BoundaryProp(
+        name=name, BdryFormat=int(fmt), Tset=Tset, qs=qs, Tinf=Tinf,
+        h=h, beta=beta))
+
+
+def ei_addboundprop(name, Vs=0.0, qs=0.0, c0=0.0, c1=0.0, fmt=0):
+    # fixed voltage is stored in A0 (the .fee writer emits it as <Vs>)
+    _d().problem.lineproplist.append(BoundaryProp(
+        name=name, BdryFormat=int(fmt), A0=Vs, qs=qs, c0=c0, c1=c1))
+
+
+def hi_addconductorprop(name, Tc=0.0, qc=0.0, conductortype=0):
+    _d().problem.circproplist.append(Conductor(
+        name=name, V=Tc, q=qc, CircType=int(conductortype)))
+
+
+def ei_addconductorprop(name, Vc=0.0, qc=0.0, conductortype=0):
+    _d().problem.circproplist.append(Conductor(
+        name=name, V=Vc, q=qc, CircType=int(conductortype)))
+
+
+def hi_addpointprop(name, Tp=0.0, qp=0.0):
+    from .geometry.problem import PointProp
+    _d().problem.nodeproplist.append(PointProp(name=name, V=Tp, qp=qp))
+
+
+def ei_addpointprop(name, Vp=0.0, qp=0.0):
+    from .geometry.problem import PointProp
+    _d().problem.nodeproplist.append(PointProp(name=name, V=Vp, qp=qp))
+
+
+def _hi_newdocument():
+    return newdocument(2)
+
+
+def _ei_newdocument():
+    return newdocument(1)
+
+
+# hi_/ei_ geometry, selection, transform and pipeline verbs share the
+# magnetics implementations (one Document, dispatch on file type)
+_SHARED_VERBS = (
+    "addnode", "addsegment", "addarc", "addblocklabel", "drawrectangle",
+    "selectnode", "selectlabel", "selectgroup", "selectsegment",
+    "selectarcsegment", "selectcircle", "selectrectangle",
+    "clearselected", "setnodeprop", "setblockprop", "setsegmentprop",
+    "setarcsegmentprop", "moverotate", "movetranslate", "copyrotate",
+    "mirror", "scale", "setgroup", "deleteselected",
+    "deleteselectednodes", "deleteselectedsegments",
+    "deleteselectedarcsegments", "deleteselectedlabels", "createmesh",
+    "purgemesh", "getboundingbox", "getprobleminfo", "gettitle",
+    "modifyboundprop",
+)
+for _pfx in ("hi_", "ei_"):
+    for _v in _SHARED_VERBS:
+        _impl = globals().get("mi_" + _v)
+        if _impl is not None:
+            globals().setdefault(_pfx + _v, _impl)
+globals().setdefault("hi_newdocument", _hi_newdocument)
+globals().setdefault("ei_newdocument", _ei_newdocument)
+for _name in ("hi_zoomnatural", "hi_zoom", "hi_showgrid", "hi_hidegrid",
+              "ei_zoomnatural", "ei_zoom", "ei_showgrid", "ei_hidegrid",
+              "hi_close", "ei_close", "ho_close", "eo_close",
+              "hi_seteditmode", "ei_seteditmode", "mi_seteditmode",
+              "mo_seteditmode", "ho_seteditmode", "eo_seteditmode"):
+    globals().setdefault(_name, _noop)
