@@ -171,3 +171,27 @@ def read_mesh_files(pathbase: str) -> MeshData:
                     element_labels=labels, edges=edges,
                     edge_markers=edge_markers, pbc_pairs=pbc,
                     airgaps=airgaps)
+
+
+class EdgeMultiplicity:
+    """Vectorized (edge -> #adjacent-triangles) lookup. The solvers need
+    the multiplicity of a handful of *boundary* edges (Robin / convection
+    terms double where a boundary is shared by two elements); building a
+    Python dict over every mesh edge is O(3T) interpreter work, so the
+    keys are sorted once with numpy and queried by bisection."""
+
+    def __init__(self, tris: np.ndarray):
+        t = np.asarray(tris, np.int64)
+        ek = np.sort(np.stack([
+            np.concatenate([t[:, 0], t[:, 1], t[:, 2]]),
+            np.concatenate([t[:, 1], t[:, 2], t[:, 0]])]), axis=0)
+        self.keys, self.counts = np.unique(ek[0] << 32 | ek[1],
+                                           return_counts=True)
+
+    def get(self, ab, default: int = 1) -> int:
+        a, b = sorted(int(v) for v in ab)
+        k = a << 32 | b
+        i = int(np.searchsorted(self.keys, k))
+        if i < len(self.keys) and self.keys[i] == k:
+            return int(self.counts[i])
+        return default

@@ -32,14 +32,13 @@ def _circuit_preprocess_axi(pk: PackedMagnetostatic, geom):
     nc = len(pk.circuits)
     if nc == 0:
         return
-    i1 = np.zeros(nc)
-    i2 = np.zeros(nc)
-    i3 = np.zeros(nc)
-    for c, a, r, cd, j in zip(pk.circuit, area, R, pk.Cduct, pk.Jre):
-        if c >= 0:
-            i1[c] += a
-            i2[c] += 100.0 * a * cd / r
-            i3[c] += j * a * 100.0
+    has = pk.circuit >= 0
+    ci = pk.circuit[has]
+    a_s = area[has]
+    i1 = np.bincount(ci, weights=a_s, minlength=nc)
+    i2 = np.bincount(ci, weights=100.0 * a_s * pk.Cduct[has] / R[has],
+                     minlength=nc)
+    i3 = np.bincount(ci, weights=pk.Jre[has] * a_s * 100.0, minlength=nc)
     for k, c in enumerate(pk.circuits):
         if c.CircType == 0:
             if i2[k] == 0:

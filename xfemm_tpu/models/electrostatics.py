@@ -18,7 +18,7 @@ import numpy as np
 
 from ..constants import PI, ProblemType
 from ..geometry.problem import Problem
-from ..mesh.meshdata import MeshData
+from ..mesh.meshdata import EdgeMultiplicity, MeshData
 from ..ops import assembly, solver
 from ..ops.solver import ElementBlock
 from .heatflow import conductor_prolongation, decode_markers
@@ -78,27 +78,29 @@ def solve(problem: Problem, mesh: MeshData) -> ElecSolution:
 
     fixed_mask = np.zeros(nred, bool)
     fixed_vals = np.zeros(nred)
-    for i in range(N):
+    npp = len(problem.nodeproplist)
+    special = np.nonzero((node_cond >= 0)
+                         | ((node_pp >= 0) & (node_pp < npp)))[0]
+    for i in special:
         ci = node_cond[i]
         if ci >= 0 and conductors[ci].CircType == 1:
             fixed_mask[ridx[i]] = True
             fixed_vals[ridx[i]] = conductors[ci].V
         j = node_pp[i]
-        if 0 <= j < len(problem.nodeproplist):
+        if 0 <= j < npp:
             pp = problem.nodeproplist[j]
             if pp.qp == 0:
                 fixed_mask[ridx[i]] = True
                 fixed_vals[ridx[i]] = pp.V
 
     bdry_edges = []
-    edge_count = {}
-    for tri in tris:
-        for i in range(3):
-            key = tuple(sorted((int(tri[i]), int(tri[(i + 1) % 3]))))
-            edge_count[key] = edge_count.get(key, 0) + 1
-    for (a, b), bi in zip(mesh.edges, edge_bdry):
-        if bi < 0 or bi >= len(problem.lineproplist):
-            continue
+    edge_count = EdgeMultiplicity(tris)
+    marked = np.nonzero((np.asarray(edge_bdry) >= 0)
+                        & (np.asarray(edge_bdry)
+                           < len(problem.lineproplist)))[0]
+    for ei in marked:
+        a, b = mesh.edges[ei]
+        bi = edge_bdry[ei]
         bp = problem.lineproplist[bi]
         if bp.BdryFormat == 0:
             # prescribed voltage is stored in A0 (<Vs> in the .fee)
@@ -110,9 +112,9 @@ def solve(problem: Problem, mesh: MeshData) -> ElecSolution:
             bdry_edges.append((int(a), int(b), bi, mult))
 
     b_extra = np.zeros(nred)
-    for i in range(N):
+    for i in special:
         j = node_pp[i]
-        if 0 <= j < len(problem.nodeproplist):
+        if 0 <= j < npp:
             pp = problem.nodeproplist[j]
             if pp.qp != 0 and not fixed_mask[ridx[i]]:
                 dp = 2.0 * PI * xy[i, 0] if axi else depth
