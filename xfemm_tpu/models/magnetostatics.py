@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import cmath
 import math
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -613,6 +614,33 @@ def incremental_mu(problem: Problem, pk: "PackedMagnetostatic",
     return mu1, mu2, v12
 
 
+_PACK_CACHE: "OrderedDict[tuple, tuple]" = __import__(
+    "collections").OrderedDict()
+_PACK_CACHE_MAX = 4
+
+
+def _problem_fingerprint(problem: Problem):
+    """Content hash of everything pack()/tri_geometry depend on: repeat
+    solves on the same (problem, mesh) pair (rotor sweeps with frozen
+    geometry, transient chains, parameter studies over sources only via
+    re-pack) reuse the packed arrays, while any in-place property edit
+    (femm_compat mutates the document between analyses) changes the
+    hash and forces a repack. Returns None when the property lists are
+    unpicklable (then caching is skipped)."""
+    import hashlib
+    import pickle
+    try:
+        payload = pickle.dumps(
+            (problem.Frequency, problem.LengthUnits, problem.ProblemType,
+             problem.Precision, problem.Depth, problem.PrevSoln,
+             problem.PrevType, problem.nodeproplist, problem.lineproplist,
+             problem.blockproplist, problem.circproplist,
+             problem.labellist), protocol=4)
+    except Exception:
+        return None
+    return hashlib.blake2b(payload, digest_size=16).digest()
+
+
 def solve(problem: Problem, mesh: MeshData,
           max_newton: int = 100, Aprev: np.ndarray | None = None
           ) -> MagSolution:
@@ -622,13 +650,26 @@ def solve(problem: Problem, mesh: MeshData,
     from ..utils import profiling
     if Aprev is None and problem.PrevSoln:
         Aprev = load_previous(problem, mesh)
-    with profiling.phase("pack"):
-        pk = pack(problem, mesh)
     c = C_APOT
-    with profiling.phase("geometry"):
-        geom = assembly.tri_geometry(pk.xy, pk.tris)
-        _circuit_preprocess(pk, geom)
-        Mx, My, Mxy = assembly.curl_matrices(geom)
+    # pack/geometry cache: keyed on object identity (the cache holds
+    # strong refs, so ids stay valid) + property-content fingerprint
+    ckey = (id(problem), id(mesh))
+    fp = _problem_fingerprint(problem)
+    hit = _PACK_CACHE.get(ckey)
+    if fp is not None and hit is not None and hit[0] == fp:
+        pk, geom, Mx, My, Mxy = hit[1]
+        _PACK_CACHE.move_to_end(ckey)
+    else:
+        with profiling.phase("pack"):
+            pk = pack(problem, mesh)
+        with profiling.phase("geometry"):
+            geom = assembly.tri_geometry(pk.xy, pk.tris)
+            _circuit_preprocess(pk, geom)
+            Mx, My, Mxy = assembly.curl_matrices(geom)
+        if fp is not None:
+            _PACK_CACHE[ckey] = (fp, (pk, geom, Mx, My, Mxy))
+            while len(_PACK_CACHE) > _PACK_CACHE_MAX:
+                _PACK_CACHE.popitem(last=False)
 
     T = pk.tris.shape[0]
     area = geom.area
@@ -698,7 +739,54 @@ def solve(problem: Problem, mesh: MeshData,
     iters_total = 0
     rel_resid = 0.0
 
+    dev_state = None   # (DeviceNewton, has_lam, dense) once eligible
     for it in range(max_newton if nonlinear else 1):
+        # inexact-Newton forcing: far from the root the linear solve
+        # only needs to out-resolve the current Newton error, so early
+        # iterations run at a loose tolerance and the tolerance tightens
+        # with the Newton displacement norm. The solve that satisfies
+        # the Newton test is always at the full contract Precision, so
+        # the reference's accuracy guarantees (spars.cpp:300,
+        # static2d.cpp:1005-1011) are unchanged.
+        if not nonlinear:
+            tol_it = problem.Precision
+        elif it == 0:
+            tol_it = max(problem.Precision, 1e-4)
+        elif res < 3e4 * problem.Precision:
+            tol_it = problem.Precision
+        else:
+            tol_it = max(problem.Precision, min(1e-4, 0.03 * res))
+
+        # intermediate iterations run entirely on device (ops/newton.py)
+        # when eligible: no host assembly, one dispatch per iteration
+        if (dev_state is not None and it > 0
+                and tol_it > problem.Precision
+                and sess.band_amg is not None):
+            from ..ops import newton as newton_dev
+            dn, has_lam, dense = dev_state
+            with profiling.phase("device newton"):
+                Vd, dense, cgit, _rr = newton_dev.step(
+                    dn, sess.band_amg, dense,
+                    jnp.asarray(V, jnp.float32),
+                    jnp.asarray(tol_it, jnp.float32), has_lam=has_lam)
+                V_old = V
+                V = np.asarray(Vd, np.float64)
+            dev_state = (dn, has_lam, dense)
+            iters_total += int(cgit)
+            num = float(np.sum((V - V_old) ** 2))
+            den = float(np.sum(V ** 2))
+            if den == 0:
+                break
+            lastres = res
+            res = math.sqrt(num / den)
+            if it > 5:
+                if res > lastres and relax > 0.125:
+                    relax /= 2.0
+                else:
+                    relax += 0.1 * (1.0 - relax)
+                V = relax * V + (1.0 - relax) * V_old
+            continue
+
         Mn = np.zeros((T, 3, 3))
         be = be_static
         if it > 0:
@@ -777,27 +865,11 @@ def solve(problem: Problem, mesh: MeshData,
                 flat_s = pk.rsign[pk.tris[ns]].reshape(-1)
                 np.add.at(b, flat_i, -flat_s * dbe.reshape(-1))
 
-        # inexact-Newton forcing: far from the root the linear solve
-        # only needs to out-resolve the current Newton error, so early
-        # iterations run at a loose tolerance (one f32 CG pass) and the
-        # tolerance tightens with the Newton displacement norm. The
-        # solve that satisfies the Newton test is always at the full
-        # contract Precision, so the reference's accuracy guarantees
-        # (spars.cpp:300, static2d.cpp:1005-1011) are unchanged.
-        if not nonlinear:
-            tol_it = problem.Precision
-        elif it == 0:
-            tol_it = max(problem.Precision, 1e-4)
-        elif res < 3e4 * problem.Precision:
-            tol_it = problem.Precision
-        else:
-            tol_it = max(problem.Precision, min(1e-4, 0.03 * res))
-
         V_old = V
         V, rel_resid, cg_iters = solver.solve(
             blocks, b, pk.fixed_mask, pk.fixed_vals, tol_it,
             x0=V if it > 0 else None, coords=dof_coords, session=sess,
-            changed=[nl] if (nonlinear and it > 0) else None)
+            changed=[nl] if nonlinear else None)
         V = np.asarray(V)
         iters_total += int(cg_iters)
 
@@ -818,6 +890,19 @@ def solve(problem: Problem, mesh: MeshData,
         if (res < 100.0 * problem.Precision and it > 0
                 and tol_it <= problem.Precision):
             break
+
+        # after the initial solve has built the band hierarchy and value
+        # maps, intermediate Newton iterations can run on device
+        if (it == 0 and nonlinear and dev_state is None
+                and not os.environ.get("XFEMM_TPU_NO_DEVICE_NEWTON")):
+            from ..ops import newton as newton_dev
+            made = newton_dev.setup(pk, geom, Mx, My, sess, b_base, c)
+            if made is not None:
+                # copy the session's fine band: step() donates its input
+                # buffer, and the session's copy must stay valid for the
+                # accepting host iteration's value refresh
+                dense0 = jnp.copy(sess.band_amg.levels[0].A.dense)
+                dev_state = (made[0], made[1], dense0)
 
     # expand back to full nodes, convert to A (static2d.cpp:1018-1021)
     Vfull = V[pk.ridx] * pk.rsign

@@ -472,42 +472,47 @@ def band_pcg(amg: BandAMG, b, tol, x0, max_iter, stall_window: int = 120):
     def prec(r):
         return band_vcycle(amg, r)
 
-    z0 = prec(b)
-    # |.|: with a stale/approximate V-cycle the preconditioner is not
-    # guaranteed positive, and a negative res0 would NaN the stopping
-    # metric (sqrt of a negative ratio)
-    res0 = jnp.abs(jnp.dot(z0, b))
+    # stopping metric: the JACOBI-weighted residual norm, matching the
+    # host refinement driver's metric in ops/solver.py exactly (up to
+    # f32 rounding). Stopping on the V-cycle inner product z.r instead
+    # would over- or under-shoot the host check by the (unknown)
+    # spectral distance between the V-cycle and Jacobi, costing a whole
+    # extra ~50-iteration restart pass per solve.
+    invd = lv0.invd
+    res0 = jnp.dot(invd * b, b)
     res0 = jnp.where(res0 == 0.0, 1.0, res0)
 
     r = b - op(x0)
     z = prec(r)
     p = z
     res = jnp.dot(z, r)
+    stop = jnp.dot(invd * r, r)
 
     def cond(state):
-        _, _, _, res, it, best, since = state
+        _, _, _, res, stop, it, best, since = state
         return jnp.logical_and(
-            jnp.sqrt(jnp.abs(res) / res0) > tol,
+            jnp.sqrt(jnp.abs(stop) / res0) > tol,
             jnp.logical_and(it < max_iter, since < stall_window))
 
     def body(state):
-        x, r, p, res, it, best, since = state
+        x, r, p, res, stop, it, best, since = state
         u = op(p)
         delta = res / jnp.dot(p, u)
         x = x + delta * p
         r = r - delta * u
         z = prec(r)
         res_new = jnp.dot(z, r)
+        stop = jnp.dot(invd * r, r)
         p = z + (res_new / res) * p
         improved = jnp.abs(res_new) < 0.99 * best
         best = jnp.where(improved, jnp.abs(res_new), best)
         since = jnp.where(improved, 0, since + 1)
-        return x, r, p, res_new, it + 1, best, since
+        return x, r, p, res_new, stop, it + 1, best, since
 
-    state = (x0, r, p, res, jnp.array(0, jnp.int32), jnp.abs(res),
+    state = (x0, r, p, res, stop, jnp.array(0, jnp.int32), jnp.abs(res),
              jnp.array(0, jnp.int32))
-    x, r, p, res, it, _, _ = jax.lax.while_loop(cond, body, state)
-    return x, jnp.sqrt(jnp.abs(res) / res0), it
+    x, r, p, res, stop, it, _, _ = jax.lax.while_loop(cond, body, state)
+    return x, jnp.sqrt(jnp.abs(stop) / res0), it
 
 
 @functools.partial(__import__("jax").jit, static_argnames=("m",))

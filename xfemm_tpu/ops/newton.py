@@ -1,0 +1,265 @@
+"""Device-resident Newton iteration step for planar nonlinear magnetostatics.
+
+The reference's Newton loop (static2d.cpp:177-1016) re-assembles and
+re-solves once per iteration; the straightforward equivalent in
+models/magnetostatics.py pays ~1.3 s of HOST work per iteration at 250k
+nodes (numpy element matrices + CSR value refresh) before the device
+even sees the system. This module moves that whole middle phase into
+ONE jitted device dispatch per Newton iteration:
+
+    element B from V  ->  B-H Hermite lookup  ->  Newton matrices
+    ->  CSR value refresh (segment-sum)  ->  dense-band update
+    ->  band-AMG PCG to the iteration's inexact-Newton tolerance
+
+Control (forcing-term schedule, adaptive relaxation, the convergence
+test) STAYS ON HOST: the Newton trajectory is identical to the host
+path's. Only *intermediate* iterations (linear tolerance looser than
+the problem Precision) use this step; the accepting iteration(s) run
+the full f64 host assembly + mixed-precision refinement driver, so the
+reference's convergence contract (spars.cpp:300, static2d.cpp:1005-1011)
+is checked exactly as before.
+
+Only the planar path with an f32 fine band level is eligible; every
+other configuration silently keeps the host loop (``setup`` returns
+``None``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import MU0
+from . import assembly, band as band_mod
+from .band import BandAMG, BandLevel, BandMatrix
+
+
+class DeviceNewton(NamedTuple):
+    """Static (per-solve) device data for the on-device Newton loop."""
+    # changed-element data (S = number of nonlinear elements)
+    idxT: jnp.ndarray        # (S, 3) reduced DOF ids
+    sgnT: jnp.ndarray        # (S, 3) +-1 fold signs
+    q: jnp.ndarray           # (S, 3)
+    p: jnp.ndarray           # (S, 3)
+    area: jnp.ndarray        # (S,)
+    lt: jnp.ndarray          # (S,) lamination type
+    fs: jnp.ndarray          # (S,) fill factor
+    bhB: jnp.ndarray         # (S, K)
+    bhH: jnp.ndarray
+    bhS: jnp.ndarray
+    Mx: jnp.ndarray          # (S, 3, 3)
+    My: jnp.ndarray
+    souter: jnp.ndarray      # (S, 3, 3) sign outer products
+    kmask: jnp.ndarray | None  # (S*9,) Dirichlet row/col keep mask
+    slot: jnp.ndarray        # (S*9,) CSR slot of each entry
+    # global CSR -> band maps
+    vals_static: jnp.ndarray     # (nnz,) frozen part of CSR values
+    diag_fixed: jnp.ndarray      # slots forced to 1.0
+    data_map: jnp.ndarray        # At order -> Ap (permuted) order
+    upper_sel: jnp.ndarray | None
+    diag_pos: jnp.ndarray | None
+    band_rows: jnp.ndarray
+    band_cols: jnp.ndarray
+    perm: jnp.ndarray
+    iperm: jnp.ndarray
+    # RHS
+    rhs_base: jnp.ndarray        # (n,) with Dirichlet values in place
+    scat_idx: jnp.ndarray        # (S*3,) rows of the dbe scatter
+    scat_w: jnp.ndarray          # (S*3,) -sign * keep
+    # traced scalars
+    c: jnp.ndarray
+
+
+def setup(pk, geom, Mx, My, session, b_base, c: float):
+    """Build the device data: returns (DeviceNewton, has_lam) or None
+    when ineligible.
+
+    Eligibility: band engine active with an f32 (non-bf16) fine level,
+    sub_cache present (the it-0 solve ran with ``changed=``), and no
+    nonzero Dirichlet values coupled to changed elements (their A.g RHS
+    correction would change per iteration)."""
+    if session.band_amg is None or session.pattern is None \
+            or session.sub_cache is None or session.perm is None:
+        return None
+    lv0 = session.band_amg.levels[0]
+    if lv0.A.dense.dtype == jnp.bfloat16:
+        return None
+    slot_s, souter_s, kmask_s, ch_masks = session.sub_cache
+    if souter_s[0] is None:
+        return None
+    nl = ch_masks[0]
+    ns = np.nonzero(nl)[0]
+    if ns.size == 0:
+        return None
+    fixed = pk.fixed_mask
+    if fixed.any() and np.any(pk.fixed_vals[fixed] != 0.0):
+        return None
+    if len(session.band_layout) == 10:
+        upper_sel, diag_pos = session.band_layout[8:10]
+    else:
+        upper_sel = diag_pos = None
+    tile, rloc, wloc, shift0, NT, R, W, ncols = session.band_layout[:8]
+
+    f32 = np.float32
+    idxT = pk.ridx[pk.tris[ns]]
+    sgnT = pk.rsign[pk.tris[ns]]
+    keep = (~fixed).astype(f32)
+    rhs_base = np.where(fixed, pk.fixed_vals, b_base).astype(f32)
+    scat_idx = idxT.reshape(-1).astype(np.int32)
+    scat_w = (-sgnT.reshape(-1) * keep[scat_idx]).astype(f32)
+
+    slot, indptr, indices, nnz, diag_slots = session.pattern
+    lts = pk.lam_type[ns]
+    perm, iperm = session.perm
+    dn = DeviceNewton(
+        idxT=jnp.asarray(idxT.astype(np.int32)),
+        sgnT=jnp.asarray(sgnT.astype(f32)),
+        q=jnp.asarray(geom.q[ns].astype(f32)),
+        p=jnp.asarray(geom.p[ns].astype(f32)),
+        area=jnp.asarray(geom.area[ns].astype(f32)),
+        lt=jnp.asarray(lts.astype(np.int32)),
+        fs=jnp.asarray(pk.lam_fill[ns].astype(f32)),
+        bhB=jnp.asarray(pk.bh_B[ns].astype(f32)),
+        bhH=jnp.asarray(pk.bh_H[ns].astype(f32)),
+        bhS=jnp.asarray(pk.bh_S[ns].astype(f32)),
+        Mx=jnp.asarray(Mx[ns].astype(f32)),
+        My=jnp.asarray(My[ns].astype(f32)),
+        souter=jnp.asarray(souter_s[0].astype(f32)),
+        kmask=None if kmask_s is None else jnp.asarray(kmask_s.astype(f32)),
+        slot=jnp.asarray(slot_s.astype(np.int32)),
+        vals_static=jnp.asarray(session.vals_static.astype(f32)),
+        diag_fixed=jnp.asarray(diag_slots[fixed].astype(np.int32)),
+        data_map=jnp.asarray(session.band_data_map.astype(np.int32)),
+        upper_sel=None if upper_sel is None
+        else jnp.asarray(upper_sel.astype(np.int32)),
+        diag_pos=None if diag_pos is None
+        else jnp.asarray(diag_pos.astype(np.int32)),
+        band_rows=jnp.asarray((tile * R + rloc).astype(np.int32)),
+        band_cols=jnp.asarray(wloc.astype(np.int32)),
+        perm=jnp.asarray(perm.astype(np.int32)),
+        iperm=jnp.asarray(iperm.astype(np.int32)),
+        rhs_base=jnp.asarray(rhs_base),
+        scat_idx=jnp.asarray(scat_idx),
+        scat_w=jnp.asarray(scat_w),
+        c=jnp.asarray(float(c), f32))
+    return dn, bool((lts != 0).any())
+
+
+def _newton_elements(dn: DeviceNewton, V, has_lam: bool):
+    """Element update: B from V, spline mu, Newton matrices Mn and the
+    changed-element matrices Me (static2d.cpp:600-796 semantics, f32)."""
+    Vl = dn.sgnT * V[dn.idxT]
+    B1 = jnp.sum(Vl * dn.q, axis=1)
+    B2 = jnp.sum(Vl * dn.p, axis=1)
+    B1 = jnp.where(dn.lt == 2, B1 / dn.fs, B1)
+    B2 = jnp.where(dn.lt == 1, B2 / dn.fs, B2)
+    Bmag = dn.c * jnp.sqrt(B1 * B1 + B2 * B2) / (0.02 * dn.area)
+    vv, dv = assembly.hermite_vdv(Bmag, dn.bhB, dn.bhH, dn.bhS)
+    mu_el = 1.0 / (MU0 * vv)
+    mu1 = jnp.where(dn.lt == 0, mu_el,
+                    jnp.where(dn.lt == 1, mu_el * dn.fs,
+                              mu_el / (dn.fs + mu_el * (1.0 - dn.fs))))
+    mu2 = jnp.where(dn.lt == 0, mu_el,
+                    jnp.where(dn.lt == 1,
+                              mu_el / (dn.fs + mu_el * (1.0 - dn.fs)),
+                              mu_el * dn.fs))
+    vvec0 = jnp.einsum("tjw,tw->tj", dn.Mx + dn.My, Vl)
+    Mn = (-200.0 * dn.c ** 3 * dv / dn.area)[:, None, None] * \
+        vvec0[:, :, None] * vvec0[:, None, :]
+    if has_lam:
+        fsn = dn.fs[:, None, None]
+        v1 = jnp.einsum("tjw,tw->tj", dn.My / fsn + dn.Mx, Vl)
+        u1 = jnp.einsum("tjw,tw->tj", dn.My / fsn + fsn * dn.Mx, Vl)
+        Mn1 = (-100.0 * dn.c ** 3 * dv / dn.area)[:, None, None] * (
+            v1[:, :, None] * u1[:, None, :]
+            + v1[:, None, :] * u1[:, :, None])
+        v2 = jnp.einsum("tjw,tw->tj", dn.Mx / fsn + dn.My, Vl)
+        u2 = jnp.einsum("tjw,tw->tj", dn.Mx / fsn + fsn * dn.My, Vl)
+        Mn2 = (-100.0 * dn.c ** 3 * dv / dn.area)[:, None, None] * (
+            v2[:, :, None] * u2[:, None, :]
+            + v2[:, None, :] * u2[:, :, None])
+        Mn = jnp.where((dn.lt == 0)[:, None, None], Mn,
+                       jnp.where((dn.lt == 1)[:, None, None], Mn1, Mn2))
+    Me = dn.Mx / mu2[:, None, None] + dn.My / mu1[:, None, None] + Mn
+    return Vl, Me, Mn
+
+
+def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
+    """New CSR values from the changed element matrices, scattered into
+    the fine band (value-only; frozen coarse hierarchy)."""
+    data_s = (dn.souter * (-Me)).reshape(-1)
+    if dn.kmask is not None:
+        data_s = data_s * dn.kmask
+    vals = dn.vals_static.at[dn.slot].add(data_s)
+    vals = vals.at[dn.diag_fixed].set(1.0)
+    data_p = vals[dn.data_map]
+    if dn.upper_sel is not None:
+        data_p = data_p[dn.upper_sel]
+    lv0 = amg.levels[0]
+    NT, R, W = lv0.A.dense.shape
+    dense = (lv0.A.dense.reshape(NT * R, W)
+             .at[dn.band_rows, dn.band_cols].set(data_p)
+             .reshape(NT, R, W))
+    newA = BandMatrix(dense=dense, shift0=lv0.A.shift0,
+                      cchunk=lv0.A.cchunk, ncols=lv0.A.ncols)
+    newAbf = None
+    if lv0.Abf is not None:
+        newAbf = BandMatrix(dense=dense.astype(jnp.bfloat16),
+                            shift0=lv0.A.shift0, cchunk=lv0.A.cchunk,
+                            ncols=lv0.A.ncols)
+    new_dvec = None if dn.diag_pos is None else data_p[dn.diag_pos]
+    lv = BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega, P=lv0.P,
+                   Abf=newAbf, dvec=new_dvec)
+    return BandAMG(levels=(lv,) + amg.levels[1:],
+                   coarse_inv=amg.coarse_inv, n=amg.n)
+
+
+@functools.partial(jax.jit, static_argnames=("inner_iter", "has_lam"),
+                   donate_argnums=(2,))
+def step(dn: DeviceNewton, amg: BandAMG, dense, V, tol,
+         inner_iter: int = 400, has_lam: bool = False):
+    """One Newton iteration on device: element update, operator refresh,
+    band-AMG PCG to ``tol`` (host stopping metric: Jacobi-weighted
+    residual norm relative to the SYSTEM rhs, matching ops/solver.py).
+
+    ``dense`` is the current fine-band value buffer (donated; pass a
+    copy of the session's band on the first call). Returns the
+    UNRELAXED ``(V_new, dense_new, cg_iters, rel)`` -- relaxation and
+    the convergence test stay on host."""
+    n = V.shape[0]
+    lv0 = amg.levels[0]
+    amg_cur = BandAMG(
+        levels=(BandLevel(A=BandMatrix(dense, lv0.A.shift0,
+                                       lv0.A.cchunk, lv0.A.ncols),
+                          invd=lv0.invd, omega=lv0.omega, P=lv0.P,
+                          Abf=lv0.Abf, dvec=lv0.dvec),)
+        + amg.levels[1:],
+        coarse_inv=amg.coarse_inv, n=amg.n)
+    Vl, Me, Mn = _newton_elements(dn, V, has_lam)
+    amg_new = _refresh_operator(dn, amg_cur, Me)
+    # RHS: b = b_static + scatter(-sign * (Mn Vl)) on non-fixed rows
+    dbe = jnp.einsum("tjk,tk->tj", Mn, Vl)
+    b = dn.rhs_base.at[dn.scat_idx].add(dn.scat_w * dbe.reshape(-1))
+    lvn = amg_new.levels[0]
+    bp = b[dn.perm]
+    r = bp - band_mod.band_apply(lvn.A, lvn.dvec, V[dn.perm])
+    # band_pcg stops relative to ITS rhs (the current residual); the
+    # host metric is relative to the system rhs. Convert: a warm start
+    # means the current residual is already well below the rhs norm,
+    # so the effective inner tolerance loosens by exactly that ratio.
+    invd = lvn.invd
+    res0_sys = jnp.dot(invd * bp, bp)
+    res_cur = jnp.dot(invd * r, r)
+    tol_eff = jnp.clip(
+        tol * jnp.sqrt(res0_sys / jnp.maximum(res_cur, 1e-30)),
+        1e-6, 0.5)
+    scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-30)
+    d_p, rel, its = band_mod.band_pcg(
+        amg_new, r / scale, tol_eff.astype(jnp.float32),
+        jnp.zeros(n, jnp.float32), inner_iter)
+    V_new = V + (scale * d_p)[dn.iperm]
+    return V_new, amg_new.levels[0].A.dense, its, rel

@@ -831,8 +831,15 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     d_d, rr, it = band_mod.band_fgmres(
                         session.band_amg, r_d, m=24)
                 else:
+                    # this pass only needs to contract the CURRENT host
+                    # metric down to tol (band_pcg stops on the same
+                    # Jacobi-weighted norm the host checks); the 1e-6
+                    # floor is the reliable single-pass f32 contraction
+                    tol_pass = min(0.5, max(0.5 * tol / min(metric, 1.0),
+                                            1e-6))
                     d_d, rr, it = band_mod.band_pcg(
-                        session.band_amg, r_d, tol_d,
+                        session.band_amg, r_d,
+                        jnp.asarray(tol_pass, dev_dtype),
                         jnp.zeros(n, dev_dtype), int(inner_iter))
                 d_d.block_until_ready()
             total_it += int(it)
