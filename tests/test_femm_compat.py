@@ -142,3 +142,104 @@ def test_electro_document_from_verbs():
     for x in (0.25, 0.75):
         V = femm.eo_getpointvalues(x, 0.5)[0]
         assert abs(V - 10.0 * x) < 1e-6, (x, V)
+
+
+def test_contour_and_mesh_accessors(fixtures):
+    """mo_addcontour/mo_bendcontour/mo_lineintegral over the session
+    contour; mo_getnode/mo_getelement/mo_numnodes (luaGetElement returns
+    1-based node ids, centroid, area, group)."""
+    femm.opendocument(str(fixtures / "TorqueBenchmark.fem"))
+    femm.mi_analyze()
+    femm.mi_loadsolution()
+    nn = femm.mo_numnodes()
+    ne = femm.mo_numelements()
+    assert nn > 100 and ne > 100
+    assert femm.mo_getnode(1) is not None
+    el = femm.mo_getelement(1)
+    assert len(el) == 7
+    assert 1 <= el[0] <= nn and el[5] > 0
+    # closed rectangular contour in the air gap region: B.n integral
+    # along a closed loop vanishes (flux conservation)
+    femm.mo_clearcontour()
+    for x, y in ((-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5),
+                 (-0.5, -0.5)):
+        femm.mo_addcontour(x, y)
+    L, S = femm.mo_lineintegral(2)    # contour length / surface area (m)
+    assert abs(L - 0.04) < 1e-11      # 4 cm in SI like the reference
+    # bend: replace last leg by a half-circle arc -> longer contour
+    femm.mo_clearcontour()
+    femm.mo_addcontour(-0.5, 0.0)
+    femm.mo_addcontour(0.5, 0.0)
+    femm.mo_bendcontour(180.0, 5.0)
+    L2, _ = femm.mo_lineintegral(2)
+    ref = math.pi * 0.5 * 0.01        # half-circle of radius 0.5 cm
+    assert abs(L2 - ref) / ref < 1e-3
+
+
+def test_group_select_and_smooth(fixtures):
+    femm.opendocument(str(fixtures / "TorqueBenchmark.fem"))
+    femm.mi_analyze()
+    femm.mi_loadsolution()
+    femm.mo_clearblock()
+    femm.mo_groupselectblock()        # all blocks
+    area = femm.mo_blockintegral(5)
+    assert area.real > 0
+    femm.mo_smooth("off")
+    v1 = femm.mo_getpointvalues(0.0, 0.5)
+    femm.mo_smooth("on")
+    v2 = femm.mo_getpointvalues(0.0, 0.5)
+    assert v1 is not None and v2 is not None
+
+
+def test_create_radius_seg_seg():
+    femm.newdocument(0)
+    femm.mi_addnode(0, 0)
+    femm.mi_addnode(1, 0)
+    femm.mi_addnode(0, 1)
+    femm.mi_addsegment(0, 0, 1, 0)
+    femm.mi_addsegment(0, 0, 0, 1)
+    assert femm.mi_createradius(0, 0, 0.25)
+    p = femm._d().problem
+    assert len(p.arclist) == 1
+    arc = p.arclist[0]
+    assert abs(arc.ArcLength - 90.0) < 1e-9
+    pts = sorted((round(n.x, 6), round(n.y, 6)) for n in p.nodelist)
+    assert (0.0, 0.25) in pts and (0.25, 0.0) in pts
+    assert (0.0, 0.0) not in pts
+
+
+def test_delete_and_modify_props():
+    femm.newdocument(0)
+    femm.mi_addmaterial("A")
+    femm.mi_addmaterial("B")
+    femm.mi_addboundprop("bc0")
+    femm.mi_addcircprop("c0", 1.0, 1)
+    femm.mi_addpointprop("pp0", a=0)
+    femm.mi_deletematerial("A")
+    p = femm._d().problem
+    assert [m.name for m in p.blockproplist] == ["B"]
+    femm.mi_deleteboundprop("bc0")
+    assert not p.lineproplist
+    femm.mi_deletecircuit("c0")
+    assert not p.circproplist
+    femm.mi_modifypointprop("pp0", 3, 2.5)
+    assert complex(p.nodeproplist[0].J).real == 2.5
+    femm.mi_deletepointprop("pp0")
+    assert not p.nodeproplist
+
+
+def test_outerspace_and_setprevious():
+    femm.newdocument(0)
+    femm.mi_defineouterspace(1.0, 10.0, 5.0)
+    p = femm._d().problem
+    assert (p.extZo, p.extRo, p.extRi) == (1.0, 10.0, 5.0)
+    femm.mi_addblocklabel(0, 0)
+    femm.mi_selectlabel(0, 0)
+    femm.mi_attachouterspace()
+    assert p.labellist[0].IsExternal
+    femm.mi_detachouterspace()
+    assert not p.labellist[0].IsExternal
+    femm.mi_attachdefault()
+    assert p.labellist[0].IsDefault
+    femm.mi_setprevious("prev.ans", 2)
+    assert p.PrevSoln == "prev.ans" and p.PrevType == 2

@@ -10,6 +10,24 @@ multi-chip.
 import os as _os
 
 
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS authoritative: TPU plugin site-hooks (e.g.
+    axon) can register themselves and override the environment variable,
+    so re-assert the user's choice through jax.config (see also
+    tests/conftest.py)."""
+    plat = _os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
+_honor_platform_env()
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compile cache: TPU compiles here cost tens of
     seconds through the device tunnel, so cache them across processes."""

@@ -22,12 +22,13 @@ commands are accepted as no-ops like femmcli's own stubs
 
 from __future__ import annotations
 
+import cmath
 import math
 
 import numpy as np
 
 from . import api
-from .constants import FileType, LengthUnit, ProblemType
+from .constants import FileType, LengthUnit, MU0, PI, ProblemType
 from .materials.magnetic import MagneticMaterial
 from .geometry.problem import BoundaryProp, Circuit, Conductor
 
@@ -63,6 +64,7 @@ def newdocument(doctype: int = 0):
     _doc = api.new_document(kind)
     _sol = None
     mi_clearselected()
+    _contour.clear()
     return _doc
 
 
@@ -71,6 +73,7 @@ def opendocument(path: str):
     _doc = api.open_document(path)
     _sol = None
     mi_clearselected()
+    _contour.clear()
     return _doc
 
 
@@ -345,8 +348,13 @@ def mo_blockintegral(inttype):
 
 
 def mo_lineintegral(inttype, contour=None):
+    """Integrate along ``contour`` if given, else along the contour
+    built with mo_addcontour/mo_selectpoint/mo_bendcontour."""
     if contour is None:
-        raise ValueError("pass the contour points explicitly")
+        if len(_contour) < 2:
+            raise ValueError("no contour defined; call mo_addcontour "
+                             "or pass the contour points explicitly")
+        contour = [(z.real, z.imag) for z in _contour]
     return _s().line_integral(inttype, contour)
 
 
@@ -376,6 +384,326 @@ def mo_getgapharmonics(bdryname, k):
             complex(h.btc[k]), complex(h.bts[k]))
 
 
+def mo_getgapa(bdryname, angle_deg):
+    """Vector potential in the air gap at an angle, reconstructed from
+    the gap harmonics (luaGetGapA -> FPProc::getGapA, fpproc.cpp:5968):
+    A(theta) = aco + sum_k (R/n_k)(-brs_k cos(n_k theta)
+    + brc_k sin(n_k theta))."""
+    post = _s().post
+    i = post._age_index(bdryname)
+    h = post.age[i]
+    g = post.mesh.airgaps[i]
+    R = (g.ri + g.ro) / 2.0
+    th = math.radians(angle_deg)
+    ac = complex(h.aco)
+    nz = h.nh != 0
+    n = h.nh[nz].astype(float)
+    ac += complex(np.sum((R / n) * (-h.brs[nz] * np.cos(n * th)
+                                    + h.brc[nz] * np.sin(n * th))))
+    return ac.real if _d().problem.Frequency == 0 else ac
+
+
+# ------------------------- contours ----------------------------------- #
+_contour: list[complex] = []
+
+
+def mo_addcontour(x, y):
+    """Append a point to the postprocessor contour (luaAddContourPoint,
+    fpproc's `contour` list); mo_lineintegral integrates along it."""
+    z = complex(x, y)
+    if not _contour or _contour[-1] != z:
+        _contour.append(z)
+
+
+def mo_clearcontour():
+    _contour.clear()
+
+
+def mo_bendcontour(angle, anglestep):
+    """Replace the contour's last straight segment with an arc spanning
+    ``angle`` degrees, discretized at <= ``anglestep`` degrees per piece
+    (FPProc::BendContour semantics)."""
+    if angle == 0 or len(_contour) < 2:
+        return
+    if anglestep == 0:
+        anglestep = 1.0
+    if angle < -180.0 or angle > 180.0:
+        return
+    n = int(math.ceil(abs(angle / anglestep)))
+    tta = math.radians(angle)
+    dtta = tta / n
+    a1 = _contour.pop()
+    a0 = _contour[-1]
+    d = abs(a1 - a0)
+    R = d / (2.0 * math.sin(abs(tta / 2.0)))
+    if tta > 0:
+        c = a0 + (R / d) * (a1 - a0) * cmath.exp(1j * (math.pi - tta) / 2.0)
+    else:
+        c = a0 + (R / d) * (a1 - a0) * cmath.exp(-1j * (math.pi + tta) / 2.0)
+    for k in range(1, n + 1):
+        _contour.append(c + (a0 - c) * cmath.exp(1j * k * dtta))
+
+
+def mo_selectpoint(x, y):
+    """Add the nearest input-geometry node to the contour; when the
+    previous contour point and the new one are the endpoints of an input
+    arc, the contour follows the arc (luaAddContourPointFromNode)."""
+    p = _d().problem
+    if not p.nodelist:
+        return
+    best, bd = -1, 1e300
+    for i, nd in enumerate(p.nodelist):
+        dd = (nd.x - x) ** 2 + (nd.y - y) ** 2
+        if dd < bd:
+            best, bd = i, dd
+    nd = p.nodelist[best]
+    z = complex(nd.x, nd.y)
+    if _contour and _contour[-1] == z:
+        return
+    if _contour:
+        prev = _contour[-1]
+        # endpoints of an input arc? follow the arc like the reference
+        for arc in p.arclist:
+            za = complex(p.nodelist[arc.n0].x, p.nodelist[arc.n0].y)
+            zb = complex(p.nodelist[arc.n1].x, p.nodelist[arc.n1].y)
+            if abs(prev - za) < 1e-12 and abs(zb - z) < 1e-12:
+                _contour.append(z)
+                mo_bendcontour(arc.ArcLength, arc.MaxSideLength)
+                return
+            if abs(prev - zb) < 1e-12 and abs(za - z) < 1e-12:
+                _contour.append(z)
+                mo_bendcontour(-arc.ArcLength, arc.MaxSideLength)
+                return
+    _contour.append(z)
+
+
+def mo_groupselectblock(group=None):
+    """Select every block label in group ``group`` (all blocks when the
+    argument is omitted) -- luaGroupSelectBlock."""
+    labels = _s().post.labels
+    for i, lab in enumerate(labels):
+        if group is None or lab.InGroup == int(group):
+            if i not in _selected_labels:
+                _selected_labels.append(i)
+
+
+def mo_numnodes():
+    return _s().mesh.num_nodes
+
+
+def mo_numelements():
+    return _s().mesh.num_elements
+
+
+def mo_getnode(n):
+    """(x, y) of mesh node n (1-based, luaGetMeshNode)."""
+    i = int(n) - 1
+    mesh = _s().mesh
+    if i < 0 or i >= mesh.num_nodes:
+        return None
+    return (float(mesh.nodes[i, 0]), float(mesh.nodes[i, 1]))
+
+
+def mo_getelement(n):
+    """(p1, p2, p3, x, y, area, group) of mesh element n (1-based,
+    luaGetElement; indices are 1-based, area in length-units^2)."""
+    i = int(n) - 1
+    post = _s().post
+    mesh = _s().mesh
+    if i < 0 or i >= mesh.num_elements:
+        return None
+    tri = mesh.elements[i]
+    ctr = mesh.nodes[tri].mean(axis=0)
+    area = post.da[i] / 2.0
+    grp = post.labels[mesh.element_labels[i]].InGroup
+    return (int(tri[0]) + 1, int(tri[1]) + 1, int(tri[2]) + 1,
+            float(ctr[0]), float(ctr[1]), float(area), int(grp))
+
+
+def mo_getprobleminfo():
+    return mi_getprobleminfo()
+
+
+def mo_gettitle():
+    return mi_gettitle()
+
+
+def mo_reload():
+    """Reload the solution for the current document (luaLoadSolution)."""
+    return mi_loadsolution()
+
+
+def mo_smooth(flag="on"):
+    """Toggle patch-smoothing of B for point values (luaSetSmoothing)."""
+    post = _s().post
+    post.smoothing = str(flag).lower() != "off"
+
+
+def mo_gradient(xo, yo):
+    """Field-gradient tensor at (xo, yo) by integrating each element's
+    magnetization contribution (luaBGradient; undocumented in the FEMM
+    manual). Returns (dbxdx, dbxdy, dbydx, dbydy) re/im interleaved like
+    the Lua binding."""
+    post = _s().post
+    mesh = _s().mesh
+    lc = post.lc
+    T = mesh.num_elements
+    dbxdx = dbxdy = dbydx = 0.0 + 0j
+    for i in range(T):
+        M1, M2 = post.get_magnetization(i)
+        da = MU0 * (post.da[i] / 2.0) / lc
+        ctr = mesh.nodes[mesh.elements[i]].mean(axis=0)
+        x, y = float(ctr[0]), float(ctr[1])
+        p0 = PI * ((x - xo) ** 2 + (y - yo) ** 2) ** 3
+        p1 = (-3.0 * (x - xo) ** 2 + (y - yo) ** 2) * (y - yo)
+        p2 = (x - xo) * ((x - xo) ** 2 - 3.0 * (y - yo) ** 2)
+        dbxdx += da * (-(M2 * p1) + M1 * p2) / p0
+        dbxdy += da * (-(M1 * p1) - M2 * p2) / p0
+        dbydx += da * (-(M1 * p1) - M2 * p2) / p0
+    dbydy = -dbxdx
+    return (dbxdx.real, dbxdx.imag, dbxdy.real, dbxdy.imag,
+            dbydx.real, dbydx.imag, dbydy.real, dbydy.imag)
+
+
+# ---------------- property deletion / modification -------------------- #
+def mi_deletematerial(name):
+    p = _d().problem
+    i = p.material_index(name)
+    del p.blockproplist[i]
+    for lab in p.labellist:
+        if lab.BlockType == i:
+            lab.BlockType = -1
+        elif lab.BlockType > i:
+            lab.BlockType -= 1
+
+
+def mi_deleteboundprop(name):
+    p = _d().problem
+    i = p.boundary_index(name)
+    del p.lineproplist[i]
+    for lst, attr in ((p.linelist, "BoundaryMarker"),
+                      (p.arclist, "BoundaryMarker")):
+        for s in lst:
+            v = getattr(s, attr)
+            if v == i:
+                setattr(s, attr, -1)
+            elif v > i:
+                setattr(s, attr, v - 1)
+
+
+def mi_deletecircuit(name):
+    p = _d().problem
+    i = p.circuit_index(name)
+    del p.circproplist[i]
+    for lab in p.labellist:
+        if lab.InCircuit == i:
+            lab.InCircuit = -1
+        elif lab.InCircuit > i:
+            lab.InCircuit -= 1
+
+
+def mi_deletepointprop(name):
+    p = _d().problem
+    i = p.point_prop_index(name)
+    del p.nodeproplist[i]
+    for nd in p.nodelist:
+        if nd.BoundaryMarker == i:
+            nd.BoundaryMarker = -1
+        elif nd.BoundaryMarker > i:
+            nd.BoundaryMarker -= 1
+
+
+def mi_modifypointprop(name, propnum, value):
+    """Field order name, A_re, A_im (or V), J_re, J_im
+    (luaModifyPointProperty)."""
+    p = _d().problem
+    pp = p.nodeproplist[p.point_prop_index(name)]
+    n = int(propnum)
+    if n == 0:
+        pp.name = value
+    elif n == 1:
+        pp.A = complex(value, complex(pp.A).imag)
+    elif n == 2:
+        pp.A = complex(complex(pp.A).real, value)
+    elif n == 3:
+        pp.J = complex(value, complex(pp.J).imag)
+    elif n == 4:
+        pp.J = complex(complex(pp.J).real, value)
+
+
+# ----------------- external region / default label --------------------- #
+def mi_defineouterspace(Zo, Ro, Ri):
+    """Kelvin-transform external region parameters
+    (luaDefineOuterSpace; feasolver extZo/extRo/extRi)."""
+    p = _d().problem
+    p.extZo = float(Zo)
+    p.extRo = float(Ro)
+    p.extRi = float(Ri)
+
+
+def mi_attachouterspace():
+    p = _d().problem
+    for i in set(_selected_labels):
+        p.labellist[i].IsExternal = True
+
+
+def mi_detachouterspace():
+    p = _d().problem
+    for i in set(_selected_labels):
+        p.labellist[i].IsExternal = False
+
+
+def mi_attachdefault():
+    """Mark the selected block label as the default label: its
+    properties apply to any otherwise-unlabeled region
+    (luaAttachDefault)."""
+    p = _d().problem
+    for i in set(_selected_labels):
+        p.labellist[i].IsDefault = True
+
+
+def mi_detachdefault():
+    p = _d().problem
+    for i in set(_selected_labels):
+        p.labellist[i].IsDefault = False
+
+
+# --------------------- geometry: copy / fillet ------------------------- #
+def mi_copytranslate(dx, dy, copies=1, editaction=None):
+    _d().copy_translate(dx, dy, copies=int(copies),
+                        group=_selected_groups[-1] if _selected_groups
+                        else None)
+
+
+def mi_createradius(x, y, r):
+    """Fillet the corner nearest (x, y) with an arc of radius r
+    (luaCreateRadius -> FemmProblem::createRadius)."""
+    from .geometry import editor
+    d = _d()
+    i = d._nearest_node(x, y)
+    ok = editor.create_radius(d.problem, i, float(r))
+    if ok:
+        d._mesh = None
+    return ok
+
+
+def mi_setprevious(filename, prevtype=1):
+    """Use a previous solution as the operating point for incremental
+    (prevtype 1) / frozen (prevtype 2) permeability AC analysis
+    (luaSetPrevious; fsolver [prevsoln]/[prevtype])."""
+    p = _d().problem
+    p.PrevSoln = filename
+    p.PrevType = int(prevtype)
+
+
+def mi_analyse(flag=0):
+    mi_analyze(flag)
+
+
+def mi_newdocument():
+    return newdocument(0)
+
+
 # ------------------------ no-op GUI stubs ----------------------------- #
 def _noop(*args, **kw):
     return None
@@ -386,7 +714,21 @@ for _name in ("mi_zoomnatural", "mi_zoom", "mi_showgrid", "mi_hidegrid",
               "mo_hidedensityplot", "mi_refreshview", "mo_refreshview",
               "main_maximize", "main_minimize", "showconsole",
               "hideconsole", "messagebox", "makeplot", "mi_close",
-              "mo_close"):
+              "mo_close",
+              # the reference registers these as luaNOP too
+              # (LuaMagneticsCommands.cpp: GUI window/plot commands)
+              "mi_gridsnap", "mo_gridsnap", "mo_hidecontourplot",
+              "mo_hidemesh", "mo_hidepoints", "mo_makeplot",
+              "mi_maximize", "mo_maximize", "mi_minimize", "mo_minimize",
+              "mi_readdxf", "mi_resize", "mo_resize", "mi_restore",
+              "mo_restore", "mi_savebitmap", "mo_savebitmap",
+              "mi_savedxf", "mi_savemetafile", "mo_savemetafile",
+              "mi_setgrid", "mo_setgrid", "mo_showcontourplot",
+              "mi_showmesh", "mo_showmesh", "mi_shownames",
+              "mo_shownames", "mo_showpoints", "mo_showvectorplot",
+              "mi_zoomin", "mo_zoomin", "mi_zoomout", "mo_zoomout",
+              "mi_setfocus", "mo_setfocus", "mo_showgrid",
+              "mo_hidegrid"):
     globals()[_name] = _noop
 
 

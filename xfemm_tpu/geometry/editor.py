@@ -372,3 +372,190 @@ def transform_selection(problem: Problem, op: str, arg, group=None,
             l2 = _copy.copy(lab)
             l2.x, l2.y = q.real, q.imag
             problem.labellist.append(l2)
+
+
+# --------------------------------------------------------------------- #
+# corner fillet (FemmProblem::createRadius, FemmProblem.cpp:943)        #
+# --------------------------------------------------------------------- #
+def _seg_distance(problem: Problem, si: int, pt: complex) -> float:
+    seg = problem.linelist[si]
+    p0 = problem.nodelist[seg.n0].cc()
+    p1 = problem.nodelist[seg.n1].cc()
+    u = _seg_param(p0, p1, pt)
+    u = max(0.0, min(1.0, u))
+    return abs(p0 + u * (p1 - p0) - pt)
+
+
+def _arc_distance(problem: Problem, ai: int, pt: complex) -> float:
+    """Distance from pt to the arc (endpoint distance when the radial
+    projection falls outside the span) -- shortestDistanceFromArc."""
+    arc = problem.arclist[ai]
+    c, r = circle_of(problem, arc)
+    a0 = problem.nodelist[arc.n0].cc()
+    a1 = problem.nodelist[arc.n1].cc()
+    if abs(pt - c) < 1e-30:
+        return r
+    proj = c + r * (pt - c) / abs(pt - c)
+    th = (cmath.phase(proj - c) - cmath.phase(a0 - c)) % (2 * math.pi)
+    if th <= arc.ArcLength * DEG + 1e-12:
+        return abs(abs(pt - c) - r)
+    return min(abs(pt - a0), abs(pt - a1))
+
+
+def delete_node(problem: Problem, n: int) -> None:
+    """Remove node n and every segment/arc attached to it, shifting the
+    remaining node indices (deleteSelectedNodes semantics)."""
+    problem.linelist[:] = [s for s in problem.linelist
+                           if s.n0 != n and s.n1 != n]
+    problem.arclist[:] = [a for a in problem.arclist
+                          if a.n0 != n and a.n1 != n]
+    del problem.nodelist[n]
+    for s in problem.linelist:
+        if s.n0 > n:
+            s.n0 -= 1
+        if s.n1 > n:
+            s.n1 -= 1
+    for a in problem.arclist:
+        if a.n0 > n:
+            a.n0 -= 1
+        if a.n1 > n:
+            a.n1 -= 1
+
+
+def _closest_node(problem: Problem, pt: complex) -> int:
+    return min(range(len(problem.nodelist)),
+               key=lambda i: abs(problem.nodelist[i].cc() - pt))
+
+
+def create_radius(problem: Problem, n: int, r: float) -> bool:
+    """Replace the corner at node n with a fillet arc of radius r.
+    Handles line-line, line-arc, and arc-arc corners exactly like the
+    reference (FemmProblem::createRadius): tangency points are found by
+    intersecting the r-offset curves, nodes are added there (splitting
+    the original entities), the corner node (with its two stubs) is
+    deleted, and a new arc spanning the computed angle is added,
+    inheriting the boundary/group of one original entity."""
+    if r <= 0:
+        return False
+    segs = [k for k, s in enumerate(problem.linelist)
+            if s.n0 == n or s.n1 == n]
+    arcs = [k for k, a in enumerate(problem.arclist)
+            if a.n0 == n or a.n1 == n]
+    if len(segs) + len(arcs) != 2:
+        return False
+    p0 = problem.nodelist[n].cc()
+    props = {}
+
+    if len(segs) == 2:
+        s0, s1 = (problem.linelist[k] for k in segs)
+        p1 = problem.nodelist[s0.n1 if s0.n0 == n else s0.n0].cc()
+        p2 = problem.nodelist[s1.n1 if s1.n0 == n else s1.n0].cc()
+        phi = cmath.phase((p2 - p0) / (p1 - p0))
+        if abs(phi) > 179.0 * DEG:
+            return False
+        inherit = segs[0]
+        if phi < 0:
+            p1, p2 = p2, p1
+            inherit = segs[1]
+            phi = abs(phi)
+        ln = r / math.tan(phi / 2.0)
+        if abs(p1 - p0) < ln or abs(p2 - p0) < ln:
+            return False
+        t1 = ln * (p1 - p0) / abs(p1 - p0) + p0
+        t2 = ln * (p2 - p0) / abs(p2 - p0) + p0
+        seg = problem.linelist[inherit]
+        props = dict(BoundaryMarker=seg.BoundaryMarker,
+                     InGroup=seg.InGroup)
+        add_node(problem, t1.real, t1.imag, ln / 10000.0)
+        add_node(problem, t2.real, t2.imag, ln / 10000.0)
+        delete_node(problem, _closest_node(problem, p0))
+        # arc runs from the second line's tangent point to the first's
+        # (ccw, spanning 180 - phi)
+        n0 = _closest_node(problem, t2)
+        n1 = _closest_node(problem, t1)
+        return add_arc_segment(problem, n0, n1, 180.0 - phi / DEG,
+                               max_seg_deg=10.0, **props)
+
+    if len(segs) == 1 and len(arcs) == 1:
+        si, ai = segs[0], arcs[0]
+        arc = problem.arclist[ai]
+        c, rc = circle_of(problem, arc)
+        seg = problem.linelist[si]
+        pl = problem.nodelist[seg.n1 if seg.n0 == n else seg.n0].cc()
+        u = (pl - p0) / abs(pl - p0)
+        q = p0 + u * ((c - p0) / u).real       # foot of center on line
+        if abs(q - c) < 1e-30:
+            return False
+        w = (q - c) / abs(q - c)
+        cands = []
+        for foot, R in ((q + r * w, rc + r), (q - r * w, rc + r),
+                        (q + r * w, rc - r), (q - r * w, rc - r)):
+            b2 = R * R - abs(foot - c) ** 2
+            if b2 < 0:
+                continue
+            b = math.sqrt(b2)
+            for sgn in (1.0, -1.0):
+                v = foot + sgn * 1j * b * (foot - c) / abs(foot - c)
+                i1 = p0 + u * ((v - p0) / u).real   # tangency on line
+                i2 = c + rc * (v - c) / abs(v - c)  # tangency on circle
+                if (_arc_distance(problem, ai, i2) < r / 10000.0
+                        and _seg_distance(problem, si, i1) < r / 10000.0
+                        and abs(i1 - i2) > r / 10000.0):
+                    cands.append((abs(v - p0), v, i1, i2))
+        if not cands:
+            return False
+        _, v, i1, i2 = min(cands, key=lambda t: t[0])
+        props = dict(BoundaryMarker=arc.BoundaryMarker,
+                     InGroup=arc.InGroup)
+        add_node(problem, i1.real, i1.imag, r / 10000.0)
+        add_node(problem, i2.real, i2.imag, r / 10000.0)
+        delete_node(problem, _closest_node(problem, p0))
+        phi = cmath.phase((i2 - v) / (i1 - v))
+        if phi < 0:
+            i1, i2 = i2, i1
+            phi = abs(phi)
+        n0 = _closest_node(problem, i1)
+        n1 = _closest_node(problem, i2)
+        return add_arc_segment(problem, n0, n1, phi / DEG,
+                               max_seg_deg=10.0, **props)
+
+    # two arcs
+    a0i, a1i = arcs
+    arc0, arc1 = problem.arclist[a0i], problem.arclist[a1i]
+    c1, r1 = circle_of(problem, arc0)
+    c2, r2 = circle_of(problem, arc1)
+    cc = abs(c2 - c1)
+    if cc < 1e-30:
+        return False
+    e = (c2 - c1) / cc
+    cands = []
+    for a, b in ((r1 + r, r2 + r), (r1 - r, r2 - r),
+                 (r1 - r, r2 + r), (r1 + r, r2 - r)):
+        x = (b * b + cc * cc - a * a) / (2.0 * cc * cc)
+        d2 = b * b - x * x * cc * cc
+        if d2 < 0:
+            continue
+        d = math.sqrt(d2)
+        for sgn in (1.0, -1.0):
+            v = ((1 - x) * cc + sgn * 1j * d) * e + c1
+            i1 = c1 + r1 * (v - c1) / abs(v - c1)
+            i2 = c2 + r2 * (v - c2) / abs(v - c2)
+            if (_arc_distance(problem, a0i, i1) < r / 10000.0
+                    and _arc_distance(problem, a1i, i2) < r / 10000.0
+                    and abs(i1 - i2) > r / 10000.0):
+                cands.append((abs(v - p0), v, i1, i2))
+    if not cands:
+        return False
+    _, v, i1, i2 = min(cands, key=lambda t: t[0])
+    props = dict(BoundaryMarker=arc0.BoundaryMarker, InGroup=arc0.InGroup)
+    add_node(problem, i1.real, i1.imag, cc / 10000.0)
+    add_node(problem, i2.real, i2.imag, cc / 10000.0)
+    delete_node(problem, _closest_node(problem, p0))
+    phi = cmath.phase((i2 - v) / (i1 - v))
+    if phi < 0:
+        i1, i2 = i2, i1
+        phi = abs(phi)
+    n0 = _closest_node(problem, i1)
+    n1 = _closest_node(problem, i2)
+    return add_arc_segment(problem, n0, n1, phi / DEG,
+                           max_seg_deg=10.0, **props)

@@ -59,6 +59,29 @@ class MeshData:
         return len(self.elements)
 
 
+def resolve_default_labels(problem, mesh: MeshData) -> None:
+    """Map elements with no region label (attribute 0 in a reference
+    .ele file -> label -1) to the problem's IsDefault block label, the
+    way fsolver does on load (fsolver.cpp:541-562 ``elm.lbl--; if <0 ->
+    defaultLabel``). Idempotent; mutates ``mesh.element_labels``."""
+    unlabeled = mesh.element_labels < 0
+    if not unlabeled.any():
+        return
+    k = 0
+    default = -1
+    for lab in problem.labellist:
+        if lab.is_hole():
+            continue
+        if lab.IsDefault:
+            default = k
+        k += 1
+    if default < 0:
+        raise ValueError(
+            "mesh contains regions with no block label and the problem "
+            "defines no default label")
+    mesh.element_labels[unlabeled] = default
+
+
 def write_mesh_files(mesh: MeshData, pathbase: str) -> None:
     """Emit .node/.ele/.edge/.pbc next to ``pathbase`` (no extension)."""
     with open(pathbase + ".node", "w") as f:

@@ -41,6 +41,8 @@ class ElecSolution:
 
 
 def solve(problem: Problem, mesh: MeshData) -> ElecSolution:
+    from ..mesh.meshdata import resolve_default_labels
+    resolve_default_labels(problem, mesh)
     units = LENGTH_TO_MM[int(problem.LengthUnits)]
     xy = mesh.nodes * units
     tris = mesh.elements

@@ -89,6 +89,8 @@ def conductor_prolongation(n, pbc_pairs, node_cond, conductors):
 
 def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
           max_iter: int = 100) -> HeatSolution:
+    from ..mesh.meshdata import resolve_default_labels
+    resolve_default_labels(problem, mesh)
     if Tprev is None and problem.PrevSoln:
         # transient stepping: load T of the previous step (LoadPrev,
         # hsolver.cpp:860-866) by exact node-coordinate match

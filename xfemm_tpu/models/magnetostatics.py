@@ -268,6 +268,8 @@ def _eval_magdirs(problem: Problem, mesh: MeshData, units: float):
 
 
 def pack(problem: Problem, mesh: MeshData) -> PackedMagnetostatic:
+    from ..mesh.meshdata import resolve_default_labels
+    resolve_default_labels(problem, mesh)
     units = LENGTH_TO_CM[problem.LengthUnits]
     xy = mesh.nodes * units
     tris = mesh.elements

@@ -55,6 +55,8 @@ class MagPostProcessor:
     def __init__(self, problem: Problem, mesh: MeshData, A: np.ndarray,
                  label_case: np.ndarray | None = None,
                  Aprev: np.ndarray | None = None):
+        from ..mesh.meshdata import resolve_default_labels
+        resolve_default_labels(problem, mesh)
         self.problem = problem
         self.mesh = mesh
         self.A = np.asarray(A)
@@ -75,6 +77,7 @@ class MagPostProcessor:
         self._geom()
         self.age = [self._age_harmonics(a) for a in mesh.airgaps]
         self._mask: np.ndarray | None = None
+        self.smoothing = True    # mo_smooth toggle (fpproc Smooth flag)
 
     # ------------------------------------------------------------------ #
     def _geom(self):
@@ -962,6 +965,11 @@ class MagPostProcessor:
         lbl0 = lbl_of[t]
 
         def scan(direction):
+            """Walk same-label elements around node k; returns
+            (interface far node, element on OUR side of the interface)
+            or (None, e) on a hull punt (fpproc.cpp:2768-2830 -- note
+            the tangential-B 'kludge' reads the element ADJACENT to the
+            interface side, e, not the containing element)."""
             e = t
             for _ in range(len(adj) + 1):
                 tri = tris[e]
@@ -973,20 +981,20 @@ class MagPostProcessor:
                         nxt = int(cand)
                         break
                 if nxt < 0:
-                    return None          # hull: special-case punt
+                    return None, e       # hull: special-case punt
                 if lbl_of[nxt] != lbl0:
-                    return int(pt)       # interface side found
+                    return int(pt), e    # interface side found
                 e = nxt
-            return None
+            return None, e
 
         total1 = 0.0 + 0j
         total2 = 0.0 + 0j
         R = 0.0
         vs = []
         for direction in (0, 1):
-            pt = scan(direction)
+            pt, e = scan(direction)
             if pt is None:
-                return self.B1[t], self.B2[t]
+                return self.B1[e], self.B2[e]
             p0 = self.mesh.nodes[k]
             p1 = self.mesh.nodes[pt]
             tn = p1 - p0
@@ -997,7 +1005,7 @@ class MagPostProcessor:
                 bn /= (-2.0 * PI * r) if r != 0 else 1.0
             z = 0.5 / tlen
             tn = tn / tlen
-            bt = self.B1[t] * tn[0] + self.B2[t] * tn[1]
+            bt = self.B1[e] * tn[0] + self.B2[e] * tn[1]
             R += z
             total1 += z * (tn[0] * bt + tn[1] * bn)
             total2 += z * (tn[1] * bt - tn[0] * bn)
@@ -1162,11 +1170,29 @@ class MagPostProcessor:
             return -1
         return int(idx[0])
 
+    def get_magnetization(self, t: int):
+        """Piece-wise constant magnetization (M1, M2) of element t
+        (FPProc::GetMagnetization, fpproc.cpp:5259)."""
+        mat = self.mats[self.blk[t]]
+        b1, b2 = self.B1[t], self.B2[t]
+        if self.frequency == 0:
+            mu1, mu2 = _get_mu(mat, b1.real, b2.real)
+            hc = mat.H_c * cmath.exp(1j * PI * self.magdir[t] / 180.0)
+        else:
+            mu1, mu2 = self._get_mu_complex(t)
+            hc = 0.0
+        M1 = b1 * (mu1 - 1) / (mu1 * MU0) + complex(hc).real
+        M2 = b2 * (mu2 - 1) / (mu2 * MU0) + complex(hc).imag
+        return M1, M2
+
     def get_point_values(self, x: float, y: float, element: int = -1,
-                         smooth: bool = True) -> dict:
+                         smooth: bool | None = None) -> dict:
         """A, B, H, mu, J at a point (subset of CMPointVals,
         fpproc.cpp:2257 GetPointValues). ``smooth`` uses the patch-
-        smoothed nodal B (the reference's default)."""
+        smoothed nodal B (the reference's default); None defers to the
+        mo_smooth session toggle."""
+        if smooth is None:
+            smooth = self.smoothing
         t = element if element >= 0 else self.find_element(x, y)
         if t < 0:
             return {}

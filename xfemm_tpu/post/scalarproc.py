@@ -38,6 +38,8 @@ class ScalarPostProcessor:
 
     def __init__(self, problem: Problem, mesh: MeshData, V: np.ndarray,
                  mode: str, node_bc: np.ndarray | None = None):
+        from ..mesh.meshdata import resolve_default_labels
+        resolve_default_labels(problem, mesh)
         self.problem = problem
         self.mesh = mesh
         self.V = np.asarray(V, float)

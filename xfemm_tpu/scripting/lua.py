@@ -553,7 +553,16 @@ class Interpreter:
         g["Im"] = lambda z: z.imag if isinstance(z, complex) else 0.0
         g["femmVersion"] = lambda: 42.0
         g["trace"] = lambda *a: None
-        g["setcompatibilitymode"] = lambda *a: None
+        # FEMM-4.2 quirk-emulation toggle (LuaInstance.h:131): the state
+        # round-trips; commands with divergent 4.0/4.1 semantics are not
+        # emulated (the reference likewise raises "not implemented")
+        self.compat_mode = 0
+
+        def _setcompat(v=0.0):
+            self.compat_mode = int(v)
+
+        g["setcompatibilitymode"] = _setcompat
+        g["getcompatibilitymode"] = lambda: float(self.compat_mode)
         g["clearconsole"] = lambda *a: None
         g["showconsole"] = lambda *a: None
         g["messagebox"] = lambda *a: self.output(
