@@ -7,10 +7,12 @@ path) and reports wall time for a warm solve (compiles cached; the first
 solve pays one-time XLA compilation).
 
 Baseline: the unmodified reference fsolver (single-threaded C++, built
-from /root/reference at -O2) solves the identical premeshed 254,218-node
-problem in 13.9 s on this machine (AMD EPYC-class host, single core) --
-measured 2026-08-16, see BASELINE.md. ``vs_baseline`` is the speedup
-factor baseline_time / our_time (>1 means faster than the reference).
+from /root/reference at -O2) solves the identical premeshed 249,814-node
+problem in 14.8 s on this machine (AMD EPYC-class host, single core) --
+measured 2026-08-17 (best of 2: 16.4/14.8 s) on the mesh produced by the
+current shortest-edge-first refinement kernel. ``vs_baseline`` is the
+speedup factor baseline_time / our_time (>1 means faster than the
+reference).
 
 Prints exactly one JSON line.
 """
@@ -20,7 +22,7 @@ import os
 import sys
 import time
 
-REF_FSOLVER_SECONDS = 13.9        # reference fsolver on the same mesh
+REF_FSOLVER_SECONDS = 14.8        # reference fsolver on the same mesh
 TARGET_NODES = 250_000
 
 

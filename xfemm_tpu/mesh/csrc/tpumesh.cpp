@@ -21,6 +21,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <functional>
+#include <queue>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -816,6 +818,10 @@ inline bool in_diametral(const Mesh &m, int a, int b, double x, double y,
 }
 
 void refine(Mesh &m) {
+    const bool dbg_counts = getenv("TPUMESH_COUNTS") != nullptr;
+    size_t n_angle_ins = 0, n_area_ins = 0, n_seg_split = 0,
+           n_centroid = 0;
+    (void)n_centroid;
     double q = m.minangle * M_PI / 180.0;
     double bound2 = 1e300;
     if (m.minangle > 0) {
@@ -823,9 +829,38 @@ void refine(Mesh &m) {
         bound2 = 1.0 / (s * s);
     }
 
-    std::vector<int> queue;
+    // shortest-edge-first processing (the ordering Triangle uses --
+    // enqueuebadtriang: "The shortest edges have the highest priority").
+    // Fixing the finest-scale bad triangles first makes insertion radii
+    // grow monotonically, which is what bounds the output size (Ruppert's
+    // size-optimality argument); stack order costs ~2-3x more Steiner
+    // points on graded inputs (motor geometries with corner stubs).
+    // Entries are (-shortest_edge^2, triangle); stale entries are skipped
+    // on pop by re-checking liveness and badness.
+    using QEntry = std::pair<double, int>;
+    std::priority_queue<QEntry> pqueue;
+    auto queue_push = [&](int t) {
+        if (t < 0 || t >= (int)m.tris.size() || m.tris[t].dead ||
+            m.tris[t].attr < 0)
+            return;
+        CircumData cd;
+        if (!circum(m, t, cd)) return;
+        double maxarea = (m.tris[t].attr >= 1 &&
+                          m.tris[t].attr <= (int)m.region_maxarea.size())
+                             ? m.region_maxarea[m.tris[t].attr - 1]
+                             : 0.0;
+        bool bad = (maxarea > 0.0 && cd.area > maxarea) ||
+                   (cd.r2 > bound2 * cd.shortest2);
+        if (bad) pqueue.push({-cd.shortest2, t});
+    };
+    struct QueueShim {
+        std::priority_queue<QEntry> &pq;
+        std::function<void(int)> push_fn;
+        void push_back(int t) { push_fn(t); }
+    };
+    QueueShim queue{pqueue, queue_push};
     for (int t = 0; t < (int)m.tris.size(); ++t)
-        if (!m.tris[t].dead && m.tris[t].attr >= 0) queue.push_back(t);
+        if (!m.tris[t].dead && m.tris[t].attr >= 0) queue_push(t);
     std::deque<uint64_t> segqueue;
     for (auto &kv : m.segmap)
         if (!m.is_protected(kv.first)) segqueue.push_back(kv.first);
@@ -850,6 +885,7 @@ void refine(Mesh &m) {
         int v = add_point(m, mx, my, marker, &created, m.vtri[a],
                           ekey(a, b));
         if (v < 0) return -1;
+        ++n_seg_split;
         m.segmap.erase(ekey(a, b));
         m.segmap[ekey(a, v)] = marker;
         m.segmap[ekey(v, b)] = marker;
@@ -910,13 +946,14 @@ void refine(Mesh &m) {
         }
         std::vector<int> created;
         int v = add_point(m, gx, gy, 0, &created, t);
+        if (v >= 0) ++n_centroid;
         if (v >= 0)
             for (int tt : created)
                 if (m.tris[tt].attr >= 0) queue.push_back(tt);
         return v;
     };
 
-    while ((!queue.empty() || !segqueue.empty()) && ++iterations < maxiter) {
+    while ((!pqueue.empty() || !segqueue.empty()) && ++iterations < maxiter) {
         if (!segqueue.empty()) {
             uint64_t key = segqueue.front();
             segqueue.pop_front();
@@ -933,8 +970,8 @@ void refine(Mesh &m) {
             continue;
         }
 
-        int t = queue.back();
-        queue.pop_back();
+        int t = pqueue.top().second;
+        pqueue.pop();
         if (t >= (int)m.tris.size() || m.tris[t].dead || m.tris[t].attr < 0)
             continue;
 
@@ -946,16 +983,6 @@ void refine(Mesh &m) {
                              : 0.0;
         bool bad_area = (maxarea > 0.0 && cd.area > maxarea);
         bool bad_angle = (cd.r2 > bound2 * cd.shortest2);
-        // Give up on angle-driven refinement once the shortest edge is far
-        // below the region's area-constraint length scale: such skinny
-        // triangles are forced by small input features (e.g. the corner
-        // mesh-grading stubs) and chasing them grades the whole region to
-        // the feature scale. The reference's meshing kernel behaves the
-        // same way in practice (its TorqueBenchmark output bottoms out at
-        // ~21 degrees despite a 33-degree request).
-        if (bad_angle && !bad_area && maxarea > 0.0 &&
-            cd.shortest2 * 64.0 < maxarea)
-            bad_angle = false;
         if (dbg)
             fprintf(stderr,
                     "pop t=%d v=(%d,%d,%d) area=%g badA=%d badQ=%d cc=(%g,%g)\n",
@@ -1063,6 +1090,7 @@ void refine(Mesh &m) {
 
         std::vector<int> created;
         int v = add_point(m, ix, iy, 0, &created, tc);
+        if (v >= 0) { if (bad_area) ++n_area_ins; else ++n_angle_ins; }
         if (dbg) fprintf(stderr, "  insert (%g,%g) -> v=%d\n", ix, iy, v);
         if (v < 0) {
             if (bad_area) insert_centroid(t);
@@ -1071,6 +1099,12 @@ void refine(Mesh &m) {
         for (int tt : created)
             if (m.tris[tt].attr >= 0) queue.push_back(tt);
     }
+    if (dbg_counts)
+        fprintf(stderr,
+                "tpumesh refine: angle=%zu area=%zu centroid=%zu "
+                "segsplit=%zu iter=%zu\n",
+                n_angle_ins, n_area_ins, n_centroid, n_seg_split,
+                iterations);
 }
 
 }  // namespace

@@ -42,8 +42,10 @@ MINANGLE_MAX = 33.8
 #: are tightened by this factor. Our refinement kernel grades differently
 #: from the reference's, and this margin restores (slightly beats) the
 #: reference's field accuracy at equal user-facing mesh settings --
-#: validated on the TorqueBenchmark torque-vs-analytic sweep.
-AREA_TIGHTEN = 0.65
+#: validated on the TorqueBenchmark torque-vs-analytic sweep (0.8 with
+#: the shortest-edge-first refinement queue; tighter values buy no
+#: additional torque accuracy and cost density).
+AREA_TIGHTEN = 0.8
 
 
 class MeshError(RuntimeError):

@@ -70,9 +70,10 @@ def build(target_nodes: int = 1_000_000) -> Problem:
             p.linelist.append(Segment(n0=c[i], n1=c[(i + 1) % 4]))
 
     # area constraint for the target DOF count: total area 4 m^2; the
-    # 1.3 factor calibrates the refiner's actual density (measured)
+    # 1.1 factor calibrates the refiner's actual density (measured with
+    # the shortest-edge-first refinement queue)
     domain_area = 4.0
-    max_area = 1.3 * domain_area / max(target_nodes, 100)
+    max_area = 1.1 * domain_area / max(target_nodes, 100)
     p.labellist = [
         BlockLabel(x=0.0, y=0.9, BlockType=0, MaxArea=max_area),     # air
         BlockLabel(x=0.0, y=0.0, BlockType=1, MaxArea=max_area),     # steel
