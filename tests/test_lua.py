@@ -106,3 +106,19 @@ def test_end_to_end_torque_script(tmp_path, monkeypatch):
         write("SUCCESS\\n")
     """)
     assert out[-1] == "SUCCESS"
+
+
+def test_compatibility_mode_roundtrip():
+    """femmcli_compatmode.lua: get/setcompatibilitymode state."""
+    from xfemm_tpu.scripting import lua
+    out = []
+    interp = lua.Interpreter(bind_femm=False, output=out.append)
+    interp.run("""
+assert(getcompatibilitymode() == 0)
+setcompatibilitymode(1.0)
+assert(getcompatibilitymode() == 1)
+setcompatibilitymode(0.0)
+assert(getcompatibilitymode() == 0)
+write("SUCCESS\n")
+""")
+    assert out == ["SUCCESS"]

@@ -420,8 +420,45 @@ def update_fine_values(amg: BandAMG, fine_layout, data,
     return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n)
 
 
+#: Chebyshev smoothing degree for the band V-cycle. Degree 1 is plain
+#: damped Jacobi (the default: measured on the 250k nonlinear bench,
+#: degree 2 cuts CG iterations only ~24% -- the coarse-grid correction,
+#: not the smoother, limits convergence here -- while nearly doubling
+#: the per-cycle fine-level cost, a net loss). Kept selectable because
+#: polynomial smoothing is the TPU-parallel analogue of the reference's
+#: sequential SSOR sweeps (spars.cpp:197).
+CHEBY_DEGREE = 1
+
+
+def _cheby_smooth(lv: BandLevel, As, r):
+    """Smoother application for A z = r from z = 0: damped Jacobi at
+    degree 1, else degree-CHEBY_DEGREE Jacobi-preconditioned Chebyshev
+    on [lmax/4, 1.1 lmax] (``lv.omega`` encodes the power-iteration
+    estimate of lambda_max(D^-1 A): omega = 2*JACOBI_OMEGA/lmax)."""
+    if CHEBY_DEGREE <= 1:
+        return lv.omega * lv.invd * r
+    from .amg import JACOBI_OMEGA as _W
+    lam = 2.0 * _W / lv.omega
+    lmax = 1.1 * lam
+    lmin = 0.25 * lam
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    z = lv.invd * r / theta
+    d = z
+    for _ in range(CHEBY_DEGREE - 1):
+        rk = r - band_apply(As, lv.dvec, z)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (lv.invd * rk)
+        z = z + d
+        rho = rho_new
+    return z
+
+
 def band_vcycle(amg: BandAMG, r):
-    """Symmetric V(1,1) cycle, all ops dense-band."""
+    """Symmetric V-cycle with Chebyshev(CHEBY_DEGREE) pre/post smoothing,
+    all ops dense-band."""
     import jax.numpy as jnp
     L = len(amg.levels)
 
@@ -430,7 +467,7 @@ def band_vcycle(amg: BandAMG, r):
             return amg.coarse_inv @ r
         lv = amg.levels[l]
         As = lv.Abf if lv.Abf is not None else lv.A
-        z = lv.omega * lv.invd * r
+        z = _cheby_smooth(lv, As, r)
         d = r - band_apply(As, lv.dvec, z)
         rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
                   else amg.coarse_inv.shape[0])
@@ -448,8 +485,10 @@ def band_vcycle(amg: BandAMG, r):
             z = z + band_matvec(lv.P, zc)[:r.shape[0]]
         else:
             z = z + jnp.repeat(zc, AGG)[:r.shape[0]]
-        z = z + lv.omega * lv.invd * (
-            r - band_apply(As, lv.dvec, z))
+        # post-smooth the residual with the same polynomial (keeps the
+        # preconditioner symmetric for CG)
+        z = z + _cheby_smooth(lv, As,
+                              r - band_apply(As, lv.dvec, z))
         return z
 
     return cycle(0, r)
