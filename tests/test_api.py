@@ -92,3 +92,29 @@ def test_library_import(tmp_path):
     doc = femm.new_document("magnetics")
     m = doc.add_material_from_library(str(p), "TestSteel")
     assert m.mu_x == 2000 and m.Cduct == 10
+
+
+def test_exporters(fixtures, tmp_path):
+    """TikZ / FreeCAD / Elmer exporters (the mfemm visualisation and
+    +mfemm2elmer interop surface)."""
+    from xfemm_tpu.geometry import femfile
+    from xfemm_tpu.mesh import mesher
+    from xfemm_tpu.utils import export
+
+    prob = femfile.load(str(fixtures / "TorqueBenchmark.fem"))
+    tikz = export.to_tikz(prob, width_mm=100)
+    assert tikz.startswith("\\begin{tikzpicture}")
+    assert "arc (" in tikz and tikz.rstrip().endswith("\\end{tikzpicture}")
+
+    fc = export.to_freecad(prob)
+    assert "Draft.makeCircle" in fc and "FreeCAD.newDocument" in fc
+
+    mesh = mesher.mesh_problem(prob)
+    export.to_elmer(mesh, prob, str(tmp_path / "elmer"))
+    hdr = (tmp_path / "elmer" / "mesh.header").read_text().split()
+    assert int(hdr[0]) == mesh.num_nodes
+    assert int(hdr[1]) == mesh.num_elements
+    nodes = (tmp_path / "elmer" / "mesh.nodes").read_text().splitlines()
+    assert len(nodes) == mesh.num_nodes
+    els = (tmp_path / "elmer" / "mesh.elements").read_text().splitlines()
+    assert len(els) == mesh.num_elements and " 303 " in els[0]

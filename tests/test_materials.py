@@ -99,3 +99,29 @@ def test_harmonic_doctoring_runs(steel, fixtures):
     assert mat.MuMax > 0
     # doctored H data becomes complex (hysteresis lag)
     assert any(abs(h.imag) > 0 for h in mat.Hdata[1:])
+
+
+def test_heat_library_roundtrip(tmp_path):
+    """hi_getmaterial pulls a K(T)-curve material from a heatlib-format
+    library (MatlibReader semantics)."""
+    lib = tmp_path / "myheat.dat"
+    lib.write_text("""<BeginFolder>
+<FolderName> = "Metals"
+<BeginBlock>
+<BlockName> = "TestAl"
+<Kx> = 236
+<Ky> = 236
+<Kt> = 0
+<qv> = 0
+    <TKPoints> = 2
+      273\t236
+      473\t238
+<EndBlock>
+<EndFolder>
+""")
+    import xfemm_tpu.femm_compat as femm
+    femm.newdocument(2)
+    femm.hi_getmaterial("TestAl", libpath=str(lib))
+    m = femm._d().problem.blockproplist[0]
+    assert m.name == "TestAl" and m.Kx == 236
+    assert list(m.Tdata) == [273, 473]

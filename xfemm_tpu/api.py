@@ -121,8 +121,9 @@ class Document:
         return obj
 
     def add_material_from_library(self, path: str, name: str):
-        """mi_getmaterial equivalent against an explicit library file."""
-        mats = library.load(path)
+        """mi_getmaterial equivalent against an explicit library file;
+        records are parsed for this document's problem domain."""
+        mats = library.load(path, filetype=self.problem.filetype)
         self.problem.blockproplist.append(mats[name])
         return mats[name]
 

@@ -1075,6 +1075,28 @@ def ei_addmaterial(name, ex=1.0, ey=1.0, qv=0.0):
         ElectrostaticsMaterial(name=name, ex=ex, ey=ey, qv=qv))
 
 
+def hi_getmaterial(name, libpath=None):
+    """Pull a heat-flow material from a library (heatlib.dat format;
+    set $XFEMM_TPU_HEATLIB or pass libpath)."""
+    import os
+    if libpath is None:
+        libpath = os.environ.get("XFEMM_TPU_HEATLIB")
+    if libpath is None:
+        raise ValueError("pass libpath= or set XFEMM_TPU_HEATLIB")
+    _d().add_material_from_library(libpath, name)
+
+
+def ei_getmaterial(name, libpath=None):
+    """Pull an electrostatics material from a library (statlib.dat
+    format; set $XFEMM_TPU_STATLIB or pass libpath)."""
+    import os
+    if libpath is None:
+        libpath = os.environ.get("XFEMM_TPU_STATLIB")
+    if libpath is None:
+        raise ValueError("pass libpath= or set XFEMM_TPU_STATLIB")
+    _d().add_material_from_library(libpath, name)
+
+
 def hi_addboundprop(name, fmt=0, Tset=0.0, qs=0.0, Tinf=0.0, h=0.0,
                     beta=0.0):
     _d().problem.lineproplist.append(BoundaryProp(

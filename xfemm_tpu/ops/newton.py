@@ -88,6 +88,12 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
     lv0 = session.band_amg.levels[0]
     if lv0.A.dense.dtype == jnp.bfloat16:
         return None
+    # the step's executable holds the donated fine band PLUS the refresh
+    # temporaries (and a bf16 smoothing copy when Abf is present); on
+    # 16 GB parts the 1M-class hierarchies (fine band > ~4 GB) exceed
+    # HBM at compile time -- keep those on the host loop
+    if lv0.A.dense.size * 4 > 4e9:
+        return None
     slot_s, souter_s, kmask_s, ch_masks = session.sub_cache
     if souter_s[0] is None:
         return None
