@@ -243,3 +243,66 @@ def test_outerspace_and_setprevious():
     assert p.labellist[0].IsDefault
     femm.mi_setprevious("prev.ans", 2)
     assert p.PrevSoln == "prev.ans" and p.PrevType == 2
+
+
+def test_full_verb_parity():
+    """Every command the reference femmcli registers (mi_/mo_, hi_/ho_,
+    ei_/eo_ -- LuaMagneticsCommands.cpp, LuaHeatflowCommands.cpp,
+    LuaElectrostaticsCommands.cpp registration tables) resolves to a
+    callable here, functional or documented no-op."""
+    import re
+    ref_verbs = """
+mi_addarc mi_addbhpoint mi_addblocklabel mi_addboundprop mi_addcircprop
+mi_addmaterial mi_addnode mi_addpointprop mi_addsegment mi_analyse
+mi_analyze mi_attachdefault mi_attachouterspace mi_clearbhpoints
+mi_clearselected mi_copyrotate mi_copytranslate mi_createmesh
+mi_createradius mi_defineouterspace mi_deleteboundprop mi_deletecircuit
+mi_deletematerial mi_deletepointprop mi_deleteselected
+mi_deleteselectedarcsegments mi_deleteselectedlabels
+mi_deleteselectednodes mi_deleteselectedsegments mi_detachdefault
+mi_detachouterspace mi_getboundingbox mi_getmaterial mi_getprobleminfo
+mi_gettitle mi_gridsnap mi_maximize mi_minimize mi_mirror
+mi_modifyboundprop mi_modifycircprop mi_modifymaterial
+mi_modifypointprop mi_moverotate mi_movetranslate mi_probdef
+mi_purgemesh mi_readdxf mi_refreshview mi_resize mi_restore
+mi_savebitmap mi_savedxf mi_savemetafile mi_saveas mi_scale
+mi_selectarcsegment mi_selectcircle mi_selectgroup mi_selectlabel
+mi_selectnode mi_selectrectangle mi_selectsegment mi_setarcsegmentprop
+mi_setblockprop mi_setcurrent mi_setfocus mi_setgrid mi_setgroup
+mi_setnodeprop mi_setprevious mi_setsegmentprop mi_showgrid mi_showmesh
+mi_shownames mi_zoom mi_zoomin mi_zoomnatural mi_zoomout
+mo_addcontour mo_bendcontour mo_blockintegral mo_clearblock
+mo_clearcontour mo_close mo_gapintegral mo_getcircuitproperties
+mo_getelement mo_getgapa mo_getgapb mo_getgapharmonics mo_getnode
+mo_getpointvalues mo_getprobleminfo mo_gettitle mo_gradient
+mo_gridsnap mo_groupselectblock mo_hidecontourplot mo_hidedensityplot
+mo_hidegrid mo_hidemesh mo_hidepoints mo_lineintegral mo_makeplot
+mo_maximize mo_minimize mo_numelements mo_numnodes mo_reload mo_resize
+mo_restore mo_savebitmap mo_savemetafile mo_selectblock mo_selectpoint
+mo_setfocus mo_setgrid mo_showcontourplot mo_showdensityplot
+mo_showgrid mo_showmesh mo_shownames mo_showpoints mo_showvectorplot
+mo_smooth mo_zoom mo_zoomin mo_zoomnatural mo_zoomout
+hi_addboundprop hi_addconductorprop hi_addmaterial hi_addpointprop
+hi_addtkpoint hi_analyse hi_analyze hi_cleartkpoints hi_copytranslate
+hi_createradius hi_deleteboundprop hi_deleteconductor hi_deletematerial
+hi_deletepointprop hi_getmaterial hi_loadsolution hi_modifyboundprop
+hi_modifyconductorprop hi_modifymaterial hi_modifypointprop hi_probdef
+hi_saveas hi_setprevious ho_addcontour ho_bendcontour ho_blockintegral
+ho_clearblock ho_clearcontour ho_close ho_getconductorproperties
+ho_getelement ho_getnode ho_getpointvalues ho_gettitle
+ho_groupselectblock ho_lineintegral ho_numelements ho_numnodes
+ho_reload ho_selectblock ho_selectconductor ho_selectpoint ho_smooth
+ei_addboundprop ei_addconductorprop ei_addmaterial ei_addpointprop
+ei_analyse ei_analyze ei_copytranslate ei_createradius
+ei_deleteboundprop ei_deleteconductor ei_deletematerial
+ei_deletepointprop ei_getmaterial ei_loadsolution ei_modifyboundprop
+ei_modifyconductorprop ei_modifymaterial ei_modifypointprop ei_probdef
+ei_saveas eo_addcontour eo_bendcontour eo_blockintegral eo_clearblock
+eo_clearcontour eo_close eo_getconductorproperties eo_getelement
+eo_getnode eo_getpointvalues eo_gettitle eo_groupselectblock
+eo_lineintegral eo_numelements eo_numnodes eo_reload eo_selectblock
+eo_selectconductor eo_selectpoint eo_smooth
+""".split()
+    missing = [v for v in ref_verbs
+               if not callable(getattr(femm, v, None))]
+    assert not missing, missing

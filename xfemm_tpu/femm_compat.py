@@ -1138,6 +1138,70 @@ def _ei_newdocument():
     return newdocument(1)
 
 
+def hi_modifymaterial(name, propnum, value):
+    """Heat-flow field order: name, Kx, Ky, qv, Kt
+    (LuaHeatflowCommands luaModifyMaterialProp)."""
+    p = _d().problem
+    m = p.blockproplist[p.material_index(name)]
+    fields = ["name", "Kx", "Ky", "qv", "Kt"]
+    setattr(m, fields[int(propnum)], value)
+
+
+def ei_modifymaterial(name, propnum, value):
+    """Electrostatics field order: name, ex, ey, qv
+    (LuaElectrostaticsCommands luaModifyMaterialProp)."""
+    p = _d().problem
+    m = p.blockproplist[p.material_index(name)]
+    fields = ["name", "ex", "ey", "qv"]
+    setattr(m, fields[int(propnum)], value)
+
+
+def _deleteconductor(name):
+    p = _d().problem
+    i = p.circuit_index(name)
+    del p.circproplist[i]
+    for lst in (p.nodelist, p.linelist, p.arclist):
+        for e in lst:
+            if getattr(e, "InConductor", -1) == i:
+                e.InConductor = -1
+            elif getattr(e, "InConductor", -1) > i:
+                e.InConductor -= 1
+
+
+def _modifyconductorprop(name, propnum, value):
+    """Field order: name, V (Tc), q (qc), type
+    (luaModifyConductorProperty)."""
+    p = _d().problem
+    c = p.circproplist[p.circuit_index(name)]
+    n = int(propnum)
+    if n == 0:
+        c.name = value
+    elif n == 1:
+        c.V = value
+    elif n == 2:
+        c.q = value
+    else:
+        c.CircType = int(value)
+
+
+_selected_conductors: list[int] = []
+
+
+def _o_selectconductor(name):
+    """Record the named conductor as selected in the output view
+    (luaSelectConductor; selection highlighting only)."""
+    p = _d().problem
+    _selected_conductors.append(p.circuit_index(name))
+
+
+globals()["hi_deleteconductor"] = _deleteconductor
+globals()["ei_deleteconductor"] = _deleteconductor
+globals()["hi_modifyconductorprop"] = _modifyconductorprop
+globals()["ei_modifyconductorprop"] = _modifyconductorprop
+globals()["ho_selectconductor"] = _o_selectconductor
+globals()["eo_selectconductor"] = _o_selectconductor
+
+
 # hi_/ei_ geometry, selection, transform and pipeline verbs share the
 # magnetics implementations (one Document, dispatch on file type)
 _SHARED_VERBS = (
@@ -1151,12 +1215,32 @@ _SHARED_VERBS = (
     "deleteselectedarcsegments", "deleteselectedlabels", "createmesh",
     "purgemesh", "getboundingbox", "getprobleminfo", "gettitle",
     "modifyboundprop",
+    # document-editing verbs shared with the magnetics implementations
+    "analyse", "attachdefault", "detachdefault", "attachouterspace",
+    "detachouterspace", "defineouterspace", "copytranslate",
+    "createradius", "deleteboundprop", "deletematerial",
+    "deletepointprop", "modifypointprop", "setprevious",
 )
 for _pfx in ("hi_", "ei_"):
     for _v in _SHARED_VERBS:
         _impl = globals().get("mi_" + _v)
         if _impl is not None:
             globals().setdefault(_pfx + _v, _impl)
+
+# ho_/eo_ postprocessor verbs shared with the magnetics implementations
+# (contours, mesh accessors, selection, smoothing)
+_SHARED_O_VERBS = (
+    "addcontour", "bendcontour", "clearcontour", "selectpoint",
+    "clearblock", "selectblock", "groupselectblock", "getelement",
+    "getnode", "getprobleminfo", "gettitle", "numelements", "numnodes",
+    "reload", "smooth",
+)
+for _pfx in ("ho_", "eo_"):
+    for _v in _SHARED_O_VERBS:
+        _impl = globals().get("mo_" + _v)
+        if _impl is not None:
+            globals().setdefault(_pfx + _v, _impl)
+
 globals().setdefault("hi_newdocument", _hi_newdocument)
 globals().setdefault("ei_newdocument", _ei_newdocument)
 for _name in ("hi_zoomnatural", "hi_zoom", "hi_showgrid", "hi_hidegrid",
@@ -1165,3 +1249,16 @@ for _name in ("hi_zoomnatural", "hi_zoom", "hi_showgrid", "hi_hidegrid",
               "hi_seteditmode", "ei_seteditmode", "mi_seteditmode",
               "mo_seteditmode", "ho_seteditmode", "eo_seteditmode"):
     globals().setdefault(_name, _noop)
+
+# the reference registers the remaining window/plot commands as no-ops
+# for every domain prefix (LuaInstance::luaNOP)
+for _pfx in ("hi_", "ei_", "ho_", "eo_"):
+    for _v in ("gridsnap", "maximize", "minimize", "readdxf",
+               "refreshview", "resize", "restore", "savebitmap",
+               "savedxf", "savemetafile", "setfocus", "setgrid",
+               "showmesh", "shownames", "zoomin", "zoomout", "zoom",
+               "zoomnatural", "showgrid", "hidegrid", "makeplot",
+               "hidecontourplot", "showcontourplot", "hidedensityplot",
+               "showdensityplot", "hidemesh", "hidepoints",
+               "showpoints", "showvectorplot"):
+        globals().setdefault(_pfx + _v, _noop)
