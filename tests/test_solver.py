@@ -120,3 +120,47 @@ def test_band_sym_bf16_operator(monkeypatch):
     assert solb.residual <= p.Precision
     scale = np.abs(sol64.A).max()
     assert np.abs(solb.A - sol64.A).max() / scale < 1e-7
+
+
+def test_pcg_csym_pairs_matches_complex():
+    """The real-(re,im)-pairs complex-symmetric CG (the TPU transfer
+    path, which must not move complex buffers) solves the same system
+    as the complex-dtype kernel."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from xfemm_tpu.ops import solver as sv
+
+    rng = np.random.default_rng(7)
+    n, E, K = 60, 120, 3
+    idx = rng.integers(0, n, size=(E, K))
+    sign = np.ones((E, K))
+    base = rng.standard_normal((E, K, K)) + 1j * rng.standard_normal((E, K, K))
+    mat = base + np.swapaxes(base, 1, 2)       # complex symmetric
+    for e in range(E):                          # diagonal dominance
+        for k in range(K):
+            mat[e, k, k] += 6.0 + 2.0j
+    blk = sv.ElementBlock(idx=idx, sign=sign, mat=mat)
+    fixed = np.zeros(n, bool)
+
+    A = sp.coo_matrix(
+        (mat.reshape(E, -1).ravel(),
+         (np.broadcast_to(idx[:, :, None], (E, K, K)).ravel(),
+          np.broadcast_to(idx[:, None, :], (E, K, K)).ravel())),
+        shape=(n, n)).tocsr()
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x_ref = sp.linalg.spsolve(A.tocsc(), b)
+
+    blocks_ri = ((jnp.asarray(idx), jnp.asarray(sign, jnp.float32),
+                  jnp.asarray(mat.real, jnp.float32),
+                  jnp.asarray(mat.imag, jnp.float32)),)
+    diag = np.asarray(A.diagonal())
+    xr, xi, rel, it = sv._pcg_csym_pairs(
+        blocks_ri, jnp.asarray(b.real, jnp.float32),
+        jnp.asarray(b.imag, jnp.float32),
+        jnp.asarray(diag.real, jnp.float32),
+        jnp.asarray(diag.imag, jnp.float32),
+        jnp.asarray(fixed), jnp.asarray(1e-6, jnp.float32), 2000)
+    x = np.asarray(xr, np.float64) + 1j * np.asarray(xi, np.float64)
+    err = np.abs(x - x_ref).max() / np.abs(x_ref).max()
+    assert err < 1e-4, (err, int(it))

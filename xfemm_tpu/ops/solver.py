@@ -450,9 +450,8 @@ def _pcg_amg_impl(amg, ell_vals, ell_cols, b, tol, x0, max_iter,
     return x, jnp.sqrt(jnp.abs(res) / res0), it
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "stall_window"))
-def _pcg_csym_impl(blocks, b, diag, fixed_mask, tol, x0, max_iter,
-                   stall_window: int = 300):
+def _csym_loop(blocks, b, diag, fixed_mask, tol, x0, max_iter,
+               stall_window: int = 300):
     """Complex-symmetric preconditioned CG with the bilinear form z.r
     (no conjugation), the TPU equivalent of the reference's PBCGSolve
     (cfemm/libfemm/cspars.cpp:822). Works for A = K + iM with K, M real
@@ -498,6 +497,105 @@ def _pcg_csym_impl(blocks, b, diag, fixed_mask, tol, x0, max_iter,
              jnp.array(0, jnp.int32))
     x, r, p, res, it, _, _ = jax.lax.while_loop(cond, body, state)
     return x, jnp.sqrt(jnp.abs(res) / res0), it
+
+
+_pcg_csym_impl = functools.partial(
+    jax.jit, static_argnames=("max_iter", "stall_window"))(_csym_loop)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "stall_window"))
+def _pcg_csym_pairs(blocks_ri, br, bi, diag_r, diag_i, fixed_mask, tol,
+                    max_iter, stall_window: int = 300):
+    """Complex-symmetric Jacobi-PCG (bilinear z.r form, cspars.cpp:822)
+    expressed ENTIRELY in real float32 (re, im) pairs: the TPU has no
+    complex MXU support, and the remote-tunnel backend here can neither
+    transfer complex buffers (UNIMPLEMENTED) nor reliably run large
+    complex executables. Each complex SpMV is four real batched
+    einsums; complex scalars thread through the loop as (re, im)
+    tuples."""
+    n = br.shape[0]
+
+    def op(xr, xi):
+        """A x for A = Ar + iAi, x = xr + i xi (fixed rows identity)."""
+        xr_f = jnp.where(fixed_mask, 0.0, xr)
+        xi_f = jnp.where(fixed_mask, 0.0, xi)
+        yr = jnp.zeros(n, xr.dtype)
+        yi = jnp.zeros(n, xr.dtype)
+        for idx, sign, mr, mi in blocks_ri:
+            ger = sign * xr_f[idx]
+            gei = sign * xi_f[idx]
+            er = (jnp.einsum("ekl,el->ek", mr, ger)
+                  - jnp.einsum("ekl,el->ek", mi, gei))
+            ei = (jnp.einsum("ekl,el->ek", mr, gei)
+                  + jnp.einsum("ekl,el->ek", mi, ger))
+            flat = idx.reshape(-1)
+            yr = yr.at[flat].add((sign * er).reshape(-1))
+            yi = yi.at[flat].add((sign * ei).reshape(-1))
+        yr = jnp.where(fixed_mask, xr, yr)
+        yi = jnp.where(fixed_mask, xi, yi)
+        return yr, yi
+
+    def cdot(ar, ai, br_, bi_):
+        """Bilinear (unconjugated) complex dot product as a pair."""
+        return (jnp.sum(ar * br_ - ai * bi_),
+                jnp.sum(ar * bi_ + ai * br_))
+
+    def cdiv(ar, ai, br_, bi_):
+        den = br_ * br_ + bi_ * bi_
+        return ((ar * br_ + ai * bi_) / den,
+                (ai * br_ - ar * bi_) / den)
+
+    dmag2 = diag_r * diag_r + diag_i * diag_i
+    invd_r = diag_r / dmag2
+    invd_i = -diag_i / dmag2
+
+    def prec(rr, ri):
+        return invd_r * rr - invd_i * ri, invd_r * ri + invd_i * rr
+
+    # res0 = |sum(invd * b * b)| (bilinear, matching _csym_loop)
+    bb_r = br * br - bi * bi
+    bb_i = 2.0 * br * bi
+    res0 = jnp.hypot(jnp.sum(invd_r * bb_r - invd_i * bb_i),
+                     jnp.sum(invd_i * bb_r + invd_r * bb_i))
+    res0 = jnp.where(res0 == 0.0, 1.0, res0)
+
+    rr, ri = br, bi                       # x0 = 0
+    zr, zi = prec(rr, ri)
+    pr, pi = zr, zi
+    res_r, res_i = cdot(zr, zi, rr, ri)
+
+    def cond(st):
+        (_, _, _, _, _, _, res_r, res_i, it, best, since) = st
+        return jnp.logical_and(
+            jnp.sqrt(jnp.hypot(res_r, res_i) / res0) > tol,
+            jnp.logical_and(it < max_iter, since < stall_window))
+
+    def body(st):
+        (xr, xi, rr, ri, pr, pi, res_r, res_i, it, best, since) = st
+        ur, ui = op(pr, pi)
+        pap_r, pap_i = cdot(pr, pi, ur, ui)
+        dr, di = cdiv(res_r, res_i, pap_r, pap_i)
+        xr = xr + dr * pr - di * pi
+        xi = xi + dr * pi + di * pr
+        rr = rr - (dr * ur - di * ui)
+        ri = ri - (dr * ui + di * ur)
+        zr, zi = prec(rr, ri)
+        rn_r, rn_i = cdot(zr, zi, rr, ri)
+        br_, bi_ = cdiv(rn_r, rn_i, res_r, res_i)
+        pr, pi = (zr + br_ * pr - bi_ * pi,
+                  zi + br_ * pi + bi_ * pr)
+        mag = jnp.hypot(rn_r, rn_i)
+        improved = mag < 0.99 * best
+        best = jnp.where(improved, mag, best)
+        since = jnp.where(improved, 0, since + 1)
+        return (xr, xi, rr, ri, pr, pi, rn_r, rn_i, it + 1, best, since)
+
+    st = (jnp.zeros(n, br.dtype), jnp.zeros(n, br.dtype), rr, ri, pr, pi,
+          res_r, res_i, jnp.array(0, jnp.int32),
+          jnp.hypot(res_r, res_i), jnp.array(0, jnp.int32))
+    (xr, xi, rr, ri, pr, pi, res_r, res_i, it, _, _) = \
+        jax.lax.while_loop(cond, body, st)
+    return xr, xi, jnp.sqrt(jnp.hypot(res_r, res_i) / res0), it
 
 
 def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
@@ -553,12 +651,27 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
     def residual(x):
         return rhs - At @ x
 
-    dblocks = _to_device_blocks(blocks, dev_dtype)
-    diag_d = jnp.asarray(diag, dev_dtype)
     fixed_j = jnp.asarray(fixed)
-    zeros_d = jnp.zeros(n, dev_dtype)
     real_dt = jnp.float64 if dev_dtype == jnp.complex128 else jnp.float32
     tol_d = jnp.asarray(inner_tol, real_dt)
+    # f32 devices transfer (re, im) pairs: the remote-TPU backend cannot
+    # copy complex buffers to host (see _pcg_csym_pairs)
+    use_pairs = dev_dtype == jnp.complex64
+    if use_pairs:
+        dblocks_ri = tuple(
+            (jnp.asarray(np.asarray(blk.idx)),
+             jnp.asarray(np.asarray(blk.sign), jnp.float32),
+             jnp.asarray(np.ascontiguousarray(
+                 np.asarray(blk.mat, np.complex128).real), jnp.float32),
+             jnp.asarray(np.ascontiguousarray(
+                 np.asarray(blk.mat, np.complex128).imag), jnp.float32))
+            for blk in blocks)
+        diag_r = jnp.asarray(diag.real, jnp.float32)
+        diag_i = jnp.asarray(diag.imag, jnp.float32)
+    else:
+        dblocks = _to_device_blocks(blocks, dev_dtype)
+        diag_d = jnp.asarray(diag, dev_dtype)
+        zeros_d = jnp.zeros(n, dev_dtype)
 
     total_it = 0
     metric = np.inf
@@ -573,11 +686,21 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
         scale = np.abs(r).max()
         if scale == 0.0:
             break
-        r_d = jnp.asarray(r / scale, dev_dtype)
-        d_d, rr, it = _pcg_csym_impl(dblocks, r_d, diag_d, fixed_j,
-                                     tol_d, zeros_d, int(inner_iter))
+        if use_pairs:
+            rs = r / scale
+            dr, di, rr, it = _pcg_csym_pairs(
+                dblocks_ri, jnp.asarray(rs.real, jnp.float32),
+                jnp.asarray(rs.imag, jnp.float32), diag_r, diag_i,
+                fixed_j, tol_d, int(inner_iter))
+            d_h = (np.asarray(dr, np.float64)
+                   + 1j * np.asarray(di, np.float64))
+        else:
+            r_d = jnp.asarray(r / scale, dev_dtype)
+            d_d, rr, it = _pcg_csym_impl(dblocks, r_d, diag_d, fixed_j,
+                                         tol_d, zeros_d, int(inner_iter))
+            d_h = np.asarray(d_d, np.complex128)
         total_it += int(it)
-        x = x + scale * np.asarray(d_d, np.complex128)
+        x = x + scale * d_h
         new_r = residual(x)
         new_metric = float(np.sqrt(abs(np.sum(invd * new_r * new_r)) / res0))
         if new_metric >= metric * 0.9:
