@@ -164,3 +164,46 @@ def test_pcg_csym_pairs_matches_complex():
     x = np.asarray(xr, np.float64) + 1j * np.asarray(xi, np.float64)
     err = np.abs(x - x_ref).max() / np.abs(x_ref).max()
     assert err < 1e-4, (err, int(it))
+
+
+def test_band_csym_pcg_solves_eddy_system():
+    """The dense-band complex-symmetric CG with the real-part band-AMG
+    V-cycle preconditioner (the TPU AC hot loop) solves K + i*w*M to the
+    requested tolerance."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from xfemm_tpu.ops import band as band_mod
+
+    # 2-D 5-point laplacian + i * mass on a 70x70 grid (n = 4900)
+    m = 70
+    n = m * m
+    I_ = sp.eye(m)
+    T = sp.diags([-1, 2, -1], [-1, 0, 1], (m, m))
+    K = (sp.kron(I_, T) + sp.kron(T, I_)).tocsr()
+    M = sp.eye(n) * 0.35
+    A = (K + 1j * M).tocsr()
+    A.sum_duplicates()
+
+    Ar = sp.csr_matrix((np.ascontiguousarray(A.data.real), A.indices,
+                        A.indptr), shape=(n, n))
+    Ash = (Ar + sp.diags(np.abs(A.diagonal().imag))).tocsr()
+    Ash.sum_duplicates()
+    amg, lay = band_mod.setup_band_amg(Ash)
+    oplay = band_mod.pack_band_layout(Ar, band_mod.ROW_TILE,
+                                      band_mod.ROW_TILE)
+    Aop = band_mod.fill_band_device(
+        oplay, np.ascontiguousarray(A.data.real), band_mod.ROW_TILE)
+    Ai = band_mod.fill_band_device(
+        oplay, np.ascontiguousarray(A.data.imag), band_mod.ROW_TILE)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    x_ref = sp.linalg.spsolve(A.tocsc(), b)
+
+    xr, xi, rel, it = band_mod.band_csym_pcg(
+        amg, Aop, Ai, jnp.asarray(b.real, jnp.float32),
+        jnp.asarray(b.imag, jnp.float32),
+        jnp.asarray(1e-6, jnp.float32), 2000)
+    x = np.asarray(xr, np.float64) + 1j * np.asarray(xi, np.float64)
+    err = np.abs(x - x_ref).max() / np.abs(x_ref).max()
+    assert err < 1e-3, (err, int(it), float(rel))

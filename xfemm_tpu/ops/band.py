@@ -604,3 +604,173 @@ def band_fgmres(amg: BandAMG, b, m: int = 16):
     x = y @ Z
     rel = jnp.linalg.norm(e1 - H @ y) / bsafe
     return x, rel, jnp.array(m, jnp.int32)
+
+
+@functools.partial(__import__("jax").jit,
+                   static_argnames=("max_iter", "stall_window"))
+def band_csym_pcg(amg: BandAMG, Aop: BandMatrix, Ai: BandMatrix, br, bi,
+                  tol, max_iter, stall_window: int = 300):
+    """Complex-symmetric PCG for (Ar + i Ai) x = b on the dense-band MXU
+    engine. ``Aop``/``Ai`` are the bands of the true real/imaginary
+    parts; ``amg`` is a hierarchy built from the SHIFTED real matrix
+    Ar + diag(|Im diag|) (eddy mass lumped onto the diagonal) -- the
+    standard shifted-AMG preconditioner for K + i w M systems; the plain
+    real-part V-cycle is not reliably contracting as the eddy term
+    grows. A real symmetric preconditioner applied to re/im separately
+    keeps the bilinear z.r structure of cspars.cpp:822 intact. All
+    traffic is float32 (re, im) pairs -- nothing complex exists even on
+    device, so this also sidesteps backends that cannot move complex
+    buffers."""
+    import jax
+    import jax.numpy as jnp
+
+    n = br.shape[0]
+    lv0 = amg.levels[0]
+
+    def opc(xr, xi):
+        ar_xr = band_matvec(Aop, xr)[:n]
+        ar_xi = band_matvec(Aop, xi)[:n]
+        ai_xr = band_matvec(Ai, xr)[:n]
+        ai_xi = band_matvec(Ai, xi)[:n]
+        return ar_xr - ai_xi, ar_xi + ai_xr
+
+    def prec(rr, ri):
+        return band_vcycle(amg, rr), band_vcycle(amg, ri)
+
+    def cdot(ar, ai, br_, bi_):
+        return (jnp.sum(ar * br_ - ai * bi_),
+                jnp.sum(ar * bi_ + ai * br_))
+
+    def cdiv(ar, ai, br_, bi_):
+        den = br_ * br_ + bi_ * bi_
+        return ((ar * br_ + ai * bi_) / den,
+                (ai * br_ - ar * bi_) / den)
+
+    # Jacobi-weighted bilinear norm of b as the reference scale (the
+    # host refinement driver uses the same metric)
+    invd = lv0.invd
+    bb_r = br * br - bi * bi
+    bb_i = 2.0 * br * bi
+    res0 = jnp.hypot(jnp.sum(invd * bb_r), jnp.sum(invd * bb_i))
+    res0 = jnp.where(res0 == 0.0, 1.0, res0)
+
+    rr, ri = br, bi                   # x0 = 0
+    zr, zi = prec(rr, ri)
+    pr, pi = zr, zi
+    res_r, res_i = cdot(zr, zi, rr, ri)
+
+    def stopnorm(rr, ri):
+        sr = rr * rr - ri * ri
+        si = 2.0 * rr * ri
+        return jnp.hypot(jnp.sum(invd * sr), jnp.sum(invd * si))
+
+    stop = stopnorm(rr, ri)
+
+    def cond(st):
+        (_, _, _, _, _, _, _, _, stop, it, best, since) = st
+        return jnp.logical_and(
+            jnp.sqrt(stop / res0) > tol,
+            jnp.logical_and(it < max_iter, since < stall_window))
+
+    def body(st):
+        (xr, xi, rr, ri, pr, pi, res_r, res_i, stop, it, best,
+         since) = st
+        ur, ui = opc(pr, pi)
+        pap_r, pap_i = cdot(pr, pi, ur, ui)
+        dr, di = cdiv(res_r, res_i, pap_r, pap_i)
+        xr = xr + dr * pr - di * pi
+        xi = xi + dr * pi + di * pr
+        rr = rr - (dr * ur - di * ui)
+        ri = ri - (dr * ui + di * ur)
+        zr, zi = prec(rr, ri)
+        rn_r, rn_i = cdot(zr, zi, rr, ri)
+        br_, bi_ = cdiv(rn_r, rn_i, res_r, res_i)
+        pr, pi = (zr + br_ * pr - bi_ * pi,
+                  zi + br_ * pi + bi_ * pr)
+        stop = stopnorm(rr, ri)
+        mag = jnp.hypot(rn_r, rn_i)
+        improved = mag < 0.99 * best
+        best = jnp.where(improved, mag, best)
+        since = jnp.where(improved, 0, since + 1)
+        return (xr, xi, rr, ri, pr, pi, rn_r, rn_i, stop, it + 1, best,
+                since)
+
+    st = (jnp.zeros(n, br.dtype), jnp.zeros(n, br.dtype), rr, ri, pr, pi,
+          res_r, res_i, stop, jnp.array(0, jnp.int32),
+          jnp.hypot(res_r, res_i), jnp.array(0, jnp.int32))
+    (xr, xi, rr, ri, pr, pi, res_r, res_i, stop, it, _, _) = \
+        jax.lax.while_loop(cond, body, st)
+    return xr, xi, jnp.sqrt(stop / res0), it
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("m",))
+def band_csym_fgmres(amg: BandAMG, Aop: BandMatrix, Ai: BandMatrix,
+                     br, bi, m: int = 24):
+    """One complex GMRES(m) cycle for (Ar + i Ai) x = b, right-
+    preconditioned by the shifted-real band-AMG V-cycle, expressed in
+    (re, im) float32 pairs. GMRES minimizes the residual monotonically,
+    which the complex-symmetric CG recurrence does not guarantee (its
+    bilinear form has no positivity; per-pass contraction was erratic
+    on eddy-current systems). The small (m+1) x m Hessenberg least-
+    squares runs in complex on device -- complex values never cross the
+    host boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    n = br.shape[0]
+
+    def opc(xr, xi):
+        ar_xr = band_matvec(Aop, xr)[:n]
+        ar_xi = band_matvec(Aop, xi)[:n]
+        ai_xr = band_matvec(Ai, xr)[:n]
+        ai_xi = band_matvec(Ai, xi)[:n]
+        return ar_xr - ai_xi, ar_xi + ai_xr
+
+    beta = jnp.sqrt(jnp.sum(br * br + bi * bi))
+    bsafe = jnp.maximum(beta, 1e-30)
+    Vr = jnp.zeros((m + 1, n), br.dtype).at[0].set(br / bsafe)
+    Vi = jnp.zeros((m + 1, n), br.dtype).at[0].set(bi / bsafe)
+    Zr = jnp.zeros((m, n), br.dtype)
+    Zi = jnp.zeros((m, n), br.dtype)
+    Hr = jnp.zeros((m + 1, m), br.dtype)
+    Hi = jnp.zeros((m + 1, m), br.dtype)
+
+    def body(j, carry):
+        Vr, Vi, Zr, Zi, Hr, Hi = carry
+        zr = band_vcycle(amg, Vr[j])
+        zi = band_vcycle(amg, Vi[j])
+        wr, wi = opc(zr, zi)
+        mask = jnp.arange(m + 1) <= j
+        # Hermitian Gram-Schmidt <v, w> = sum(conj(v) w), two passes,
+        # all-matmul
+        h1r = jnp.where(mask, Vr @ wr + Vi @ wi, 0.0)
+        h1i = jnp.where(mask, Vr @ wi - Vi @ wr, 0.0)
+        wr = wr - (h1r @ Vr - h1i @ Vi)
+        wi = wi - (h1r @ Vi + h1i @ Vr)
+        h2r = jnp.where(mask, Vr @ wr + Vi @ wi, 0.0)
+        h2i = jnp.where(mask, Vr @ wi - Vi @ wr, 0.0)
+        wr = wr - (h2r @ Vr - h2i @ Vi)
+        wi = wi - (h2r @ Vi + h2i @ Vr)
+        hcr = h1r + h2r
+        hci = h1i + h2i
+        wn = jnp.sqrt(jnp.sum(wr * wr + wi * wi))
+        wsafe = jnp.maximum(wn, 1e-30)
+        Vr = Vr.at[j + 1].set(wr / wsafe)
+        Vi = Vi.at[j + 1].set(wi / wsafe)
+        Zr = Zr.at[j].set(zr)
+        Zi = Zi.at[j].set(zi)
+        Hr = Hr.at[:, j].set(hcr.at[j + 1].add(wn))
+        Hi = Hi.at[:, j].set(hci)
+        return Vr, Vi, Zr, Zi, Hr, Hi
+
+    Vr, Vi, Zr, Zi, Hr, Hi = jax.lax.fori_loop(
+        0, m, body, (Vr, Vi, Zr, Zi, Hr, Hi))
+    H = jax.lax.complex(Hr, Hi)
+    e1 = jnp.zeros(m + 1, H.dtype).at[0].set(beta.astype(H.dtype))
+    y, _, _, _ = jnp.linalg.lstsq(H, e1)
+    yr = jnp.real(y)
+    yi = jnp.imag(y)
+    xr = yr @ Zr - yi @ Zi
+    xi = yr @ Zi + yi @ Zr
+    rel = jnp.abs(jnp.linalg.norm(e1 - H @ y)) / bsafe
+    return xr, xi, rel.astype(br.dtype), jnp.array(m, jnp.int32)

@@ -164,6 +164,10 @@ import collections
 
 _BAND_CACHE: "collections.OrderedDict[bytes, dict]" = collections.OrderedDict()
 _BAND_CACHE_MAX = 2
+# complex (AC) band hierarchies, same pattern key; an entry of None
+# records "pattern too large for the band engine, don't retry"
+_CBAND_CACHE: "collections.OrderedDict[bytes, dict | None]" = \
+    collections.OrderedDict()
 
 _PATTERN_CACHE: "collections.OrderedDict[bytes, tuple]" = collections.OrderedDict()
 _PATTERN_CACHE_MAX = 2
@@ -657,6 +661,67 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
     # f32 devices transfer (re, im) pairs: the remote-TPU backend cannot
     # copy complex buffers to host (see _pcg_csym_pairs)
     use_pairs = dev_dtype == jnp.complex64
+
+    # dense-band MXU engine for large AC systems: band SpMVs for
+    # (Ar, Ai) and the REAL-part band-AMG V-cycle as preconditioner
+    # (band.band_csym_pcg). Adopted/refreshed through a pattern-keyed
+    # cache like the real path's.
+    band_ent = None
+    if use_pairs and n > 4 * ROW_TILE_MIN:
+        from . import band as band_mod
+        from ..utils import profiling
+        ckey = _band_cache_key(At, fixed)
+        cached = _CBAND_CACHE.get(ckey, "miss")
+        if cached == "miss":
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+            perm = np.asarray(reverse_cuthill_mckee(At, symmetric_mode=True))
+            iperm = np.empty_like(perm)
+            iperm[perm] = np.arange(n)
+            Ap = At[perm][:, perm].tocsr()
+            Ap.sum_duplicates()
+            # the preconditioner hierarchy is built from the SHIFTED
+            # real matrix K + diag(|Im diag|): lumping the eddy mass
+            # onto the diagonal keeps it SPD and makes the V-cycle a
+            # reliable preconditioner for K + iwM (the plain real part
+            # is not, see band.band_csym_pcg)
+            Ar = sp.csr_matrix(
+                (np.ascontiguousarray(Ap.data.real), Ap.indices, Ap.indptr),
+                shape=(n, n))
+            Ash = (Ar + sp.diags(np.abs(Ap.diagonal().imag))).tocsr()
+            Ash.sum_duplicates()
+            if _band_bytes_estimate(Ash, band_mod.ROW_TILE) <= 5e9:
+                with profiling.phase("band amg setup (ac)"):
+                    amg, lay = band_mod.setup_band_amg(Ash)
+                opl = band_mod.pack_band_layout(
+                    Ar, band_mod.ROW_TILE, band_mod.ROW_TILE)
+                band_ent = {"perm": perm, "iperm": iperm, "amg": amg,
+                            "lay": lay, "oplay": opl}
+            _CBAND_CACHE[ckey] = band_ent       # None = too big, skip
+            while len(_CBAND_CACHE) > _BAND_CACHE_MAX:
+                _CBAND_CACHE.popitem(last=False)
+        elif cached is not None:
+            band_ent = cached
+            # value-only refresh of the shifted hierarchy fine level
+            perm = band_ent["perm"]
+            Ap = At[perm][:, perm].tocsr()
+            Ap.sum_duplicates()
+            shifted = sp.csr_matrix(
+                (np.ascontiguousarray(Ap.data.real), Ap.indices,
+                 Ap.indptr), shape=(n, n)) \
+                + sp.diags(np.abs(Ap.diagonal().imag))
+            shifted = shifted.tocsr()
+            shifted.sum_duplicates()
+            band_ent["amg"] = band_mod.update_fine_values(
+                band_ent["amg"], band_ent["lay"],
+                np.ascontiguousarray(shifted.data))
+        if band_ent is not None:
+            band_ent["Aop"] = band_mod.fill_band_device(
+                band_ent["oplay"], np.ascontiguousarray(Ap.data.real),
+                band_mod.ROW_TILE)
+            band_ent["Ai"] = band_mod.fill_band_device(
+                band_ent["oplay"], np.ascontiguousarray(Ap.data.imag),
+                band_mod.ROW_TILE)
+
     if use_pairs:
         dblocks_ri = tuple(
             (jnp.asarray(np.asarray(blk.idx)),
@@ -686,7 +751,18 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
         scale = np.abs(r).max()
         if scale == 0.0:
             break
-        if use_pairs:
+        if band_ent is not None:
+            from . import band as band_mod
+            rs = (r / scale)[band_ent["perm"]]
+            # GMRES(m) restarted by this refinement loop: monotone per
+            # cycle, unlike the complex-symmetric CG recurrence
+            dr, di, rr, it = band_mod.band_csym_fgmres(
+                band_ent["amg"], band_ent["Aop"], band_ent["Ai"],
+                jnp.asarray(rs.real, jnp.float32),
+                jnp.asarray(rs.imag, jnp.float32), m=24)
+            d_h = (np.asarray(dr, np.float64)
+                   + 1j * np.asarray(di, np.float64))[band_ent["iperm"]]
+        elif use_pairs:
             rs = r / scale
             dr, di, rr, it = _pcg_csym_pairs(
                 dblocks_ri, jnp.asarray(rs.real, jnp.float32),
@@ -704,6 +780,14 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
         new_r = residual(x)
         new_metric = float(np.sqrt(abs(np.sum(invd * new_r * new_r)) / res0))
         if new_metric >= metric * 0.9:
+            if band_ent is not None and new_metric > max(100.0 * tol, 1e-4):
+                # the real-part V-cycle is not contracting on this
+                # operator (e.g. eddy term dominating): latch the band
+                # engine off for this pattern, continue with plain
+                # Jacobi pairs CG
+                _CBAND_CACHE[_band_cache_key(At, fixed)] = None
+                band_ent = None
+                continue
             if new_metric < best[1]:
                 best = (x.copy(), new_metric)
             break
