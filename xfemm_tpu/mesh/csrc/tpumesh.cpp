@@ -193,6 +193,7 @@ inline uint64_t ekey(int a, int b) {
 struct Mesh {
     std::vector<double> px, py;
     std::vector<int> vmark;
+    std::vector<uint8_t> vtype;  // 0 input, 1 segment-split, 2 free
     std::vector<int> vtri;  // one live triangle containing vertex v
     std::vector<Tri> tris;
     std::vector<int> freelist;
@@ -217,6 +218,7 @@ struct Mesh {
         px.push_back(x);
         py.push_back(y);
         vmark.push_back(mark);
+        vtype.push_back(2);
         vtri.push_back(-1);
         return int(px.size()) - 1;
     }
@@ -817,6 +819,76 @@ inline bool in_diametral(const Mesh &m, int a, int b, double x, double y,
     return dot * dot >= g * g * la2 * lb2;
 }
 
+// Constrained neighbors of v (star walk both directions); returns count
+// (capped at 4).
+static int constrained_neighbors(const Mesh &m, int v, int out[4]) {
+    int cnt = 0;
+    int t0 = m.vtri[v];
+    if (t0 < 0 || t0 >= (int)m.tris.size() || m.tris[t0].dead) return 0;
+    auto visit = [&](int u) {
+        for (int i = 0; i < cnt; ++i)
+            if (out[i] == u) return;
+        if (cnt < 4 && m.is_constrained(v, u)) out[cnt++] = u;
+    };
+    for (int dir = 0; dir < 2; ++dir) {
+        int t = t0, guard = 0;
+        while (t >= 0 && guard++ < (1 << 18)) {
+            int iv = m.vidx(t, v);
+            if (iv < 0) break;
+            visit(m.tris[t].v[(iv + 1) % 3]);
+            visit(m.tris[t].v[(iv + 2) % 3]);
+            t = (dir == 0) ? m.tris[t].n[(iv + 1) % 3]
+                           : m.tris[t].n[(iv + 2) % 3];
+            if (t == t0) break;
+        }
+    }
+    return cnt;
+}
+
+// Walk the constrained chain from v toward u through segment-split
+// vertices; returns the terminal (input) vertex or -1.
+static int chain_end(const Mesh &m, int v, int u) {
+    int prev = v, cur = u, guard = 0;
+    while (cur >= 0 && m.vtype[cur] == 1 && guard++ < (1 << 18)) {
+        int nb[4];
+        int c = constrained_neighbors(m, cur, nb);
+        if (c != 2) return -1;
+        int nxt = (nb[0] == prev) ? nb[1] : nb[0];
+        prev = cur;
+        cur = nxt;
+    }
+    return (cur >= 0 && m.vtype[cur] != 1) ? cur : -1;
+}
+
+// Miller-Pav-Walkington rule (as adjusted by Shewchuk, triangle.c
+// testtriangle): a skinny triangle whose shortest edge runs between the
+// interiors of two DIFFERENT input segments meeting at a common
+// endpoint, with both edge endpoints equidistant from that endpoint
+// (concentric shell), must NOT be split -- refining it cascades
+// forever across the small input angle.
+static bool mpw_skip(const Mesh &m, int a, int b) {
+    if (m.vtype[a] != 1 || m.vtype[b] != 1) return false;
+    if (m.is_constrained(a, b)) return false;   // same subsegment: split
+    int na[4], nb_[4];
+    if (constrained_neighbors(m, a, na) != 2) return false;
+    if (constrained_neighbors(m, b, nb_) != 2) return false;
+    int ea0 = chain_end(m, a, na[0]), ea1 = chain_end(m, a, na[1]);
+    int eb0 = chain_end(m, b, nb_[0]), eb1 = chain_end(m, b, nb_[1]);
+    if (ea0 < 0 || ea1 < 0 || eb0 < 0 || eb1 < 0) return false;
+    // same containing segment? then split as usual
+    if ((ea0 == eb0 && ea1 == eb1) || (ea0 == eb1 && ea1 == eb0))
+        return false;
+    int j = -1;
+    if (ea0 == eb0 || ea0 == eb1) j = ea0;
+    else if (ea1 == eb0 || ea1 == eb1) j = ea1;
+    if (j < 0) return false;
+    double dax = m.px[a] - m.px[j], day = m.py[a] - m.py[j];
+    double dbx = m.px[b] - m.px[j], dby = m.py[b] - m.py[j];
+    double d1 = dax * dax + day * day;
+    double d2 = dbx * dbx + dby * dby;
+    return d1 < 1.001 * d2 && d1 > 0.999 * d2;
+}
+
 void refine(Mesh &m) {
     const bool dbg_counts = getenv("TPUMESH_COUNTS") != nullptr;
     size_t n_angle_ins = 0, n_area_ins = 0, n_seg_split = 0,
@@ -886,6 +958,7 @@ void refine(Mesh &m) {
                           ekey(a, b));
         if (v < 0) return -1;
         ++n_seg_split;
+        m.vtype[v] = 1;
         m.segmap.erase(ekey(a, b));
         m.segmap[ekey(a, v)] = marker;
         m.segmap[ekey(v, b)] = marker;
@@ -983,6 +1056,8 @@ void refine(Mesh &m) {
                              : 0.0;
         bool bad_area = (maxarea > 0.0 && cd.area > maxarea);
         bool bad_angle = (cd.r2 > bound2 * cd.shortest2);
+        if (bad_angle && !bad_area && mpw_skip(m, cd.se_a, cd.se_b))
+            bad_angle = false;
         if (dbg)
             fprintf(stderr,
                     "pop t=%d v=(%d,%d,%d) area=%g badA=%d badQ=%d cc=(%g,%g)\n",
@@ -1265,6 +1340,7 @@ int tpumesh_triangulate(
     }
 
     m.n_input = (int)m.px.size();
+    std::fill(m.vtype.begin(), m.vtype.end(), uint8_t(0));
     refine(m);
 
     // ---- sliver cleanup ----
