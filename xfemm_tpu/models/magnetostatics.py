@@ -668,8 +668,12 @@ def solve(problem: Problem, mesh: MeshData,
             geom = assembly.tri_geometry(pk.xy, pk.tris)
             _circuit_preprocess(pk, geom)
             Mx, My, Mxy = assembly.curl_matrices(geom)
-        if fp is not None:
-            _PACK_CACHE[ckey] = (fp, (pk, geom, Mx, My, Mxy))
+        # fingerprint AFTER pack: get_slopes fills material spline state
+        # in place, so the pre-pack hash would never match again and the
+        # first repeat solve would always repack
+        fp2 = _problem_fingerprint(problem)
+        if fp2 is not None:
+            _PACK_CACHE[ckey] = (fp2, (pk, geom, Mx, My, Mxy))
             while len(_PACK_CACHE) > _PACK_CACHE_MAX:
                 _PACK_CACHE.popitem(last=False)
 
