@@ -186,10 +186,22 @@ def solve(problem: Problem, mesh: MeshData,
         blocks = _element_blocks(pk, Me)
         b = _rhs(pk, geom, be)
 
+        # inexact-Newton forcing, same schedule as the planar path: the
+        # accepting solve is always at full contract Precision
+        if not nonlinear:
+            tol_it = problem.Precision
+        elif it == 0:
+            tol_it = max(problem.Precision, 1e-4)
+        elif res < 3e4 * problem.Precision:
+            tol_it = problem.Precision
+        else:
+            tol_it = max(problem.Precision, min(1e-4, 0.03 * res))
+
         V_old = V
         V, rel_resid, cg_iters = solver.solve(
-            blocks, b, pk.fixed_mask, pk.fixed_vals, problem.Precision,
-            x0=V if it > 0 else None, coords=dof_coords, session=sess)
+            blocks, b, pk.fixed_mask, pk.fixed_vals, tol_it,
+            x0=V if it > 0 else None, coords=dof_coords, session=sess,
+            changed=[nl] if nonlinear else None)
         V = np.asarray(V)
         iters_total += int(cg_iters)
 
@@ -207,7 +219,10 @@ def solve(problem: Problem, mesh: MeshData,
             else:
                 relax += 0.1 * (1.0 - relax)
             V = relax * V + (1.0 - relax) * V_old
-        if res < 100.0 * problem.Precision and it > 0:
+        # accept only after a full-Precision solve (the inexact early
+        # iterations run at a looser linear tolerance)
+        if (res < 100.0 * problem.Precision and it > 0
+                and tol_it <= problem.Precision):
             break
 
     # flux output: A_i = V_i * c * 2*pi*r_m (staticaxi.cpp:779-784)
