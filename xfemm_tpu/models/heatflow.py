@@ -202,6 +202,14 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
     sess = solver.Session()
     iters_total = 0
     rel_resid = 0.0
+    res = 0.0
+    # per-iteration change masks for the incremental CSR refresh: the
+    # conduction matrices of K(T) materials change every outer
+    # iteration; the boundary block only changes when a radiation
+    # boundary (format 3) re-linearizes about T_last
+    nl_el = np.array([mats[b].npts > 0 for b in blk], bool)
+    has_rad = any(problem.lineproplist[bi].BdryFormat == 3
+                  for _a, _b, bi, _m in bdry_edges)
 
     for it in range(max_iter if nonlinear else 1):
         # element conductivity: 3-node average of K(T_prev)
@@ -273,10 +281,27 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
                     b[ridx[bb]] -= rsign[bb] * Kb
             blocks.append(ElementBlock(idx=eidx, sign=esgn, mat=emat))
 
+        # inexact forcing: early successive-substitution iterations only
+        # need to out-resolve the current outer error; acceptance always
+        # follows a full-Precision solve
+        if not nonlinear or (it > 0 and res < 3e4 * problem.Precision):
+            tol_it = problem.Precision
+        elif it == 0:
+            tol_it = max(problem.Precision, 1e-4)
+        else:
+            tol_it = max(problem.Precision, min(1e-4, 0.03 * res))
+        changed = None
+        if nonlinear:
+            changed = [nl_el]
+            if len(blocks) > 1:
+                changed.append(
+                    np.ones(len(blocks[1].idx), bool) if has_rad else None)
+
         V_old = V
         V, rel_resid, cg_iters = solver.solve(
-            blocks, b, fixed_mask, fixed_vals, problem.Precision,
-            x0=V if it > 0 else None, coords=dof_coords, session=sess)
+            blocks, b, fixed_mask, fixed_vals, tol_it,
+            x0=V if it > 0 else None, coords=dof_coords, session=sess,
+            changed=changed)
         V = np.asarray(V)
         iters_total += int(cg_iters)
         Vo = V[ridx] * rsign
@@ -285,7 +310,9 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
             break
         e1 = float(np.sum((V - V_old) ** 2))
         e2 = float(np.sum(V_old ** 2))
-        if e2 != 0 and math.sqrt(e1 / e2) < problem.Precision * 100.0:
+        res = math.sqrt(e1 / e2) if e2 != 0 else 0.0
+        if (e2 != 0 and res < problem.Precision * 100.0
+                and tol_it <= problem.Precision):
             break
 
     Tn = V[ridx] * rsign
