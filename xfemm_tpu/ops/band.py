@@ -763,8 +763,14 @@ def band_csym_fgmres(amg: BandAMG, Aop: BandMatrix, Ai: BandMatrix,
         Hi = Hi.at[:, j].set(hci)
         return Vr, Vi, Zr, Zi, Hr, Hi
 
-    Vr, Vi, Zr, Zi, Hr, Hi = jax.lax.fori_loop(
-        0, m, body, (Vr, Vi, Zr, Zi, Hr, Hi))
+    # float32 matmul precision: the TPU's default bf16 matmul passes are
+    # fine for the V-cycle preconditioner but corrupt the Arnoldi basis
+    # (the computed Hessenberg stops describing the actual Krylov space
+    # and the "minimized" residual diverges from the true one,
+    # collapsing the per-cycle contraction)
+    with jax.default_matmul_precision("float32"):
+        Vr, Vi, Zr, Zi, Hr, Hi = jax.lax.fori_loop(
+            0, m, body, (Vr, Vi, Zr, Zi, Hr, Hi))
     H = jax.lax.complex(Hr, Hi)
     e1 = jnp.zeros(m + 1, H.dtype).at[0].set(beta.astype(H.dtype))
     y, _, _, _ = jnp.linalg.lstsq(H, e1)

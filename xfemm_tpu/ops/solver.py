@@ -779,12 +779,19 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
         x = x + scale * d_h
         new_r = residual(x)
         new_metric = float(np.sqrt(abs(np.sum(invd * new_r * new_r)) / res0))
-        if new_metric >= metric * 0.9:
+        # progress/stall decisions use the TRUE l2 residual norm: the
+        # contract metric above is the reference's BILINEAR z.r form
+        # (cspars.cpp:300), which is not a norm for complex systems --
+        # it can rise through cancellation while the inner GMRES is
+        # genuinely contracting ||r||_2 (and since |sum invd r r| <=
+        # sum invd |r|^2, driving l2 down drives it down too)
+        l2_old = float(np.linalg.norm(r))
+        l2_new = float(np.linalg.norm(new_r))
+        if l2_new >= l2_old * 0.9:
             if band_ent is not None and new_metric > max(100.0 * tol, 1e-4):
-                # the real-part V-cycle is not contracting on this
-                # operator (e.g. eddy term dominating): latch the band
-                # engine off for this pattern, continue with plain
-                # Jacobi pairs CG
+                # the shifted-real V-cycle is not contracting on this
+                # operator: latch the band engine off for this pattern,
+                # continue with plain Jacobi pairs CG
                 _CBAND_CACHE[_band_cache_key(At, fixed)] = None
                 band_ent = None
                 continue
