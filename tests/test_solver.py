@@ -61,6 +61,7 @@ def test_band_engine_matches_direct(monkeypatch):
     sol64 = magnetostatics.solve(p, mesh)
 
     monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    monkeypatch.setattr(solver, "band_platform_ok", lambda: True)
     monkeypatch.setattr(solver, "ROW_TILE_MIN", 64)
     solb = magnetostatics.solve(p, mesh)
     assert solb.residual <= p.Precision
@@ -85,6 +86,7 @@ def test_band_sym_mode_matches_direct(monkeypatch):
 
     _fresh_band_caches(monkeypatch)
     monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    monkeypatch.setattr(solver, "band_platform_ok", lambda: True)
     monkeypatch.setattr(solver, "ROW_TILE_MIN", 64)
     monkeypatch.setattr(band, "SYM_MIN_BYTES", 0)
     orig = solver._band_bytes_estimate
@@ -109,6 +111,7 @@ def test_band_sym_bf16_operator(monkeypatch):
 
     _fresh_band_caches(monkeypatch)
     monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    monkeypatch.setattr(solver, "band_platform_ok", lambda: True)
     monkeypatch.setattr(solver, "ROW_TILE_MIN", 64)
     monkeypatch.setattr(band, "SYM_MIN_BYTES", 0)
     orig = solver._band_bytes_estimate

@@ -28,20 +28,42 @@ def _honor_platform_env() -> None:
 _honor_platform_env()
 
 
+def _machine_fingerprint() -> str:
+    """Short hash of the host CPU's identity + ISA feature flags, used
+    to key the persistent compile cache so AOT executables never cross
+    machine types."""
+    import hashlib
+    import platform as _plat
+
+    parts = [_plat.machine(), _plat.processor()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features", "model name")):
+                    parts.append(line.strip())
+                    if line.startswith(("flags", "Features")):
+                        break
+    except OSError:
+        pass
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compile cache: TPU compiles here cost tens of
     seconds through the device tunnel, so cache them across processes."""
     if _os.environ.get("XFEMM_TPU_NO_COMPILE_CACHE"):
         return
     import jax
-    # separate cache dirs per platform: executables AOT-compiled by a
-    # remote compile service must not be loaded by the local CPU backend
-    # (machine-feature mismatch -> potential SIGILL)
+    # separate cache dirs per platform AND host machine: executables
+    # AOT-compiled on another machine (or by a remote compile service)
+    # must not be loaded by the local CPU backend -- a machine-feature
+    # mismatch can SIGILL (cpu_aot_loader warns about exactly this)
     platform = _os.environ.get("JAX_PLATFORMS", "default") or "default"
     cache = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "xfemm_tpu",
-                      f"xla_cache_{platform.replace(',', '_')}"))
+                      f"xla_cache_{platform.replace(',', '_')}_"
+                      f"{_machine_fingerprint()}"))
     try:
         _os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

@@ -128,13 +128,39 @@ def _pcg_impl(blocks, b, diag, fixed_mask, tol, x0, max_iter,
 @functools.lru_cache(maxsize=1)
 def device_f64_ok() -> bool:
     """True if the default device natively holds float64 (CPU yes; TPU
-    truncates f64 to f32 even under jax_enable_x64)."""
+    truncates f64 to f32 even under jax_enable_x64).
+
+    On a backend that natively supports f64 (plain CPU), x64 is enabled
+    automatically unless the user explicitly set ``JAX_ENABLE_X64``:
+    without it the solver would mistake the host for an f32 accelerator
+    and engage the TPU-tuned dense-band engine, which is pathologically
+    slow on CPU (reference contract: fsolver solves Temp.fem in <1 s,
+    cfemm/fsolver/fsolver.cpp:1213).
+    """
+    import os
+    if (not jax.config.jax_enable_x64
+            and "JAX_ENABLE_X64" not in os.environ
+            and jax.default_backend() == "cpu"):
+        jax.config.update("jax_enable_x64", True)
     if not jax.config.jax_enable_x64:
         return False
     import warnings
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         return jnp.zeros((), jnp.float64).dtype == jnp.float64
+
+
+@functools.lru_cache(maxsize=1)
+def band_platform_ok() -> bool:
+    """Gate for the dense-band MXU engine: it pays off on accelerators
+    whose matmul units make banded-dense SpMV fast (TPU/axon/GPU), and
+    is pathologically slow on a plain CPU backend.  Overridable with
+    ``XFEMM_TPU_FORCE_BAND=1`` / ``=0`` (tests use the former)."""
+    import os
+    force = os.environ.get("XFEMM_TPU_FORCE_BAND")
+    if force is not None:
+        return force not in ("", "0")
+    return jax.default_backend() != "cpu"
 
 
 def _to_device_blocks(blocks, dtype):
@@ -667,7 +693,7 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
     # (band.band_csym_pcg). Adopted/refreshed through a pattern-keyed
     # cache like the real path's.
     band_ent = None
-    if use_pairs and n > 4 * ROW_TILE_MIN:
+    if use_pairs and band_platform_ok() and n > 4 * ROW_TILE_MIN:
         from . import band as band_mod
         from ..utils import profiling
         ckey = _band_cache_key(At, fixed)
@@ -879,7 +905,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
     # ~10x faster than gather ELLPACK (ops/band.py); guarded by the
     # memory footprint of the band
     use_band = False
-    if (dev_dtype == jnp.float32 and coords is not None
+    if (dev_dtype == jnp.float32 and band_platform_ok()
+            and coords is not None
             and n > 4 * ROW_TILE_MIN and not session.band_disabled):
         from . import band as band_mod
         if session.band_amg is None:
