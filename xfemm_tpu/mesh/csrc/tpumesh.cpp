@@ -15,6 +15,7 @@
 // (xfemm_tpu/mesh/mesher.py).
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdio>
 #include <cstdint>
@@ -194,6 +195,7 @@ struct Mesh {
     std::vector<double> px, py;
     std::vector<int> vmark;
     std::vector<uint8_t> vtype;  // 0 input, 1 segment-split, 2 free
+    std::vector<uint8_t> vdead;  // deleted by Chew's free-vertex removal
     std::vector<int> vtri;  // one live triangle containing vertex v
     std::vector<Tri> tris;
     std::vector<int> freelist;
@@ -219,6 +221,7 @@ struct Mesh {
         py.push_back(y);
         vmark.push_back(mark);
         vtype.push_back(2);
+        vdead.push_back(0);
         vtri.push_back(-1);
         return int(px.size()) - 1;
     }
@@ -553,6 +556,8 @@ int add_point(Mesh &m, double x, double y, int mark,
         m.px.pop_back();
         m.py.pop_back();
         m.vmark.pop_back();
+        m.vtype.pop_back();
+        m.vdead.pop_back();
         m.vtri.pop_back();
         return -1;
     }
@@ -889,10 +894,125 @@ static bool mpw_skip(const Mesh &m, int a, int b) {
     return d1 < 1.001 * d2 && d1 > 0.999 * d2;
 }
 
+// Collect the full CCW star of vertex v: star[i] is the triangle
+// (v, ring[i], ring[i+1]).  Fails (false) when v lies on the hull (open
+// fan) or the walk is inconsistent.
+static bool star_of(const Mesh &m, int v, std::vector<int> &ring,
+                    std::vector<int> &star) {
+    ring.clear();
+    star.clear();
+    int t0 = m.vtri[v];
+    if (t0 < 0 || t0 >= (int)m.tris.size() || m.tris[t0].dead) return false;
+    int t = t0, guard = 0;
+    do {
+        if (guard++ > (1 << 16)) return false;
+        int iv = m.vidx(t, v);
+        if (iv < 0) return false;
+        star.push_back(t);
+        ring.push_back(m.tris[t].v[(iv + 1) % 3]);
+        t = m.tris[t].n[(iv + 1) % 3];   // CCW-next triangle around v
+        if (t < 0) return false;         // hull fan: keep the vertex
+    } while (t != t0);
+    return ring.size() >= 3;
+}
+
+// Delaunay triangulation of the ring polygon [lo..hi] against chord
+// (ring[lo], ring[hi]) -- Triangle's triangulatepolygon selection rule:
+// the chord's Delaunay partner wins incircle against every other
+// candidate. Appends (a,b,c) CCW triples; returns false on failure.
+static bool fill_poly_rec(const Mesh &m, const std::vector<int> &ring,
+                          int lo, int hi,
+                          std::vector<std::array<int, 3>> &out) {
+    if (hi - lo < 2) return true;
+    int best = -1;
+    for (int c = lo + 1; c < hi; ++c) {
+        if (m.orient(ring[lo], ring[c], ring[hi]) <= 0.0) continue;
+        if (best < 0) {
+            best = c;
+            continue;
+        }
+        double pc[2] = {m.px[ring[c]], m.py[ring[c]]};
+        double pa[2], pb[2], pd[2];
+        pa[0] = m.px[ring[lo]]; pa[1] = m.py[ring[lo]];
+        pb[0] = m.px[ring[best]]; pb[1] = m.py[ring[best]];
+        pd[0] = m.px[ring[hi]]; pd[1] = m.py[ring[hi]];
+        if (incircle(pa, pb, pd, pc) > 0.0) best = c;
+    }
+    if (best < 0) return false;
+    out.push_back({ring[lo], ring[best], ring[hi]});
+    return fill_poly_rec(m, ring, lo, best, out) &&
+           fill_poly_rec(m, ring, best, hi, out);
+}
+
+// Chew's free-vertex deletion (triangle.c splitencsegs:13341-13380
+// semantics): remove an interior FREE vertex and re-triangulate its star
+// polygon Delaunay. Appends the created triangles to out_newtris.
+// Returns false (mesh untouched) if v is not deletable.
+static bool delete_free_vertex(Mesh &m, int v,
+                               std::vector<int> *out_newtris) {
+    if (m.vtype[v] != 2 || m.vdead[v]) return false;
+    std::vector<int> ring, star;
+    if (!star_of(m, v, ring, star)) return false;
+    const int k = (int)ring.size();
+    const int attr = m.tris[star[0]].attr;
+
+    std::vector<std::array<int, 3>> tris;
+    tris.reserve(k - 2);
+    if (!fill_poly_rec(m, ring, 0, k - 1, tris) ||
+        (int)tris.size() != k - 2)
+        return false;
+
+    // outer neighbor + old star tri per ring edge (ring[i], ring[i+1])
+    std::vector<int> out_nb(k), old_tri(k);
+    for (int i = 0; i < k; ++i) {
+        int t = star[i];
+        int iv = m.vidx(t, v);
+        out_nb[i] = m.tris[t].n[iv];
+        old_tri[i] = t;
+    }
+    for (int t : star) m.killtri(t);
+    m.vtri[v] = -1;
+    m.vdead[v] = 1;
+
+    // create new triangles and stitch neighbors
+    std::unordered_map<uint64_t, std::pair<int, int>> half;  // ekey->tri,edge
+    std::vector<int> created;
+    created.reserve(tris.size());
+    for (auto &tr : tris)
+        created.push_back(m.newtri(tr[0], tr[1], tr[2], attr));
+    for (int t : created) {
+        for (int i = 0; i < 3; ++i) {
+            int a = m.tris[t].v[(i + 1) % 3], b = m.tris[t].v[(i + 2) % 3];
+            uint64_t key = ekey(a, b);
+            auto it = half.find(key);
+            if (it == half.end()) {
+                half[key] = {t, i};
+            } else {
+                m.tris[t].n[i] = it->second.first;
+                m.tris[it->second.first].n[it->second.second] = t;
+            }
+        }
+    }
+    for (int i = 0; i < k; ++i) {
+        int a = ring[i], b = ring[(i + 1) % k];
+        auto it = half.find(ekey(a, b));
+        if (it == half.end()) continue;    // degenerate; leave hull open
+        int t = it->second.first, e = it->second.second;
+        if (m.tris[t].n[e] >= 0 && m.tris[t].n[e] != out_nb[i])
+            continue;                      // already linked internally
+        m.tris[t].n[e] = out_nb[i];
+        if (out_nb[i] >= 0) m.relink(out_nb[i], old_tri[i], t);
+    }
+    if (out_newtris)
+        out_newtris->insert(out_newtris->end(), created.begin(),
+                            created.end());
+    return true;
+}
+
 void refine(Mesh &m) {
     const bool dbg_counts = getenv("TPUMESH_COUNTS") != nullptr;
     size_t n_angle_ins = 0, n_area_ins = 0, n_seg_split = 0,
-           n_centroid = 0;
+           n_centroid = 0, n_chew_del = 0;
     (void)n_centroid;
     double q = m.minangle * M_PI / 180.0;
     double bound2 = 1e300;
@@ -945,18 +1065,84 @@ void refine(Mesh &m) {
         return apex1 >= 0 || apex2 >= 0;
     };
 
+    // segments whose split-point insertion failed (degenerate rounding):
+    // never retry -- the Chew deletion before a retry would otherwise
+    // re-delete the surrounding free vertices forever
+    static thread_local std::unordered_set<uint64_t> failed_splits;
+    failed_splits.clear();
+
     auto split_segment = [&](int a, int b) -> int {
         auto it = m.segmap.find(ekey(a, b));
-        if (it == m.segmap.end() || m.is_protected(ekey(a, b))) return -1;
+        if (it == m.segmap.end() || m.is_protected(ekey(a, b)) ||
+            failed_splits.count(ekey(a, b)))
+            return -1;
         int marker = it->second;
         double dx = m.px[a] - m.px[b], dy = m.py[a] - m.py[b];
         if (dx * dx + dy * dy == 0.0) return -1;
-        double mx = 0.5 * (m.px[a] + m.px[b]);
-        double my = 0.5 * (m.py[a] + m.py[b]);
+
+        // Chew's algorithm (triangle.c splitencsegs with !conformdel):
+        // before splitting, delete FREE vertices inside the segment's
+        // diametral circle, per side whose flanking-triangle edges are
+        // not themselves subsegments. Without this, the crowd of
+        // rejected-circumcenter vertices near the segment survives the
+        // split and cascades further quality refinement (~30% extra
+        // points on arc-heavy motor geometries).
+        for (int side = 0; side < 2; ++side) {
+            int guard = 0;
+            while (guard++ < 256) {
+                int t, i;
+                bool f = (side == 0) ? m.find_edge(a, b, t, i)
+                                     : m.find_edge(b, a, t, i);
+                if (!f) break;
+                int apex = m.tris[t].v[i];
+                if (m.vtype[apex] != 2) break;
+                if (m.is_constrained(a, apex) || m.is_constrained(b, apex))
+                    break;
+                double dax = m.px[a] - m.px[apex],
+                       day = m.py[a] - m.py[apex];
+                double dbx = m.px[b] - m.px[apex],
+                       dby = m.py[b] - m.py[apex];
+                if (dax * dbx + day * dby >= 0.0) break;  // outside circle
+                std::vector<int> newt;
+                if (!delete_free_vertex(m, apex, &newt)) break;
+                ++n_chew_del;
+                for (int tt : newt)
+                    if (m.tris[tt].attr >= 0) queue.push_back(tt);
+            }
+        }
+
+        // Concentric-shell split position (triangle.c:13383-13413): when
+        // an endpoint is shared with another segment (small input
+        // angle), split at the power-of-two distance from that endpoint
+        // so successive splittings of adjacent segments land on common
+        // shells and stop encroaching each other.
+        double split = 0.5;
+        {
+            int t, i, ap1 = -1, ap2 = -1;
+            if (m.find_edge(a, b, t, i)) ap1 = m.tris[t].v[i];
+            if (m.find_edge(b, a, t, i)) ap2 = m.tris[t].v[i];
+            bool acuteorg = (ap1 >= 0 && m.is_constrained(a, ap1)) ||
+                            (ap2 >= 0 && m.is_constrained(a, ap2));
+            bool acutedest = (ap1 >= 0 && m.is_constrained(b, ap1)) ||
+                             (ap2 >= 0 && m.is_constrained(b, ap2));
+            if (acuteorg || acutedest) {
+                double seglen = std::sqrt(dx * dx + dy * dy);
+                double npo2 = 1.0;
+                while (seglen > 3.0 * npo2) npo2 *= 2.0;
+                while (seglen < 1.5 * npo2) npo2 *= 0.5;
+                split = npo2 / seglen;
+                if (acutedest) split = 1.0 - split;
+            }
+        }
+        double mx = m.px[a] + split * (m.px[b] - m.px[a]);
+        double my = m.py[a] + split * (m.py[b] - m.py[a]);
         std::vector<int> created;
         int v = add_point(m, mx, my, marker, &created, m.vtri[a],
                           ekey(a, b));
-        if (v < 0) return -1;
+        if (v < 0) {
+            failed_splits.insert(ekey(a, b));
+            return -1;
+        }
         ++n_seg_split;
         m.vtype[v] = 1;
         m.segmap.erase(ekey(a, b));
@@ -1027,6 +1213,13 @@ void refine(Mesh &m) {
     };
 
     while ((!pqueue.empty() || !segqueue.empty()) && ++iterations < maxiter) {
+        if (dbg_counts && iterations % 1000000 == 0)
+            fprintf(stderr,
+                    "tpumesh refine progress: iter=%zuM angle=%zu area=%zu "
+                    "segsplit=%zu chewdel=%zu verts=%zu pq=%zu sq=%zu\n",
+                    iterations / 1000000, n_angle_ins, n_area_ins,
+                    n_seg_split, n_chew_del, m.px.size(), pqueue.size(),
+                    segqueue.size());
         if (!segqueue.empty()) {
             uint64_t key = segqueue.front();
             segqueue.pop_front();
@@ -1074,14 +1267,20 @@ void refine(Mesh &m) {
             double dx = cd.cx - mx, dy = cd.cy - my;
             double dlen = std::sqrt(dx * dx + dy * dy);
             double ell = std::sqrt(cd.shortest2);
-            // place the apex so the new isoceles triangle sits exactly at
-            // the quality bound: R = beta*ell with beta = 1/(2 sin theta)
-            // => h = ell*(beta + sqrt(beta^2 - 1/4)). Insertion radius is
-            // then >= ell, so no edge shorter than the current shortest is
-            // created (termination).
-            double beta = std::sqrt(bound2);
-            double off = ell * (beta + std::sqrt(std::fmax(beta * beta - 0.25,
-                                                           0.0)));
+            // Apex height: Ungor's constant as tuned by Shewchuk
+            // (triangle.c:3549, offconstant = 0.475 sqrt((1+cos q)/(1-cos
+            // q))). This sits ~5% BELOW the exact at-the-bound height
+            // h = ell (beta + sqrt(beta^2 - 1/4)), beta = 1/(2 sin q):
+            // the new triangle is strictly better than the quality bound,
+            // so it cannot be re-flagged bad by roundoff. At 33 deg the
+            // exact-threshold placement re-refines borderline triangles
+            // in cascades and costs ~60% extra points on motor
+            // geometries (measured: 16.1k -> 10.1k on the antiperiodic
+            // flux PSLG).
+            double cosq = std::cos(m.minangle * M_PI / 180.0);
+            double off = ell * 0.475 *
+                         std::sqrt((1.0 + cosq) /
+                                   std::fmax(1.0 - cosq, 1e-30));
             if (dlen > off && dlen > 0.0) {
                 ix = mx + dx / dlen * off;
                 iy = my + dy / dlen * off;
@@ -1177,9 +1376,9 @@ void refine(Mesh &m) {
     if (dbg_counts)
         fprintf(stderr,
                 "tpumesh refine: angle=%zu area=%zu centroid=%zu "
-                "segsplit=%zu iter=%zu\n",
+                "segsplit=%zu chewdel=%zu iter=%zu\n",
                 n_angle_ins, n_area_ins, n_centroid, n_seg_split,
-                iterations);
+                n_chew_del, iterations);
 }
 
 }  // namespace
@@ -1422,6 +1621,7 @@ int tpumesh_triangulate(
             }
             continue;
         }
+        if (m.vdead[v]) continue;        // removed by Chew's deletion
         if (prune && !used[v]) continue;
         newid[v] = nout++;
     }

@@ -48,7 +48,8 @@ MINANGLE_MAX = 33.8
 #: near FEMM's; 0.6 passes all three with the shortest-edge-first
 #: refinement queue; 0.62 also clears the fpproc script's noise-level
 #: B-field probe, where 0.60 flips it).
-AREA_TIGHTEN = 0.62
+AREA_TIGHTEN = float(__import__("os").environ.get("XFEMM_TPU_AREA_TIGHTEN",
+                                                  "0.62"))
 
 
 class MeshError(RuntimeError):

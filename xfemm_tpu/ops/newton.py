@@ -87,12 +87,21 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
         return None
     lv0 = session.band_amg.levels[0]
     if lv0.A.dense.dtype == jnp.bfloat16:
+        # bf16 fine operator (beyond ~2M DOFs): CG inside step() is not
+        # stable on it (the driver uses restarted FGMRES there); keep
+        # the host loop for that regime
         return None
     # the step's executable holds the donated fine band PLUS the refresh
-    # temporaries (and a bf16 smoothing copy when Abf is present); on
-    # 16 GB parts the 1M-class hierarchies (fine band > ~4 GB) exceed
-    # HBM at compile time -- keep those on the host loop
-    if lv0.A.dense.size * 4 > 4e9:
+    # temporaries (CSR values, the permuted gather) and a bf16 smoothing
+    # copy when Abf is present; budget against the actual part's HBM.
+    # Symmetric (triu) fine levels are supported -- _refresh_operator
+    # scatters through upper_sel and rebuilds dvec -- which is what
+    # makes the 1M-class (994k-node) problems eligible.
+    from .solver import device_hbm_bytes
+    band_bytes = lv0.A.dense.size * lv0.A.dense.dtype.itemsize
+    if lv0.Abf is not None:
+        band_bytes += lv0.Abf.dense.size * 2
+    if band_bytes > 0.5 * device_hbm_bytes():
         return None
     slot_s, souter_s, kmask_s, ch_masks = session.sub_cache
     if souter_s[0] is None:

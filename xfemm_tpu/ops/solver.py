@@ -151,6 +151,25 @@ def device_f64_ok() -> bool:
 
 
 @functools.lru_cache(maxsize=1)
+def device_hbm_bytes() -> float:
+    """Accelerator memory budget the band engine may plan against.
+    Prefers the backend's reported ``bytes_limit``; falls back to the
+    16 GB of a v5e part (the size the static thresholds were tuned on).
+    Overridable with ``XFEMM_TPU_HBM_BYTES`` for testing."""
+    import os
+    env = os.environ.get("XFEMM_TPU_HBM_BYTES")
+    if env:
+        return float(env)
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return float(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16e9
+
+
+@functools.lru_cache(maxsize=1)
 def band_platform_ok() -> bool:
     """Gate for the dense-band MXU engine: it pays off on accelerators
     whose matmul units make banded-dense SpMV fast (TPU/axon/GPU), and
@@ -715,7 +734,8 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
                 shape=(n, n))
             Ash = (Ar + sp.diags(np.abs(Ap.diagonal().imag))).tocsr()
             Ash.sum_duplicates()
-            if _band_bytes_estimate(Ash, band_mod.ROW_TILE) <= 5e9:
+            if (_band_bytes_estimate(Ash, band_mod.ROW_TILE)
+                    <= 0.31 * device_hbm_bytes()):
                 with profiling.phase("band amg setup (ac)"):
                     amg, lay = band_mod.setup_band_amg(Ash)
                 opl = band_mod.pack_band_layout(
@@ -948,15 +968,16 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             Ap.sum_duplicates()
             est_bytes = _band_bytes_estimate(Ap, band_mod.ROW_TILE)
             sym = fine_dtype = None
-            if est_bytes <= 6e9:
+            hbm = device_hbm_bytes()
+            if est_bytes <= 0.375 * hbm:
                 sym = False
             elif _band_bytes_estimate(Ap, band_mod.ROW_TILE,
-                                      sym=True) <= 11e9:
+                                      sym=True) <= 0.69 * hbm:
                 sym = True          # triu storage halves the footprint;
                                     # smoothing shares the f32 band (no
                                     # bf16 copy above BF16_SMOOTH_MAX)
             elif _band_bytes_estimate(Ap, band_mod.ROW_TILE, sym=True,
-                                      itemsize=2) <= 8e9:
+                                      itemsize=2) <= 0.5 * hbm:
                 sym = True          # 1M-class: bf16 fine operator; the
                 fine_dtype = "bf16"  # refinement driver absorbs the
                                      # reduced operator precision
