@@ -450,7 +450,10 @@ bool insert_vertex(Mesh &m, int v, int t0, int onedge,
         again = false;
         for (auto &be : bedges) {
             double o = m.orient_pt(be.a, be.b, p);
-            if (o == 0.0) {
+            // the designated split edge is ON-edge by contract, even if
+            // the rounded split point is a hair off the exact line
+            if (o == 0.0 || (split_key != ~uint64_t(0) &&
+                             ekey(be.a, be.b) == split_key)) {
                 be.degenerate = true;
                 continue;
             }
@@ -1074,8 +1077,15 @@ void refine(Mesh &m) {
     auto split_segment = [&](int a, int b) -> int {
         auto it = m.segmap.find(ekey(a, b));
         if (it == m.segmap.end() || m.is_protected(ekey(a, b)) ||
-            failed_splits.count(ekey(a, b)))
+            failed_splits.count(ekey(a, b))) {
+            if (getenv("TPUMESH_DEBUG"))
+                fprintf(stderr,
+                        "  split REFUSED (%d,%d): inmap=%d prot=%d failed=%d\n",
+                        a, b, (int)(it != m.segmap.end()),
+                        (int)m.is_protected(ekey(a, b)),
+                        (int)failed_splits.count(ekey(a, b)));
             return -1;
+        }
         int marker = it->second;
         double dx = m.px[a] - m.px[b], dy = m.py[a] - m.py[b];
         if (dx * dx + dy * dy == 0.0) return -1;
@@ -1136,10 +1146,37 @@ void refine(Mesh &m) {
         }
         double mx = m.px[a] + split * (m.px[b] - m.px[a]);
         double my = m.py[a] + split * (m.py[b] - m.py[a]);
+        {
+            // One step of iterative refinement to improve collinearity
+            // (triangle.c:13416-13426): without it the rounded split
+            // point can land a hair on the UNMESHED side of a hole
+            // boundary, where the insertion cavity is empty and the
+            // split fails.
+            double pa[2], pb[2];
+            m.pt(a, pa);
+            m.pt(b, pb);
+            double pm[2] = {mx, my};
+            double mult = orient2d(pa, pb, pm);
+            double div = (pa[0] - pb[0]) * (pa[0] - pb[0]) +
+                         (pa[1] - pb[1]) * (pa[1] - pb[1]);
+            if (mult != 0.0 && div != 0.0) {
+                mult = mult / div;
+                if (mult == mult) {
+                    mx += mult * (pb[1] - pa[1]);
+                    my += mult * (pa[0] - pb[0]);
+                }
+            }
+        }
         std::vector<int> created;
         int v = add_point(m, mx, my, marker, &created, m.vtri[a],
                           ekey(a, b));
         if (v < 0) {
+            if (getenv("TPUMESH_DEBUG"))
+                fprintf(stderr,
+                        "  split FAIL (%d,%d) at (%.9g,%.9g) split=%.4f "
+                        "len=%.3e\n",
+                        a, b, mx, my, split,
+                        std::sqrt(dx * dx + dy * dy));
             failed_splits.insert(ekey(a, b));
             return -1;
         }
@@ -1150,8 +1187,20 @@ void refine(Mesh &m) {
         m.segmap[ekey(v, b)] = marker;
         segqueue.push_back(ekey(a, v));
         segqueue.push_back(ekey(v, b));
-        for (int t : created)
+        for (int t : created) {
             if (m.tris[t].attr >= 0) queue.push_back(t);
+            // re-check OTHER constrained edges on the cavity boundary:
+            // the new split vertex may encroach an adjacent segment
+            // (small input angles -- this is what propagates triangle's
+            // concentric-shell cascade from one segment to the next)
+            for (int i = 0; i < 3; ++i) {
+                int ea = m.tris[t].v[(i + 1) % 3];
+                int eb = m.tris[t].v[(i + 2) % 3];
+                uint64_t key = ekey(ea, eb);
+                if (m.segmap.count(key) && !m.is_protected(key))
+                    segqueue.push_back(key);
+            }
+        }
         return v;
     };
 
@@ -1212,6 +1261,7 @@ void refine(Mesh &m) {
         return v;
     };
 
+    for (int sweep = 0; sweep < 8; ++sweep) {
     while ((!pqueue.empty() || !segqueue.empty()) && ++iterations < maxiter) {
         if (dbg_counts && iterations % 1000000 == 0)
             fprintf(stderr,
@@ -1232,6 +1282,13 @@ void refine(Mesh &m) {
                 if (apex >= 0 &&
                     in_diametral(m, a, b, m.px[apex], m.py[apex]))
                     enc = true;
+            static const char *sd = getenv("TPUMESH_SEGDBG");
+            if (sd && m.segmap[key] == atoi(sd)) {
+                double dx = m.px[a] - m.px[b], dy = m.py[a] - m.py[b];
+                fprintf(stderr,
+                        "segdbg pop (%d,%d) len=%.4f ap1=%d ap2=%d enc=%d\n",
+                        a, b, std::sqrt(dx * dx + dy * dy), ap1, ap2, enc);
+            }
             if (enc) split_segment(a, b);
             continue;
         }
@@ -1291,23 +1348,48 @@ void refine(Mesh &m) {
         int onedge = -1;
         int tc = locate(m, p, onedge, t);
         if (tc < 0 || m.tris[tc].dead || m.tris[tc].attr != m.tris[t].attr) {
-            // center escaped the region: split (immediately -- Ruppert's
-            // rule: a segment encroached by a proposed point is split
-            // unconditionally) the constrained edge of t that the proposed
-            // point encroaches
+            // The proposed point escaped the region: the walk toward it
+            // crossed a constrained edge. Triangle queues that BLOCKING
+            // subsegment for splitting unconditionally (insertvertex
+            // returns VIOLATINGVERTEX when the location walk exits
+            // through a subsegment, triangle.c:8309-8344) -- this is the
+            // mechanism that grades hole/interface boundaries down to
+            // the local feature size. Walk from t toward the point and
+            // split the first constrained edge crossed.
             bool acted = false;
-            for (int i = 0; i < 3; ++i) {
-                int a = m.tris[t].v[(i + 1) % 3];
-                int b = m.tris[t].v[(i + 2) % 3];
-                if (m.is_constrained(a, b) &&
-                    in_diametral(m, a, b, ix, iy, /*lens=*/false)) {
-                    if (split_segment(a, b) >= 0) {  // no-op when protected
-                        queue.push_back(t);
-                        acted = true;
+            {
+                int cur = t, prev = -2, guard = 0;  // -2: "no neighbor"
+                                                    // (-1) must not match
+                while (guard++ < 4096) {
+                    int cross = -1;
+                    double worst = 0.0;
+                    for (int i = 0; i < 3; ++i) {
+                        int a = m.tris[cur].v[(i + 1) % 3];
+                        int b = m.tris[cur].v[(i + 2) % 3];
+                        double o = m.orient_pt(a, b, p);
+                        if (o < worst && m.tris[cur].n[i] != prev) {
+                            worst = o;
+                            cross = i;
+                        }
                     }
-                    break;
+                    if (cross < 0) break;   // reached p without a blocker
+                    int a = m.tris[cur].v[(cross + 1) % 3];
+                    int b = m.tris[cur].v[(cross + 2) % 3];
+                    if (m.is_constrained(a, b)) {
+                        if (split_segment(a, b) >= 0) {
+                            queue.push_back(t);
+                            acted = true;
+                        }
+                        break;
+                    }
+                    int nt = m.tris[cur].n[cross];
+                    if (nt < 0 || m.tris[nt].dead) break;
+                    prev = cur;
+                    cur = nt;
                 }
             }
+            if (dbg && !acted)
+                fprintf(stderr, "  escape NO-BLOCKER t=%d -> drop\n", t);
             if (!acted && bad_area) insert_centroid(t);
             continue;
         }
@@ -1364,14 +1446,85 @@ void refine(Mesh &m) {
 
         std::vector<int> created;
         int v = add_point(m, ix, iy, 0, &created, tc);
-        if (v >= 0) { if (bad_area) ++n_area_ins; else ++n_angle_ins; }
         if (dbg) fprintf(stderr, "  insert (%g,%g) -> v=%d\n", ix, iy, v);
         if (v < 0) {
+            // Proposal landed ON a constrained edge (near-degenerate
+            // slivers at corners do this): triangle returns
+            // VIOLATINGVERTEX and queues that subsegment for splitting
+            // (triangle.c:8309-8344) rather than dropping the triangle.
+            if (onedge >= 0) {
+                int a = m.tris[tc].v[(onedge + 1) % 3];
+                int b = m.tris[tc].v[(onedge + 2) % 3];
+                uint64_t key = ekey(a, b);
+                if (m.segmap.count(key) && !m.is_protected(key) &&
+                    split_segment(a, b) >= 0) {
+                    queue.push_back(t);
+                    continue;
+                }
+            }
             if (bad_area) insert_centroid(t);
             continue;
         }
-        for (int tt : created)
+        // Post-insertion encroachment check (triangle.c:8612-8625): the
+        // new vertex is the apex opposite every cavity-boundary edge; if
+        // one of those edges is a constrained segment whose lens holds
+        // the vertex, reject the insertion (undo) and split the segment
+        // instead. The PRE-insertion scan above misses segments whose
+        // carrier triangle is large (the incircle test of a point near
+        // one of its vertices is negative), which is exactly the corner
+        // ladder case that grades boundaries down to tiny input features.
+        {
+            uint64_t badkey = 0;
+            for (int tt : created) {
+                int iv = m.vidx(tt, v);
+                if (iv < 0) continue;
+                int a = m.tris[tt].v[(iv + 1) % 3];
+                int b = m.tris[tt].v[(iv + 2) % 3];
+                uint64_t key = ekey(a, b);
+                if (m.segmap.count(key) && !m.is_protected(key) &&
+                    in_diametral(m, a, b, m.px[v], m.py[v])) {
+                    badkey = key;
+                    break;
+                }
+            }
+            std::vector<int> refill;
+            if (badkey && delete_free_vertex(m, v, &refill)) {
+                int a = int(badkey >> 32), b = int(badkey & 0xffffffffu);
+                if (dbg)
+                    fprintf(stderr, "  undo v=%d, enc seg (%d,%d)\n", v, a,
+                            b);
+                for (int tt : refill)
+                    if (m.tris[tt].attr >= 0) queue.push_back(tt);
+                if (split_segment(a, b) >= 0) queue.push_back(t);
+                continue;
+            }
+        }
+        if (bad_area) ++n_area_ins; else ++n_angle_ins;
+        for (int tt : created) {
             if (m.tris[tt].attr >= 0) queue.push_back(tt);
+            // Re-check cavity-boundary subsegments for encroachment by
+            // their (possibly changed) apexes: triangle's insertvertex
+            // runs checkseg4encroach on every subsegment bounding the
+            // cavity (triangle.c:8471+), which is what keeps thin-gap
+            // chords split as finely as the surrounding refinement.
+            // Lazy: just queue them; the segqueue pop re-verifies.
+            for (int i = 0; i < 3; ++i) {
+                int a = m.tris[tt].v[(i + 1) % 3];
+                int b = m.tris[tt].v[(i + 2) % 3];
+                uint64_t key = ekey(a, b);
+                if (m.segmap.count(key) && !m.is_protected(key))
+                    segqueue.push_back(key);
+            }
+        }
+    }
+    // Verification re-scan: queue bookkeeping across deletions/undos is
+    // intricate; rather than prove every path re-queues, re-scan all
+    // live triangles and re-drain until the mesh is verifiably clean
+    // (normally converges on the first re-scan with nothing found).
+    if (iterations >= maxiter) break;
+    for (int t = 0; t < (int)m.tris.size(); ++t)
+        if (!m.tris[t].dead && m.tris[t].attr >= 0) queue_push(t);
+    if (pqueue.empty() && segqueue.empty()) break;
     }
     if (dbg_counts)
         fprintf(stderr,

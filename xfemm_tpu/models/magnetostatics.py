@@ -769,15 +769,26 @@ def solve(problem: Problem, mesh: MeshData,
                 and tol_it > problem.Precision
                 and sess.band_amg is not None):
             from ..ops import newton as newton_dev
-            dn, has_lam, dense = dev_state
+            from ..ops import solver as solver_mod
+            dn, has_lam = dev_state
             with profiling.phase("device newton"):
-                Vd, dense, cgit, _rr = newton_dev.step(
-                    dn, sess.band_amg, dense,
+                # donate the session's own fine band (no copy -- a 1M
+                # sym band is ~10 GB); rebuild the session's BandAMG
+                # around the returned refreshed buffers afterwards
+                amg_rest, dense, _abf = newton_dev.strip_fine_band(
+                    sess.band_amg)
+                Vd, dense, abf, dvec, cgit, _rr = newton_dev.step(
+                    dn, amg_rest, dense,
                     jnp.asarray(V, jnp.float32),
                     jnp.asarray(tol_it, jnp.float32), has_lam=has_lam)
+                sess.band_amg = newton_dev.rebuild_band_amg(
+                    amg_rest, dense, abf, dvec)
+                if sess.band_ckey is not None \
+                        and sess.band_ckey in solver_mod._BAND_CACHE:
+                    solver_mod._BAND_CACHE[sess.band_ckey]["band_amg"] = \
+                        sess.band_amg
                 V_old = V
                 V = np.asarray(Vd, np.float64)
-            dev_state = (dn, has_lam, dense)
             iters_total += int(cgit)
             num = float(np.sum((V - V_old) ** 2))
             den = float(np.sum(V ** 2))
@@ -904,11 +915,7 @@ def solve(problem: Problem, mesh: MeshData,
             from ..ops import newton as newton_dev
             made = newton_dev.setup(pk, geom, Mx, My, sess, b_base, c)
             if made is not None:
-                # copy the session's fine band: step() donates its input
-                # buffer, and the session's copy must stay valid for the
-                # accepting host iteration's value refresh
-                dense0 = jnp.copy(sess.band_amg.levels[0].A.dense)
-                dev_state = (made[0], made[1], dense0)
+                dev_state = (made[0], made[1])
 
     # expand back to full nodes, convert to A (static2d.cpp:1018-1021)
     Vfull = V[pk.ridx] * pk.rsign

@@ -91,9 +91,10 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
         # stable on it (the driver uses restarted FGMRES there); keep
         # the host loop for that regime
         return None
-    # the step's executable holds the donated fine band PLUS the refresh
-    # temporaries (CSR values, the permuted gather) and a bf16 smoothing
-    # copy when Abf is present; budget against the actual part's HBM.
+    # The step donates and updates the SESSION's fine band in place (the
+    # caller rebuilds session.band_amg around the returned buffer), so
+    # HBM must hold one fine band + the coarse hierarchy + the refresh
+    # temporaries (CSR values + permuted gather, a few % of the band).
     # Symmetric (triu) fine levels are supported -- _refresh_operator
     # scatters through upper_sel and rebuilds dvec -- which is what
     # makes the 1M-class (994k-node) problems eligible.
@@ -101,7 +102,7 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
     band_bytes = lv0.A.dense.size * lv0.A.dense.dtype.itemsize
     if lv0.Abf is not None:
         band_bytes += lv0.Abf.dense.size * 2
-    if band_bytes > 0.5 * device_hbm_bytes():
+    if band_bytes > 0.7 * device_hbm_bytes():
         return None
     slot_s, souter_s, kmask_s, ch_masks = session.sub_cache
     if souter_s[0] is None:
@@ -162,6 +163,50 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
         scat_w=jnp.asarray(scat_w),
         c=jnp.asarray(float(c), f32))
     return dn, bool((lts != 0).any())
+
+
+def strip_fine_band(amg: BandAMG):
+    """Return ``(amg_rest, dense, abf)``: the BandAMG with the level-0
+    ``A.dense`` (and ``Abf.dense``) replaced by tiny placeholders, plus
+    the real buffers. ``step`` donates ``dense``; passing the same
+    buffer inside the (non-donated) ``amg`` pytree would alias the
+    donation, so the placeholders keep the pytree structure (presence
+    of Abf/dvec is structural) without referencing the buffer."""
+    lv0 = amg.levels[0]
+    dense = lv0.A.dense
+    ph = jnp.zeros((1, 1, 1), dense.dtype)
+    newA = BandMatrix(dense=ph, shift0=lv0.A.shift0, cchunk=lv0.A.cchunk,
+                      ncols=lv0.A.ncols)
+    abf = None
+    newAbf = None
+    if lv0.Abf is not None:
+        abf = lv0.Abf.dense
+        newAbf = BandMatrix(dense=jnp.zeros((1, 1, 1), jnp.bfloat16),
+                            shift0=lv0.Abf.shift0, cchunk=lv0.Abf.cchunk,
+                            ncols=lv0.Abf.ncols)
+    rest = BandAMG(
+        levels=(BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
+                          P=lv0.P, Abf=newAbf, dvec=lv0.dvec),)
+        + amg.levels[1:],
+        coarse_inv=amg.coarse_inv, n=amg.n)
+    return rest, dense, abf
+
+
+def rebuild_band_amg(amg_rest: BandAMG, dense, abf, dvec) -> BandAMG:
+    """Inverse of ``strip_fine_band`` with refreshed buffers: wrap the
+    step's returned fine-band values back into a full BandAMG (for the
+    session and the solver's pattern cache)."""
+    lv0 = amg_rest.levels[0]
+    newA = BandMatrix(dense=dense, shift0=lv0.A.shift0,
+                      cchunk=lv0.A.cchunk, ncols=lv0.A.ncols)
+    newAbf = None
+    if lv0.Abf is not None and abf is not None:
+        newAbf = BandMatrix(dense=abf, shift0=lv0.Abf.shift0,
+                            cchunk=lv0.Abf.cchunk, ncols=lv0.Abf.ncols)
+    lv = BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega, P=lv0.P,
+                   Abf=newAbf, dvec=dvec)
+    return BandAMG(levels=(lv,) + amg_rest.levels[1:],
+                   coarse_inv=amg_rest.coarse_inv, n=amg_rest.n)
 
 
 def _newton_elements(dn: DeviceNewton, V, has_lam: bool):
@@ -241,10 +286,16 @@ def step(dn: DeviceNewton, amg: BandAMG, dense, V, tol,
     band-AMG PCG to ``tol`` (host stopping metric: Jacobi-weighted
     residual norm relative to the SYSTEM rhs, matching ops/solver.py).
 
-    ``dense`` is the current fine-band value buffer (donated; pass a
-    copy of the session's band on the first call). Returns the
-    UNRELAXED ``(V_new, dense_new, cg_iters, rel)`` -- relaxation and
-    the convergence test stay on host."""
+    ``dense`` is the current fine-band value buffer, donated and
+    updated in place -- pass the SESSION's own fine band (no copy; a 1M
+    sym band is ~10 GB and two copies would not fit HBM). To keep the
+    donation un-aliased, ``amg`` must carry PLACEHOLDER buffers for the
+    level-0 ``A.dense``/``Abf.dense`` (see ``strip_fine_band``); the
+    caller rebuilds its BandAMG around the returned buffers.
+
+    Returns the UNRELAXED ``(V_new, dense_new, abf_new, dvec_new,
+    cg_iters, rel)`` (``abf_new``/``dvec_new`` are None when absent) --
+    relaxation and the convergence test stay on host."""
     n = V.shape[0]
     lv0 = amg.levels[0]
     amg_cur = BandAMG(
@@ -277,4 +328,6 @@ def step(dn: DeviceNewton, amg: BandAMG, dense, V, tol,
         amg_new, r / scale, tol_eff.astype(jnp.float32),
         jnp.zeros(n, jnp.float32), inner_iter)
     V_new = V + (scale * d_p)[dn.iperm]
-    return V_new, amg_new.levels[0].A.dense, its, rel
+    lv_new = amg_new.levels[0]
+    abf_new = None if lv_new.Abf is None else lv_new.Abf.dense
+    return V_new, lv_new.A.dense, abf_new, lv_new.dvec, its, rel
