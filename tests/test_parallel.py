@@ -100,3 +100,53 @@ def test_distributed_schwarz_amg():
     assert np.abs(x_s - x_single).max() / scale < 1e-8
     assert res_s <= 1e-8
     assert it_sch < it_jac
+
+
+def test_distributed_nonlinear_solve_end_to_end():
+    """The PRODUCT path: magnetostatics.solve(problem, mesh, devices=8)
+    runs the full Newton loop with every linear solve distributed over
+    an 8-device mesh (partition + halo CG + Schwarz AMG), and must
+    reproduce the single-chip solution."""
+    from xfemm_tpu.mesh import mesher
+    from xfemm_tpu.models import benchprob, magnetostatics
+
+    p = benchprob.build(3000)
+    mesh = mesher.mesh_problem(p)
+    ref = magnetostatics.solve(p, mesh)
+    dist = magnetostatics.solve(p, mesh, devices=8)
+    assert dist.residual <= p.Precision
+    scale = np.abs(ref.A).max()
+    assert np.abs(dist.A - ref.A).max() / scale < 1e-6
+    # the nonlinear problem actually took multiple Newton iterations
+    assert dist.iterations > 0
+
+
+def test_distributed_ac_csym_solve():
+    """The AC pairs path: the distributed complex-symmetric CG
+    (halo._pcg_csym_shard, (re,im) pairs + halo exchange) must
+    reproduce the single-chip solve_complex on an eddy-current-style
+    complex-symmetric system (stiffness + i*mass)."""
+    from xfemm_tpu.ops import solver
+    from xfemm_tpu.parallel.driver import DistributedSession
+
+    pk, blocks, b, coords = _system()
+    idx, sign, negMe = blocks[0]
+    # add an eddy mass term i*w*sigma*(consistent 3x3) on the nonlinear
+    # (conducting) elements: complex-symmetric, like harmonic2d.cpp:460
+    E = idx.shape[0]
+    mass = np.tile((np.full((3, 3), 1.0) + np.eye(3)) / 12.0, (E, 1, 1))
+    matc = negMe.astype(complex) + 1j * 0.3 * mass
+    cblocks = [solver.ElementBlock(idx=idx, sign=sign, mat=matc)]
+    bc = b.astype(complex)
+
+    x_ref, rr_ref, _ = solver.solve_complex(
+        cblocks, bc, pk.fixed_mask, pk.fixed_vals.astype(complex), 1e-9)
+    x_ref = np.asarray(x_ref)
+
+    sess = DistributedSession(8, schwarz=False)
+    x_d, rr_d, it = sess.solve_complex(
+        cblocks, bc, pk.fixed_mask, pk.fixed_vals.astype(complex), 1e-9,
+        coords=coords)
+    assert rr_d <= 1e-9
+    scale = np.abs(x_ref).max()
+    assert np.abs(x_d - x_ref).max() / scale < 1e-7

@@ -57,7 +57,17 @@ def cmd_solve(args) -> int:
         mesh = _mesh(problem, base, write=False)
     print(f"solving {mesh.num_nodes} nodes ...")
     t0 = time.time()
-    sol = models.solve(problem, mesh)
+    kw = {}
+    if getattr(args, "devices", None):
+        from .constants import ProblemType
+        if (problem.filetype == FileType.MAGNETICS
+                and problem.Frequency == 0
+                and problem.ProblemType == ProblemType.PLANAR):
+            kw["devices"] = args.devices
+        else:
+            print("--devices: distributed backend currently covers "
+                  "planar DC magnetostatics; solving single-chip")
+    sol = models.solve(problem, mesh, **kw)
     elapsed = time.time() - t0
 
     if problem.filetype == FileType.MAGNETICS:
@@ -100,6 +110,10 @@ def main(argv=None) -> int:
     mp.set_defaults(fn=cmd_mesh)
     spp = sub.add_parser("solve", help="mesh (or load mesh) and solve")
     spp.add_argument("file")
+    spp.add_argument("--devices", type=int, default=None,
+                     help="run the linear solves distributed over N "
+                          "devices (jax.sharding.Mesh domain "
+                          "decomposition; magnetostatics only)")
     spp.add_argument("--premeshed", action="store_true",
                      help="read existing .node/.ele/.edge/.pbc files")
     spp.set_defaults(fn=cmd_solve)

@@ -644,9 +644,18 @@ def _problem_fingerprint(problem: Problem):
 
 
 def solve(problem: Problem, mesh: MeshData,
-          max_newton: int = 100, Aprev: np.ndarray | None = None
+          max_newton: int = 100, Aprev: np.ndarray | None = None,
+          devices: int | None = None, device_mesh=None
           ) -> MagSolution:
-    """Planar nonlinear magnetostatic solve (Static2D semantics)."""
+    """Planar nonlinear magnetostatic solve (Static2D semantics).
+
+    ``devices=N`` runs every linear solve of the Newton loop on an
+    N-device 1-D ``jax.sharding.Mesh`` (domain-decomposition halo
+    exchange + additive-Schwarz AMG, parallel/driver.py) -- the
+    multi-chip analogue of the reference's PCGSolve call site
+    (static2d.cpp:948). The Newton trajectory and convergence contract
+    are unchanged.
+    """
     assert problem.ProblemType == ProblemType.PLANAR, \
         "axisymmetric path in models/axisymmetric.py"
     from ..utils import profiling
@@ -738,6 +747,10 @@ def solve(problem: Problem, mesh: MeshData,
     dof_coords[pk.ridx] = pk.xy
 
     sess = solver.Session()
+    dsess = None
+    if devices:
+        from ..parallel.driver import DistributedSession
+        dsess = DistributedSession(devices, mesh=device_mesh)
     V = np.zeros(pk.nreduced)
     relax = 1.0
     res = 0.0
@@ -883,10 +896,16 @@ def solve(problem: Problem, mesh: MeshData,
                 np.add.at(b, flat_i, -flat_s * dbe.reshape(-1))
 
         V_old = V
-        V, rel_resid, cg_iters = solver.solve(
-            blocks, b, pk.fixed_mask, pk.fixed_vals, tol_it,
-            x0=V if it > 0 else None, coords=dof_coords, session=sess,
-            changed=[nl] if nonlinear else None)
+        if dsess is not None:
+            with profiling.phase("distributed solve"):
+                V, rel_resid, cg_iters = dsess.solve(
+                    blocks, b, pk.fixed_mask, pk.fixed_vals, tol_it,
+                    x0=V if it > 0 else None, coords=dof_coords)
+        else:
+            V, rel_resid, cg_iters = solver.solve(
+                blocks, b, pk.fixed_mask, pk.fixed_vals, tol_it,
+                x0=V if it > 0 else None, coords=dof_coords, session=sess,
+                changed=[nl] if nonlinear else None)
         V = np.asarray(V)
         iters_total += int(cg_iters)
 
@@ -911,6 +930,7 @@ def solve(problem: Problem, mesh: MeshData,
         # after the initial solve has built the band hierarchy and value
         # maps, intermediate Newton iterations can run on device
         if (it == 0 and nonlinear and dev_state is None
+                and dsess is None
                 and not os.environ.get("XFEMM_TPU_NO_DEVICE_NEWTON")):
             from ..ops import newton as newton_dev
             made = newton_dev.setup(pk, geom, Mx, My, sess, b_base, c)
