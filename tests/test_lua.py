@@ -122,3 +122,36 @@ assert(getcompatibilitymode() == 0)
 write("SUCCESS\n")
 """)
     assert out == ["SUCCESS"]
+
+
+def test_trace_builtin(capsys):
+    """trace()/trace(1) stack backtraces (LuaInstance.cpp:302 luaTrace);
+    mirrors femmcli_trace.lua."""
+    from xfemm_tpu.scripting import lua
+    out = []
+    lua.run_string("""
+function FUN()
+  trace(1)
+end
+trace()
+FUN()
+""", bind_femm=False, output=out.append, script_path="t.lua")
+    assert any("main [t.lua:0]" in l for l in out)
+    assert any("global Lua FUN()" in l for l in out)
+
+
+def test_trace_calls_hook():
+    """--lua-trace-functions equivalent: every call is printed."""
+    from xfemm_tpu.scripting import lua
+    out = []
+    lua.run_string("x = sqrt(4)\nprint(x)", bind_femm=False,
+                   output=out.append, trace_calls=True)
+    assert any("call global C sqrt()" in l for l in out)
+
+
+def test_pedantic_mode_warns():
+    from xfemm_tpu.scripting import lua
+    out = []
+    lua.run_string("y = unknown_variable_xyz", bind_femm=False,
+                   output=out.append, pedantic=True)
+    assert any("undefined variable" in l for l in out)

@@ -94,8 +94,22 @@ def cmd_solve(args) -> int:
 
 def cmd_script(args) -> int:
     from .scripting import lua
+    kw = dict(trace_calls=getattr(args, "lua_trace_functions", False),
+              pedantic=getattr(args, "lua_pedantic_mode", False))
+    if getattr(args, "quiet", False):
+        kw["output"] = lambda s: None
     try:
-        lua.run_file(args.file)
+        if getattr(args, "lua_init", None):
+            # run the init script in the same interpreter, then the
+            # main script (femmcli --lua-init, main.cpp:150)
+            interp = lua.Interpreter(script_path=args.lua_init, **kw)
+            with open(args.lua_init) as f:
+                interp.run(f.read())
+            interp.script_path = args.file
+            with open(args.file) as f:
+                interp.run(f.read())
+        else:
+            lua.run_file(args.file, **kw)
     except lua.LuaError as e:
         print(f"lua error: {e}", file=sys.stderr)
         return 1
@@ -120,6 +134,15 @@ def main(argv=None) -> int:
     lp = sub.add_parser("script", help="run a FEMM Lua automation script "
                         "(femmcli --lua-script equivalent)")
     lp.add_argument("file")
+    lp.add_argument("--lua-trace-functions", action="store_true",
+                    help="print every command call (femmcli "
+                         "--lua-trace-functions, LuaInstance.cpp:128)")
+    lp.add_argument("--lua-pedantic-mode", action="store_true",
+                    help="warn on access to undefined variables")
+    lp.add_argument("--lua-init", metavar="FILE",
+                    help="run FILE in the interpreter before the script")
+    lp.add_argument("-q", "--quiet", action="store_true",
+                    help="suppress script console output")
     lp.set_defaults(fn=cmd_script)
     args = ap.parse_args(argv)
     return args.fn(args)

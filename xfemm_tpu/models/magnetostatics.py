@@ -771,7 +771,7 @@ def solve(problem: Problem, mesh: MeshData,
             tol_it = problem.Precision
         elif it == 0:
             tol_it = max(problem.Precision, 1e-4)
-        elif res < 3e4 * problem.Precision:
+        elif res < 1e3 * problem.Precision:
             tol_it = problem.Precision
         else:
             tol_it = max(problem.Precision, min(1e-4, 0.03 * res))

@@ -102,7 +102,10 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
     band_bytes = lv0.A.dense.size * lv0.A.dense.dtype.itemsize
     if lv0.Abf is not None:
         band_bytes += lv0.Abf.dense.size * 2
-    if band_bytes > 0.7 * device_hbm_bytes():
+    # 0.45: the step must coexist with the solve path's hierarchy,
+    # element data and executables; 0.7 was measured to RESOURCE_EXHAUST
+    # a 16 GB part on the 988k sym-f32 band (9.6 GB)
+    if band_bytes > 0.45 * device_hbm_bytes():
         return None
     slot_s, souter_s, kmask_s, ch_masks = session.sub_cache
     if souter_s[0] is None:

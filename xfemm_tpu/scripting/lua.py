@@ -253,11 +253,11 @@ class Parser:
         return ("fornum", var, start, stop, step, body)
 
     def parse_function_stmt(self):
-        self.expect("kw", "function")
+        t = self.expect("kw", "function")
         name = self.expect("name").value
         params, body = self.parse_funcbody()
         return ("assign", [("name", name)],
-                [("function", params, body)])
+                [("function", params, body, t.line, name)])
 
     def parse_funcbody(self):
         self.expect("op", "(")
@@ -277,7 +277,8 @@ class Parser:
         if self.accept("kw", "function"):
             name = self.expect("name").value
             params, body = self.parse_funcbody()
-            return ("localassign", [name], [("function", params, body)])
+            return ("localassign", [name],
+                    [("function", params, body, self.peek().line, name)])
         names = [self.expect("name").value]
         while self.accept("op", ","):
             names.append(self.expect("name").value)
@@ -336,7 +337,7 @@ class Parser:
         if t.kind == "kw" and t.value == "function":
             self.next()
             params, body = self.parse_funcbody()
-            return ("function", params, body)
+            return ("function", params, body, t.line)
         if t.kind == "op" and t.value == "{":
             return self.parse_table()
         return self.parse_prefixexpr()
@@ -393,10 +394,10 @@ class Parser:
                 if not self.accept("op", ")"):
                     args = self.parse_exprlist()
                     self.expect("op", ")")
-                e = ("call", e, args)
+                e = ("call", e, args, t.line)
             elif t.kind == "string":
                 self.next()
-                e = ("call", e, [("const", t.value)])
+                e = ("call", e, [("const", t.value)], t.line)
             else:
                 return e
 
@@ -414,10 +415,11 @@ class _Return(Exception):
 
 
 class LuaFunction:
-    def __init__(self, params, body, interp):
+    def __init__(self, params, body, interp, def_line: int = 0):
         self.params = params
         self.body = body
         self.interp = interp
+        self.def_line = def_line
 
     def __call__(self, *args):
         scope = dict(zip(self.params,
@@ -477,10 +479,19 @@ class Interpreter:
     """One Lua execution environment bound to the femm_compat verbs."""
 
     def __init__(self, bind_femm: bool = True,
-                 output: Callable[[str], None] | None = None):
+                 output: Callable[[str], None] | None = None,
+                 trace_calls: bool = False, pedantic: bool = False,
+                 script_path: str = "<string>"):
         self.globals: dict[str, Any] = {}
         self._locals: list[dict] = []
         self.output = output or (lambda s: print(s))
+        #: call-stack frames for trace()/--lua-trace-functions
+        #: (LuaInstance.cpp:302 luaTrace / :128 call-hook equivalents):
+        #: [name, def_line, cur_line] with "main" at the bottom
+        self.frames: list[list] = [["main", 0, 0]]
+        self.trace_calls = trace_calls
+        self.pedantic = pedantic
+        self.script_path = script_path
         self._install_stdlib()
         if bind_femm:
             self._install_femm()
@@ -491,6 +502,8 @@ class Interpreter:
             if name in scope:
                 return scope[name]
         v = self.globals.get(name)
+        if v is None and self.pedantic and not name.startswith("_"):
+            self.output(f"WARNING: access to undefined variable {name!r}")
         if v is None and "_" in name:
             # femmcli registers every verb under two spellings
             # (mi_addnode / mi_add_node, showconsole / show_console);
@@ -552,7 +565,21 @@ class Interpreter:
         g["Re"] = lambda z: z.real if isinstance(z, complex) else z
         g["Im"] = lambda z: z.imag if isinstance(z, complex) else 0.0
         g["femmVersion"] = lambda: 42.0
-        g["trace"] = lambda *a: None
+
+        def _trace(bt=None):
+            # stack backtrace like LuaInstance::luaStackInfo
+            # (LuaInstance.cpp:318): one frame by default, the full
+            # stack for trace(1)
+            frames = self.frames if (bt is not None and bt != 0) \
+                else self.frames[-1:]
+            for fr in reversed(frames):
+                name, def_line, cur_line = fr
+                label = "main" if name == "main" \
+                    else f"global Lua {name}()"
+                self.output(f"L{int(cur_line):<9d} {label} "
+                            f"[{self.script_path}:{int(def_line)}]")
+
+        g["trace"] = _trace
         # FEMM-4.2 quirk-emulation toggle (LuaInstance.h:131): the state
         # round-trips; commands with divergent 4.0/4.1 semantics are not
         # emulated (the reference likewise raises "not implemented")
@@ -725,6 +752,13 @@ class Interpreter:
             if fn is None:
                 raise LuaError(f"attempt to call a nil value "
                                f"({_exprname(e[1])})")
+            if len(e) > 3:
+                self.frames[-1][2] = e[3]     # current line of this frame
+            if self.trace_calls:
+                kind = "Lua" if isinstance(fn, LuaFunction) else "C"
+                line = e[3] if len(e) > 3 else 0
+                self.output(f"L{int(line):<9d}       call global {kind} "
+                            f"{_exprname(e[1])}() [{self.script_path}]")
             args = []
             for i, a in enumerate(e[2]):
                 v = self.eval(a, expand=(i == len(e[2]) - 1))
@@ -732,14 +766,22 @@ class Interpreter:
                     args.extend(v)
                 else:
                     args.append(v)
-            out = fn(*args)
+            if isinstance(fn, LuaFunction):
+                self.frames.append([_exprname(e[1]), fn.def_line, 0])
+                try:
+                    out = fn(*args)
+                finally:
+                    self.frames.pop()
+            else:
+                out = fn(*args)
             if isinstance(out, tuple):
                 if expand:
                     return out
                 return out[0] if out else None
             return out
         if op == "function":
-            return LuaFunction(e[1], e[2], self)
+            return LuaFunction(e[1], e[2], self,
+                               def_line=e[3] if len(e) > 3 else 0)
         if op == "table":
             t: dict = {}
             n = 1
@@ -914,4 +956,5 @@ def run_string(src: str, **kw) -> Interpreter:
 def run_file(path: str, **kw) -> Interpreter:
     with open(path) as f:
         src = f.read()
+    kw.setdefault("script_path", path)
     return run_string(src, **kw)
