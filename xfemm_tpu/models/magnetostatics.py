@@ -645,9 +645,17 @@ def _problem_fingerprint(problem: Problem):
 
 def solve(problem: Problem, mesh: MeshData,
           max_newton: int = 100, Aprev: np.ndarray | None = None,
-          devices: int | None = None, device_mesh=None
+          devices: int | None = None, device_mesh=None,
+          x0_A: np.ndarray | None = None
           ) -> MagSolution:
     """Planar nonlinear magnetostatic solve (Static2D semantics).
+
+    ``x0_A`` warm-starts the Newton loop from a previous solution's
+    nodal A (same mesh layout): the initial permeabilities come from its
+    field state and the first linear solve starts at it, which cuts the
+    Newton iteration count on consecutive rotor-sweep angles
+    (generalizing the reference's [prevsoln] machinery,
+    fsolver.cpp:202-239, to in-memory chaining).
 
     ``devices=N`` runs every linear solve of the Newton loop on an
     N-device 1-D ``jax.sharding.Mesh`` (domain-decomposition halo
@@ -752,6 +760,9 @@ def solve(problem: Problem, mesh: MeshData,
         from ..parallel.driver import DistributedSession
         dsess = DistributedSession(devices, mesh=device_mesh)
     V = np.zeros(pk.nreduced)
+    warm = x0_A is not None
+    if warm:
+        V[pk.ridx] = np.asarray(x0_A, np.float64) * pk.rsign / c
     relax = 1.0
     res = 0.0
     lastres = 0.0
@@ -819,7 +830,7 @@ def solve(problem: Problem, mesh: MeshData,
 
         Mn = np.zeros((T, 3, 3))
         be = be_static
-        if it > 0:
+        if it > 0 or (warm and nonlinear):
           with profiling.phase("newton host"):
               # element B + Newton matrices, only for the nonlinear subset
               # (static2d.cpp:691-796); linear elements keep their mu
@@ -881,7 +892,10 @@ def solve(problem: Problem, mesh: MeshData,
                       + Mn + Mxy_v12)
                 blocks = _element_blocks(pk, Me)
                 b_base = _rhs(pk, geom, be_static)
-                b = b_base
+                # warm start: the Newton source corrections from the
+                # initial field state belong in the very first RHS
+                b = b_base if not (warm and nonlinear) \
+                    else _rhs(pk, geom, be)
             else:
                 # only the nonlinear subset's matrices/sources changed
                 Me[ns] = (Mx[ns] / mu2[ns, None, None]
@@ -900,12 +914,12 @@ def solve(problem: Problem, mesh: MeshData,
             with profiling.phase("distributed solve"):
                 V, rel_resid, cg_iters = dsess.solve(
                     blocks, b, pk.fixed_mask, pk.fixed_vals, tol_it,
-                    x0=V if it > 0 else None, coords=dof_coords)
+                    x0=V if (it > 0 or warm) else None, coords=dof_coords)
         else:
             V, rel_resid, cg_iters = solver.solve(
                 blocks, b, pk.fixed_mask, pk.fixed_vals, tol_it,
-                x0=V if it > 0 else None, coords=dof_coords, session=sess,
-                changed=[nl] if nonlinear else None)
+                x0=V if (it > 0 or warm) else None, coords=dof_coords,
+                session=sess, changed=[nl] if nonlinear else None)
         V = np.asarray(V)
         iters_total += int(cg_iters)
 
