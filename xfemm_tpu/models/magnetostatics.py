@@ -675,8 +675,15 @@ def solve(problem: Problem, mesh: MeshData,
     ckey = (id(problem), id(mesh))
     fp = _problem_fingerprint(problem)
     hit = _PACK_CACHE.get(ckey)
+    # ``extra`` carries cross-solve solver state for the SAME problem
+    # values: the solver Session (CSR pattern, frozen linear-part
+    # values, band hierarchy + blocktri factor) and the initial-mu
+    # element blocks of iteration 0 -- a rotor-sweep/repeat solve then
+    # skips ~1 s of host reassembly per solve
+    extra: dict = {}
     if fp is not None and hit is not None and hit[0] == fp:
         pk, geom, Mx, My, Mxy = hit[1]
+        extra = hit[2]
         _PACK_CACHE.move_to_end(ckey)
     else:
         with profiling.phase("pack"):
@@ -690,7 +697,7 @@ def solve(problem: Problem, mesh: MeshData,
         # first repeat solve would always repack
         fp2 = _problem_fingerprint(problem)
         if fp2 is not None:
-            _PACK_CACHE[ckey] = (fp2, (pk, geom, Mx, My, Mxy))
+            _PACK_CACHE[ckey] = (fp2, (pk, geom, Mx, My, Mxy), extra)
             while len(_PACK_CACHE) > _PACK_CACHE_MAX:
                 _PACK_CACHE.popitem(last=False)
 
@@ -754,7 +761,13 @@ def solve(problem: Problem, mesh: MeshData,
     dof_coords = np.zeros((pk.nreduced, 2))
     dof_coords[pk.ridx] = pk.xy
 
-    sess = solver.Session()
+    # session reuse is only valid for the same device dtype (tests flip
+    # device_f64_ok; a cached f64 hierarchy must not serve an f32 run)
+    _skey = ("sess", bool(solver.device_f64_ok()))
+    sess = extra.get(_skey)
+    if sess is None:
+        sess = solver.Session()
+        extra[_skey] = sess
     dsess = None
     if devices:
         from ..parallel.driver import DistributedSession
@@ -769,7 +782,10 @@ def solve(problem: Problem, mesh: MeshData,
     iters_total = 0
     rel_resid = 0.0
 
-    dev_state = None   # (DeviceNewton, has_lam, dense) once eligible
+    _NEWTON_DEBUG = bool(os.environ.get("XFEMM_TPU_NEWTON_DEBUG"))
+    dev_state = None   # (DeviceNewton, has_lam) once eligible
+    dev_runs = 0       # fused device-Newton dispatches taken
+    it_shift = 0       # extra global iterations from device runs
     for it in range(max_newton if nonlinear else 1):
         # inexact-Newton forcing: far from the root the linear solve
         # only needs to out-resolve the current Newton error, so early
@@ -787,9 +803,13 @@ def solve(problem: Problem, mesh: MeshData,
         else:
             tol_it = max(problem.Precision, min(1e-4, 0.03 * res))
 
-        # intermediate iterations run entirely on device (ops/newton.py)
-        # when eligible: no host assembly, one dispatch per iteration
-        if (dev_state is not None and it > 0
+        # the Newton middle and tail run entirely on device in ONE
+        # dispatch (ops/newton.py::run): element update, operator
+        # refresh, bt-preconditioned CG, and the adaptive relaxation,
+        # looping until the displacement is below the acceptance
+        # threshold (or stalls). Only the accepting pass at the full
+        # contract Precision runs on host afterwards.
+        if (dev_state is not None and it > 0 and dev_runs < 2
                 and tol_it > problem.Precision
                 and sess.band_amg is not None):
             from ..ops import newton as newton_dev
@@ -801,31 +821,44 @@ def solve(problem: Problem, mesh: MeshData,
                 # around the returned refreshed buffers afterwards
                 amg_rest, dense, _abf = newton_dev.strip_fine_band(
                     sess.band_amg)
-                Vd, dense, abf, dvec, cgit, _rr = newton_dev.step(
-                    dn, amg_rest, dense,
-                    jnp.asarray(V, jnp.float32),
-                    jnp.asarray(tol_it, jnp.float32), has_lam=has_lam)
+                Vd, dense, dvec, relax_d, res_d, lastres_d, ksteps, \
+                    cgit = newton_dev.run(
+                        dn, amg_rest, dense,
+                        jnp.asarray(V, jnp.float32),
+                        jnp.asarray(relax, jnp.float32),
+                        jnp.asarray(res, jnp.float32),
+                        jnp.asarray(lastres, jnp.float32),
+                        jnp.asarray(it + it_shift, jnp.int32),
+                        jnp.asarray(max(problem.Precision, 3e-7),
+                                    jnp.float32),
+                        jnp.asarray(90.0 * problem.Precision,
+                                    jnp.float32),
+                        bt=sess.bt, has_lam=has_lam)
                 sess.band_amg = newton_dev.rebuild_band_amg(
-                    amg_rest, dense, abf, dvec)
+                    amg_rest, dense, None, dvec)
                 if sess.band_ckey is not None \
                         and sess.band_ckey in solver_mod._BAND_CACHE:
                     solver_mod._BAND_CACHE[sess.band_ckey]["band_amg"] = \
                         sess.band_amg
-                V_old = V
                 V = np.asarray(Vd, np.float64)
             iters_total += int(cgit)
-            num = float(np.sum((V - V_old) ** 2))
-            den = float(np.sum(V ** 2))
-            if den == 0:
+            dev_runs += 1
+            steps = int(ksteps)
+            it_shift += max(steps - 1, 0)
+            # a collapsed relax reflects the device loop's f32 noise
+            # floor, not the true Newton map; entering the host endgame
+            # over-damped makes it crawl. 0.5 is the optimal damping
+            # for the oscillatory tail mode, and the host rule re-adapts
+            # from there.
+            relax = max(float(relax_d), 0.5)
+            lastres = float(lastres_d)
+            res = float(res_d)
+            if _NEWTON_DEBUG:
+                print(f"newton it={it}(+{steps}) devrun "
+                      f"res={res:.3e} cg={int(cgit)} relax={relax:.3f}",
+                      flush=True)
+            if res == 0.0:
                 break
-            lastres = res
-            res = math.sqrt(num / den)
-            if it > 5:
-                if res > lastres and relax > 0.125:
-                    relax /= 2.0
-                else:
-                    relax += 0.1 * (1.0 - relax)
-                V = relax * V + (1.0 - relax) * V_old
             continue
 
         Mn = np.zeros((T, 3, 3))
@@ -888,10 +921,21 @@ def solve(problem: Problem, mesh: MeshData,
 
         with profiling.phase("element matrices"):
             if it == 0:
-                Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None]
-                      + Mn + Mxy_v12)
-                blocks = _element_blocks(pk, Me)
-                b_base = _rhs(pk, geom, be_static)
+                # initial-mu blocks are identical across repeat solves
+                # of the same problem values (no warm Newton sources, no
+                # previous-solution permeability): reuse them
+                it0_cacheable = Aprev is None and not (warm and nonlinear)
+                it0_hit = extra.get("it0") if it0_cacheable else None
+                if it0_hit is not None:
+                    Me0, blocks, b_base = it0_hit
+                    Me = Me0.copy()
+                else:
+                    Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None]
+                          + Mn + Mxy_v12)
+                    blocks = _element_blocks(pk, Me)
+                    b_base = _rhs(pk, geom, be_static)
+                    if it0_cacheable:
+                        extra["it0"] = (Me.copy(), blocks, b_base)
                 # warm start: the Newton source corrections from the
                 # initial field state belong in the very first RHS
                 b = b_base if not (warm and nonlinear) \
@@ -931,7 +975,11 @@ def solve(problem: Problem, mesh: MeshData,
             break
         lastres = res
         res = math.sqrt(num / den)
-        if it > 5:
+        if _NEWTON_DEBUG:
+            print(f"newton it={it} host tol={tol_it:.2e} "
+                  f"res={res:.3e} cg={int(cg_iters)} relax={relax:.3f}",
+                  flush=True)
+        if it + it_shift > 5:
             if res > lastres and relax > 0.125:
                 relax /= 2.0
             else:
@@ -947,7 +995,12 @@ def solve(problem: Problem, mesh: MeshData,
                 and dsess is None
                 and not os.environ.get("XFEMM_TPU_NO_DEVICE_NEWTON")):
             from ..ops import newton as newton_dev
-            made = newton_dev.setup(pk, geom, Mx, My, sess, b_base, c)
+            _dkey = ("dn", bool(solver.device_f64_ok()))
+            made = extra.get(_dkey)
+            if made is None:
+                made = newton_dev.setup(pk, geom, Mx, My, sess, b_base, c)
+                if made is not None:
+                    extra[_dkey] = made
             if made is not None:
                 dev_state = (made[0], made[1])
 

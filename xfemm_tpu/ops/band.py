@@ -705,7 +705,7 @@ def band_csym_pcg(amg: BandAMG, Aop: BandMatrix, Ai: BandMatrix, br, bi,
 
 @functools.partial(__import__("jax").jit, static_argnames=("m",))
 def band_csym_fgmres(amg: BandAMG, Aop: BandMatrix, Ai: BandMatrix,
-                     br, bi, m: int = 24):
+                     br, bi, m: int = 24, bt=None):
     """One complex GMRES(m) cycle for (Ar + i Ai) x = b, right-
     preconditioned by the shifted-real band-AMG V-cycle, expressed in
     (re, im) float32 pairs. GMRES minimizes the residual monotonically,
@@ -713,7 +713,11 @@ def band_csym_fgmres(amg: BandAMG, Aop: BandMatrix, Ai: BandMatrix,
     bilinear form has no positivity; per-pass contraction was erratic
     on eddy-current systems). The small (m+1) x m Hessenberg least-
     squares runs in complex on device -- complex values never cross the
-    host boundary."""
+    host boundary.
+
+    ``bt`` (optional): a block-tridiagonal factorization of the SAME
+    shifted real matrix (ops/blocktri.py) -- a much stronger
+    preconditioner than the V-cycle, applied to re/im separately."""
     import jax
     import jax.numpy as jnp
 
@@ -737,8 +741,13 @@ def band_csym_fgmres(amg: BandAMG, Aop: BandMatrix, Ai: BandMatrix,
 
     def body(j, carry):
         Vr, Vi, Zr, Zi, Hr, Hi = carry
-        zr = band_vcycle(amg, Vr[j])
-        zi = band_vcycle(amg, Vi[j])
+        if bt is None:
+            zr = band_vcycle(amg, Vr[j])
+            zi = band_vcycle(amg, Vi[j])
+        else:
+            from .blocktri import bt_apply
+            zr = bt_apply(bt, Vr[j])
+            zi = bt_apply(bt, Vi[j])
         wr, wi = opc(zr, zi)
         mask = jnp.arange(m + 1) <= j
         # Hermitian Gram-Schmidt <v, w> = sum(conj(v) w), two passes,

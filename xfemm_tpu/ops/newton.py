@@ -107,6 +107,15 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
     # a 16 GB part on the 988k sym-f32 band (9.6 GB)
     if band_bytes > 0.45 * device_hbm_bytes():
         return None
+    if session.bt is not None and lv0.Abf is not None:
+        # the blocktri factor replaces the V-cycle, whose smoother is
+        # the only consumer of the bf16 band copy -- drop it so the
+        # step skips the ~GB astype rewrite every iteration
+        session.band_amg = BandAMG(
+            levels=(lv0._replace(Abf=None),)
+            + session.band_amg.levels[1:],
+            coarse_inv=session.band_amg.coarse_inv,
+            n=session.band_amg.n)
     slot_s, souter_s, kmask_s, ch_masks = session.sub_cache
     if souter_s[0] is None:
         return None
@@ -283,7 +292,7 @@ def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
 
 @functools.partial(jax.jit, static_argnames=("inner_iter", "has_lam"),
                    donate_argnums=(2,))
-def step(dn: DeviceNewton, amg: BandAMG, dense, V, tol,
+def step(dn: DeviceNewton, amg: BandAMG, dense, V, tol, bt=None,
          inner_iter: int = 400, has_lam: bool = False):
     """One Newton iteration on device: element update, operator refresh,
     band-AMG PCG to ``tol`` (host stopping metric: Jacobi-weighted
@@ -327,10 +336,122 @@ def step(dn: DeviceNewton, amg: BandAMG, dense, V, tol,
         tol * jnp.sqrt(res0_sys / jnp.maximum(res_cur, 1e-30)),
         1e-6, 0.5)
     scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-30)
-    d_p, rel, its = band_mod.band_pcg(
-        amg_new, r / scale, tol_eff.astype(jnp.float32),
-        jnp.zeros(n, jnp.float32), inner_iter)
+    if bt is None:
+        d_p, rel, its = band_mod.band_pcg(
+            amg_new, r / scale, tol_eff.astype(jnp.float32),
+            jnp.zeros(n, jnp.float32), inner_iter)
+    else:
+        # frozen block-tridiagonal factor as the CG preconditioner
+        # (ops/blocktri.py): near-exact, so intermediate Newton solves
+        # converge in a handful of iterations even as mu drifts
+        from . import blocktri as bt_mod
+        d_p, rel, its = bt_mod.bt_pcg(
+            lvn.A, lvn.dvec, lvn.invd, bt, r / scale,
+            tol_eff.astype(jnp.float32), jnp.zeros(n, jnp.float32),
+            inner_iter)
     V_new = V + (scale * d_p)[dn.iperm]
     lv_new = amg_new.levels[0]
     abf_new = None if lv_new.Abf is None else lv_new.Abf.dense
     return V_new, lv_new.A.dense, abf_new, lv_new.dvec, its, rel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("inner_iter", "has_lam", "max_steps"),
+                   donate_argnums=(2,))
+def run(dn: DeviceNewton, amg: BandAMG, dense, V, relax, res, lastres,
+        base_it, tol_floor, target_res, bt=None, inner_iter: int = 400,
+        has_lam: bool = False, max_steps: int = 30):
+    """Run the Newton MIDDLE AND TAIL in ONE device dispatch.
+
+    ``step`` pays a host round-trip per Newton iteration; on a remote
+    (tunneled) TPU that round-trip dwarfs the device work, so this
+    kernel moves the whole loop into a ``lax.while_loop``: element
+    update -> operator refresh -> bt-preconditioned CG -> adaptive
+    relaxation (the EXACT rule of static2d.cpp:974-989, which is what
+    converges the oscillatory Newton tail) -> convergence/stall test.
+    The accepting pass at the full contract Precision still runs on
+    host afterwards, so the reference's convergence guarantee is
+    checked in f64 exactly as before.
+
+    State handoff matches the host loop: ``relax/res/lastres`` enter
+    with the host's current values and leave with the device loop's;
+    ``base_it`` is the host's global iteration number (the relaxation
+    rule activates past global iteration 5).
+
+    Returns ``(V, dense, dvec, relax, res, lastres, steps, cg_total)``.
+    """
+    n = V.shape[0]
+    lv0 = amg.levels[0]
+    f32 = jnp.float32
+
+    def body(carry):
+        (V, dense, dvec, relax, res, lastres, k, cg_tot, best,
+         since) = carry
+        amg_cur = BandAMG(
+            levels=(BandLevel(A=BandMatrix(dense, lv0.A.shift0,
+                                           lv0.A.cchunk, lv0.A.ncols),
+                              invd=lv0.invd, omega=lv0.omega, P=lv0.P,
+                              Abf=None, dvec=dvec),)
+            + amg.levels[1:],
+            coarse_inv=amg.coarse_inv, n=amg.n)
+        Vl, Me, Mn = _newton_elements(dn, V, has_lam)
+        amg_new = _refresh_operator(dn, amg_cur, Me)
+        dbe = jnp.einsum("tjk,tk->tj", Mn, Vl)
+        b = dn.rhs_base.at[dn.scat_idx].add(dn.scat_w * dbe.reshape(-1))
+        lvn = amg_new.levels[0]
+        bp = b[dn.perm]
+        r = bp - band_mod.band_apply(lvn.A, lvn.dvec, V[dn.perm])
+        # per-step inexact forcing (the host schedule's 0.03*res), then
+        # the same current-residual-relative conversion as ``step``
+        tol_k = jnp.clip(0.03 * res, tol_floor, 1e-4)
+        invd = lvn.invd
+        res0_sys = jnp.dot(invd * bp, bp)
+        res_cur = jnp.dot(invd * r, r)
+        tol_eff = jnp.clip(
+            tol_k * jnp.sqrt(res0_sys / jnp.maximum(res_cur, 1e-30)),
+            1e-7, 0.5)
+        scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-30)
+        if bt is None:
+            d_p, _rel, its = band_mod.band_pcg(
+                amg_new, r / scale, tol_eff.astype(f32),
+                jnp.zeros(n, f32), inner_iter)
+        else:
+            from . import blocktri as bt_mod
+            d_p, _rel, its = bt_mod.bt_pcg(
+                lvn.A, lvn.dvec, lvn.invd, bt, r / scale,
+                tol_eff.astype(f32), jnp.zeros(n, f32), inner_iter)
+        V_new = V + (scale * d_p)[dn.iperm]
+        num = jnp.linalg.norm(V_new - V)
+        den = jnp.maximum(jnp.linalg.norm(V_new), 1e-30)
+        res_new = num / den
+        # adaptive relaxation, static2d.cpp:974-989 semantics (host
+        # parity: compare against the PREVIOUS residual, activate past
+        # global iteration 5, mix AFTER measuring)
+        glob = base_it + k
+        active = glob > 5
+        worse = jnp.logical_and(res_new > res, relax > 0.125)
+        relax_new = jnp.where(
+            active,
+            jnp.where(worse, relax * 0.5, relax + 0.1 * (1.0 - relax)),
+            relax)
+        V_out = jnp.where(active, relax_new * V_new
+                          + (1.0 - relax_new) * V, V_new)
+        improved = res_new < 0.95 * best
+        best_new = jnp.minimum(best, res_new)
+        since_new = jnp.where(improved, 0, since + 1)
+        return (V_out, lvn.A.dense, lvn.dvec, relax_new, res_new, res,
+                k + 1, cg_tot + its, best_new, since_new)
+
+    def cond(carry):
+        (_, _, _, _, res, _, k, _, _, since) = carry
+        return jnp.logical_and(
+            res > target_res,
+            jnp.logical_and(k < max_steps, since < 3))
+
+    carry0 = (V, dense, lv0.dvec, relax.astype(f32), res.astype(f32),
+              lastres.astype(f32), jnp.array(0, jnp.int32),
+              jnp.array(0, jnp.int32), jnp.asarray(res, f32),
+              jnp.array(0, jnp.int32))
+    (V, dense, dvec, relax, res, lastres, k, cg_tot, _, _) = \
+        jax.lax.while_loop(cond, body, carry0)
+    return V, dense, dvec, relax, res, lastres, k, cg_tot

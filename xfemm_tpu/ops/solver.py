@@ -321,6 +321,13 @@ class Session:
         self.band_disabled = False  # runtime fallback latch (indefinite
                                     # Newton systems defeat the V-cycle)
         self.band_ckey = None
+        # block-tridiagonal factorization (ops/blocktri.py): a frozen
+        # near-exact preconditioner used INSTEAD of the V-cycle when the
+        # RCM bandwidth and HBM budget allow; staleness refactors it
+        # on device without rebuilding the hierarchy
+        self.bt = None           # BTFactor
+        self.bt_maps = None      # BTDeviceMaps
+        self.bt_shape = None     # (b, NB)
         # nonlinear-subset incremental assembly (csr_values(changed=...))
         self.vals_static = None
         self.sub_cache = None
@@ -734,14 +741,31 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
                 shape=(n, n))
             Ash = (Ar + sp.diags(np.abs(Ap.diagonal().imag))).tocsr()
             Ash.sum_duplicates()
-            if (_band_bytes_estimate(Ash, band_mod.ROW_TILE)
-                    <= 0.31 * device_hbm_bytes()):
+            est_ac = _band_bytes_estimate(Ash, band_mod.ROW_TILE)
+            if est_ac <= 0.31 * device_hbm_bytes():
                 with profiling.phase("band amg setup (ac)"):
                     amg, lay = band_mod.setup_band_amg(Ash)
                 opl = band_mod.pack_band_layout(
                     Ar, band_mod.ROW_TILE, band_mod.ROW_TILE)
                 band_ent = {"perm": perm, "iperm": iperm, "amg": amg,
                             "lay": lay, "oplay": opl}
+                # block-tridiagonal factor of the SHIFTED real matrix:
+                # the strongest preconditioner for K + iwM the engine
+                # has (see blocktri.py); HBM gate counts the two
+                # operator bands plus the factor and its fill transient
+                from . import blocktri as bt_mod
+                bwc = bt_mod.bandwidth(Ash)
+                bsize = bt_mod.pick_block(bwc)
+                if bsize is not None:
+                    fb = bt_mod.factor_bytes(n, bsize)
+                    if 3 * est_ac + 2 * fb <= 0.72 * device_hbm_bytes():
+                        with profiling.phase("bt factor (ac)"):
+                            blay = bt_mod.pack_layout(Ash, bsize)
+                            band_ent["bt_maps"] = bt_mod.device_maps(blay)
+                            band_ent["bt_shape"] = (bsize, blay.NB)
+                            band_ent["bt"] = bt_mod.build_factor(
+                                band_ent["bt_maps"], Ash.data, b=bsize,
+                                NB=blay.NB)
             _CBAND_CACHE[ckey] = band_ent       # None = too big, skip
             while len(_CBAND_CACHE) > _BAND_CACHE_MAX:
                 _CBAND_CACHE.popitem(last=False)
@@ -760,6 +784,16 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
             band_ent["amg"] = band_mod.update_fine_values(
                 band_ent["amg"], band_ent["lay"],
                 np.ascontiguousarray(shifted.data))
+            if band_ent.get("bt") is not None:
+                # the factor is exact for the current values: refactor
+                # on every adoption (one fused device dispatch)
+                from . import blocktri as bt_mod
+                bsize, NBc = band_ent["bt_shape"]
+                with profiling.phase("bt refactor (ac)"):
+                    band_ent["bt"] = bt_mod.build_factor(
+                        band_ent["bt_maps"],
+                        np.ascontiguousarray(shifted.data),
+                        b=bsize, NB=NBc)
         if band_ent is not None:
             band_ent["Aop"] = band_mod.fill_band_device(
                 band_ent["oplay"], np.ascontiguousarray(Ap.data.real),
@@ -805,7 +839,8 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
             dr, di, rr, it = band_mod.band_csym_fgmres(
                 band_ent["amg"], band_ent["Aop"], band_ent["Ai"],
                 jnp.asarray(rs.real, jnp.float32),
-                jnp.asarray(rs.imag, jnp.float32), m=24)
+                jnp.asarray(rs.imag, jnp.float32), m=24,
+                bt=band_ent.get("bt"))
             d_h = (np.asarray(dr, np.float64)
                    + 1j * np.asarray(di, np.float64))[band_ent["iperm"]]
         elif use_pairs:
@@ -834,6 +869,12 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
         l2_old = float(np.linalg.norm(r))
         l2_new = float(np.linalg.norm(new_r))
         if l2_new >= l2_old * 0.9:
+            if band_ent is not None and band_ent.get("bt") is not None \
+                    and new_metric > max(100.0 * tol, 1e-4):
+                # blocktri factor not contracting: drop it, retry with
+                # the V-cycle before abandoning the band engine
+                band_ent["bt"] = None
+                continue
             if band_ent is not None and new_metric > max(100.0 * tol, 1e-4):
                 # the shifted-real V-cycle is not contracting on this
                 # operator: latch the band engine off for this pattern,
@@ -943,6 +984,9 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 session.band_layout = cached["band_layout"]
                 session.band_data_map = cached["band_data_map"]
                 session.band_flat_idx = cached["band_flat_idx"]
+                session.bt = cached.get("bt")
+                session.bt_maps = cached.get("bt_maps")
+                session.bt_shape = cached.get("bt_shape")
                 session.first_iters = None
         else:
             ckey = None
@@ -959,7 +1003,35 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                       and session.last_iters
                       > session.refresh_factor
                       * max(session.first_iters, 1))
-        if session.band_amg is None or band_stale:
+        if session.band_amg is not None and band_stale \
+                and session.bt is not None:
+            # staleness with an active block-tridiagonal factor: only
+            # the FACTOR is stale (the fine operator refreshes exactly
+            # every call) -- refactor on device from the new values, no
+            # hierarchy rebuild
+            from . import blocktri as bt_mod
+            Ap_data = _permuted_data(At, session.band_data_map)
+            with profiling.phase("band update"):
+                if session.band_flat_idx is None:
+                    tile, rloc, wloc, shift0, NT, R, W = \
+                        session.band_layout[:7]
+                    session.band_flat_idx = (
+                        jnp.asarray((tile * R + rloc).astype(np.int32)),
+                        jnp.asarray(wloc.astype(np.int32)))
+                session.band_amg = band_mod.update_fine_values(
+                    session.band_amg, session.band_layout, Ap_data,
+                    session.band_flat_idx)
+            with profiling.phase("bt refactor"):
+                bsize, NB = session.bt_shape
+                session.bt = bt_mod.build_factor(
+                    session.bt_maps, Ap_data, b=bsize, NB=NB)
+            session.first_iters = None
+            if session.band_ckey is not None \
+                    and session.band_ckey in _BAND_CACHE:
+                _BAND_CACHE[session.band_ckey]["band_amg"] = \
+                    session.band_amg
+                _BAND_CACHE[session.band_ckey]["bt"] = session.bt
+        elif session.band_amg is None or band_stale:
             # (re)build the hierarchy. Newton changes the operator; the
             # frozen coarse correction eventually mismatches it enough
             # that the V-cycle stops being a convergent preconditioner
@@ -993,6 +1065,23 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
                     session.first_iters = None
+                # block-tridiagonal factor: bandwidth- and HBM-gated.
+                # The factor (Sinv + G) plus its fill transient (D + L)
+                # must coexist with the band hierarchy.
+                from . import blocktri as bt_mod
+                session.bt = None
+                bw = bt_mod.bandwidth(Ap)
+                bsize = bt_mod.pick_block(bw)
+                if bsize is not None:
+                    fb = bt_mod.factor_bytes(n, bsize)
+                    if est_bytes + 2 * fb <= 0.72 * hbm:
+                        with profiling.phase("bt factor"):
+                            lay = bt_mod.pack_layout(Ap, bsize)
+                            session.bt_maps = bt_mod.device_maps(lay)
+                            session.bt_shape = (bsize, lay.NB)
+                            session.bt = bt_mod.build_factor(
+                                session.bt_maps, Ap.data, b=bsize,
+                                NB=lay.NB)
                 if ckey is None:
                     ckey = _band_cache_key(At, fixed)
                 session.band_ckey = ckey
@@ -1002,6 +1091,9 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     "band_layout": session.band_layout,
                     "band_data_map": session.band_data_map,
                     "band_flat_idx": session.band_flat_idx,
+                    "bt": session.bt,
+                    "bt_maps": session.bt_maps,
+                    "bt_shape": session.bt_shape,
                 }
                 _BAND_CACHE.move_to_end(ckey)
                 while len(_BAND_CACHE) > _BAND_CACHE_MAX:
@@ -1099,10 +1191,18 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     # floor is the reliable single-pass f32 contraction
                     tol_pass = min(0.5, max(0.5 * tol / min(metric, 1.0),
                                             1e-6))
-                    d_d, rr, it = band_mod.band_pcg(
-                        session.band_amg, r_d,
-                        jnp.asarray(tol_pass, dev_dtype),
-                        jnp.zeros(n, dev_dtype), int(inner_iter))
+                    if session.bt is not None:
+                        from . import blocktri as bt_mod
+                        lv0 = session.band_amg.levels[0]
+                        d_d, rr, it = bt_mod.bt_pcg(
+                            lv0.A, lv0.dvec, lv0.invd, session.bt, r_d,
+                            jnp.asarray(tol_pass, dev_dtype),
+                            jnp.zeros(n, dev_dtype), int(inner_iter))
+                    else:
+                        d_d, rr, it = band_mod.band_pcg(
+                            session.band_amg, r_d,
+                            jnp.asarray(tol_pass, dev_dtype),
+                            jnp.zeros(n, dev_dtype), int(inner_iter))
                 d_d.block_until_ready()
             total_it += int(it)
             if session.first_iters is None:
@@ -1115,6 +1215,17 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             if new_metric >= metric * 0.9:
                 if new_metric < best[1]:
                     best = (x.copy(), new_metric)
+                if session.bt is not None \
+                        and new_metric > max(100.0 * tol, 1e-4):
+                    # the frozen block-tridiagonal factor is not
+                    # contracting (operator drifted or factorization
+                    # degenerated): drop it and retry with the V-cycle
+                    # before giving up on the band engine
+                    session.bt = None
+                    if session.band_ckey is not None \
+                            and session.band_ckey in _BAND_CACHE:
+                        _BAND_CACHE[session.band_ckey]["bt"] = None
+                    continue
                 if new_metric > max(100.0 * tol, 1e-4):
                     # the band V-cycle is not contracting on this
                     # operator (e.g. an indefinite Newton system, where
