@@ -783,9 +783,19 @@ def solve(problem: Problem, mesh: MeshData,
     rel_resid = 0.0
 
     _NEWTON_DEBUG = bool(os.environ.get("XFEMM_TPU_NEWTON_DEBUG"))
+    Me = None          # element matrices, built on the first host pass
+    dev_handoff = False  # next host pass follows a device run
     dev_state = None   # (DeviceNewton, has_lam) once eligible
     dev_runs = 0       # fused device-Newton dispatches taken
     it_shift = 0       # extra global iterations from device runs
+    # repeat solve of a cached session: the DeviceNewton state and band
+    # hierarchy already exist, so the fused device loop can start at
+    # iteration 0 (skipping the host initial-mu solve entirely)
+    if (nonlinear and dsess is None
+            and not os.environ.get("XFEMM_TPU_NO_DEVICE_NEWTON")):
+        made = extra.get(("dn", bool(solver.device_f64_ok())))
+        if made is not None and sess.band_amg is not None:
+            dev_state = (made[0], made[1])
     for it in range(max_newton if nonlinear else 1):
         # inexact-Newton forcing: far from the root the linear solve
         # only needs to out-resolve the current Newton error, so early
@@ -800,6 +810,11 @@ def solve(problem: Problem, mesh: MeshData,
             tol_it = max(problem.Precision, 1e-4)
         elif res < 1e3 * problem.Precision:
             tol_it = problem.Precision
+        elif dev_handoff and res < 3e-5:
+            # the device loop exits at its f32 displacement floor
+            # (~1e-5); a second device run cannot improve on it, so go
+            # straight to the full-precision host endgame
+            tol_it = problem.Precision
         else:
             tol_it = max(problem.Precision, min(1e-4, 0.03 * res))
 
@@ -809,7 +824,7 @@ def solve(problem: Problem, mesh: MeshData,
         # looping until the displacement is below the acceptance
         # threshold (or stalls). Only the accepting pass at the full
         # contract Precision runs on host afterwards.
-        if (dev_state is not None and it > 0 and dev_runs < 2
+        if (dev_state is not None and dev_runs < 2
                 and tol_it > problem.Precision
                 and sess.band_amg is not None):
             from ..ops import newton as newton_dev
@@ -821,12 +836,16 @@ def solve(problem: Problem, mesh: MeshData,
                 # around the returned refreshed buffers afterwards
                 amg_rest, dense, _abf = newton_dev.strip_fine_band(
                     sess.band_amg)
+                # at iteration 0 no Newton displacement exists yet; the
+                # unit sentinel makes the loop run and reproduces the
+                # host's initial 1e-4 forcing tolerance
+                res_in = res if it > 0 else 1.0
                 Vd, dense, dvec, relax_d, res_d, lastres_d, ksteps, \
                     cgit = newton_dev.run(
                         dn, amg_rest, dense,
                         jnp.asarray(V, jnp.float32),
                         jnp.asarray(relax, jnp.float32),
-                        jnp.asarray(res, jnp.float32),
+                        jnp.asarray(res_in, jnp.float32),
                         jnp.asarray(lastres, jnp.float32),
                         jnp.asarray(it + it_shift, jnp.int32),
                         jnp.asarray(max(problem.Precision, 3e-7),
@@ -853,6 +872,10 @@ def solve(problem: Problem, mesh: MeshData,
             relax = max(float(relax_d), 0.5)
             lastres = float(lastres_d)
             res = float(res_d)
+            # the device residuals are f32-floor values; comparing the
+            # next host f64 displacement against them would trip the
+            # oscillation guard spuriously
+            dev_handoff = True
             if _NEWTON_DEBUG:
                 print(f"newton it={it}(+{steps}) devrun "
                       f"res={res:.3e} cg={int(cgit)} relax={relax:.3f}",
@@ -920,7 +943,11 @@ def solve(problem: Problem, mesh: MeshData,
               be[ns] += np.einsum("tjk,tk->tj", Mns, Vl)
 
         with profiling.phase("element matrices"):
-            if it == 0:
+            fresh_full = False
+            if Me is None:
+                # first host pass of this solve. When the fused device
+                # loop covered iteration 0 (repeat/warm solves), this
+                # runs at it > 0 with the CURRENT mu/Mn state.
                 # initial-mu blocks are identical across repeat solves
                 # of the same problem values (no warm Newton sources, no
                 # previous-solution permeability): reuse them
@@ -934,18 +961,23 @@ def solve(problem: Problem, mesh: MeshData,
                           + Mn + Mxy_v12)
                     blocks = _element_blocks(pk, Me)
                     b_base = _rhs(pk, geom, be_static)
-                    if it0_cacheable:
+                    # the full build above already holds the current
+                    # mu/Mn, so the subset refresh below is redundant
+                    fresh_full = it > 0
+                    if it0_cacheable and it == 0:
                         extra["it0"] = (Me.copy(), blocks, b_base)
+            if it == 0:
                 # warm start: the Newton source corrections from the
                 # initial field state belong in the very first RHS
                 b = b_base if not (warm and nonlinear) \
                     else _rhs(pk, geom, be)
             else:
                 # only the nonlinear subset's matrices/sources changed
-                Me[ns] = (Mx[ns] / mu2[ns, None, None]
-                          + My[ns] / mu1[ns, None, None] + Mn[ns])
-                if isinstance(Mxy_v12, np.ndarray):
-                    Me[ns] += Mxy_v12[ns]
+                if not fresh_full:
+                    Me[ns] = (Mx[ns] / mu2[ns, None, None]
+                              + My[ns] / mu1[ns, None, None] + Mn[ns])
+                    if isinstance(Mxy_v12, np.ndarray):
+                        Me[ns] += Mxy_v12[ns]
                 blocks = _element_blocks(pk, Me)
                 b = b_base.copy()
                 dbe = be[ns] - be_static[ns]
@@ -980,11 +1012,16 @@ def solve(problem: Problem, mesh: MeshData,
                   f"res={res:.3e} cg={int(cg_iters)} relax={relax:.3f}",
                   flush=True)
         if it + it_shift > 5:
-            if res > lastres and relax > 0.125:
+            if res > lastres and relax > 0.125 and not dev_handoff:
                 relax /= 2.0
+            elif res < 3e-5:
+                # near the root an improving Newton step converges
+                # quadratically undamped; mixing only slows the tail
+                relax = 1.0
             else:
                 relax += 0.1 * (1.0 - relax)
             V = relax * V + (1.0 - relax) * V_old
+        dev_handoff = False
         if (res < 100.0 * problem.Precision and it > 0
                 and tol_it <= problem.Precision):
             break

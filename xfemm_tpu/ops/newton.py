@@ -72,6 +72,19 @@ class DeviceNewton(NamedTuple):
     scat_w: jnp.ndarray          # (S*3,) -sign * keep
     # traced scalars
     c: jnp.ndarray
+    # subset-only band refresh (the nonlinear elements touch only a
+    # small fraction of CSR slots -- 7% on the headline problem -- so
+    # the per-step dense scatter shrinks accordingly). ``None`` falls
+    # back to the full-band rewrite.
+    sub_rank: jnp.ndarray | None = None     # (S*9,) rank in sub slots
+    sub_zero: jnp.ndarray | None = None     # (nsub,) zeros template
+    band_sub_rows: jnp.ndarray | None = None  # (J,) flat band row
+    band_sub_cols: jnp.ndarray | None = None  # (J,) band col window
+    band_sub_rank: jnp.ndarray | None = None  # (J,) rank into contrib
+    band_sub_static: jnp.ndarray | None = None  # (J,) frozen part
+    dvec_rows: jnp.ndarray | None = None    # (Jd,) changed diag rows
+    dvec_rank: jnp.ndarray | None = None
+    dvec_static: jnp.ndarray | None = None
 
 
 def setup(pk, geom, Mx, My, session, b_base, c: float):
@@ -143,6 +156,33 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
     slot, indptr, indices, nnz, diag_slots = session.pattern
     lts = pk.lam_type[ns]
     perm, iperm = session.perm
+
+    # subset-only refresh maps: which band positions can ever change
+    sub_pos = np.unique(slot_s)
+    sub_rank = np.searchsorted(sub_pos, slot_s).astype(np.int32)
+    final_src = session.band_data_map if upper_sel is None \
+        else session.band_data_map[upper_sel]
+    fixed_diag = diag_slots[fixed]
+    in_sub = np.isin(final_src, sub_pos)
+    if fixed_diag.size:
+        # unit rows are constant 1.0 from the initial build (kmask
+        # zeroes their contributions): never rewrite them
+        in_sub &= ~np.isin(final_src, fixed_diag)
+    j_sub = np.nonzero(in_sub)[0].astype(np.int64)
+    j_src = final_src[j_sub]
+    band_rows_h = (tile * R + rloc).astype(np.int64)
+    band_sub_static = session.vals_static[j_src].astype(f32)
+    band_sub_rank = np.searchsorted(sub_pos, j_src).astype(np.int32)
+    dvec_rows = dvec_rank = dvec_static = None
+    if diag_pos is not None:
+        diag_src = final_src[diag_pos]
+        dsel = np.isin(diag_src, sub_pos)
+        if fixed_diag.size:
+            dsel &= ~np.isin(diag_src, fixed_diag)
+        dvec_rows = np.nonzero(dsel)[0].astype(np.int32)
+        dvec_static = session.vals_static[diag_src[dvec_rows]].astype(f32)
+        dvec_rank = np.searchsorted(
+            sub_pos, diag_src[dvec_rows]).astype(np.int32)
     dn = DeviceNewton(
         idxT=jnp.asarray(idxT.astype(np.int32)),
         sgnT=jnp.asarray(sgnT.astype(f32)),
@@ -173,7 +213,17 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
         rhs_base=jnp.asarray(rhs_base),
         scat_idx=jnp.asarray(scat_idx),
         scat_w=jnp.asarray(scat_w),
-        c=jnp.asarray(float(c), f32))
+        c=jnp.asarray(float(c), f32),
+        sub_rank=jnp.asarray(sub_rank),
+        sub_zero=jnp.zeros(sub_pos.size, jnp.float32),
+        band_sub_rows=jnp.asarray(band_rows_h[j_sub].astype(np.int32)),
+        band_sub_cols=jnp.asarray(wloc[j_sub].astype(np.int32)),
+        band_sub_rank=jnp.asarray(band_sub_rank),
+        band_sub_static=jnp.asarray(band_sub_static),
+        dvec_rows=None if dvec_rows is None else jnp.asarray(dvec_rows),
+        dvec_rank=None if dvec_rank is None else jnp.asarray(dvec_rank),
+        dvec_static=None if dvec_static is None
+        else jnp.asarray(dvec_static))
     return dn, bool((lts != 0).any())
 
 
@@ -262,20 +312,36 @@ def _newton_elements(dn: DeviceNewton, V, has_lam: bool):
 
 def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
     """New CSR values from the changed element matrices, scattered into
-    the fine band (value-only; frozen coarse hierarchy)."""
+    the fine band (value-only; frozen coarse hierarchy).
+
+    When the subset maps are present, only the band positions touched
+    by nonlinear elements are rewritten (a few % of the band on typical
+    problems); the full 16M-entry gather/scatter is the fallback."""
     data_s = (dn.souter * (-Me)).reshape(-1)
     if dn.kmask is not None:
         data_s = data_s * dn.kmask
-    vals = dn.vals_static.at[dn.slot].add(data_s)
-    vals = vals.at[dn.diag_fixed].set(1.0)
-    data_p = vals[dn.data_map]
-    if dn.upper_sel is not None:
-        data_p = data_p[dn.upper_sel]
     lv0 = amg.levels[0]
     NT, R, W = lv0.A.dense.shape
-    dense = (lv0.A.dense.reshape(NT * R, W)
-             .at[dn.band_rows, dn.band_cols].set(data_p)
-             .reshape(NT, R, W))
+    if dn.band_sub_rows is not None:
+        contrib = dn.sub_zero.at[dn.sub_rank].add(data_s)
+        band_vals = dn.band_sub_static + contrib[dn.band_sub_rank]
+        dense = (lv0.A.dense.reshape(NT * R, W)
+                 .at[dn.band_sub_rows, dn.band_sub_cols].set(band_vals)
+                 .reshape(NT, R, W))
+        new_dvec = lv0.dvec
+        if dn.dvec_rows is not None and new_dvec is not None:
+            new_dvec = new_dvec.at[dn.dvec_rows].set(
+                dn.dvec_static + contrib[dn.dvec_rank])
+    else:
+        vals = dn.vals_static.at[dn.slot].add(data_s)
+        vals = vals.at[dn.diag_fixed].set(1.0)
+        data_p = vals[dn.data_map]
+        if dn.upper_sel is not None:
+            data_p = data_p[dn.upper_sel]
+        dense = (lv0.A.dense.reshape(NT * R, W)
+                 .at[dn.band_rows, dn.band_cols].set(data_p)
+                 .reshape(NT, R, W))
+        new_dvec = None if dn.diag_pos is None else data_p[dn.diag_pos]
     newA = BandMatrix(dense=dense, shift0=lv0.A.shift0,
                       cchunk=lv0.A.cchunk, ncols=lv0.A.ncols)
     newAbf = None
@@ -283,7 +349,6 @@ def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
         newAbf = BandMatrix(dense=dense.astype(jnp.bfloat16),
                             shift0=lv0.A.shift0, cchunk=lv0.A.cchunk,
                             ncols=lv0.A.ncols)
-    new_dvec = None if dn.diag_pos is None else data_p[dn.diag_pos]
     lv = BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega, P=lv0.P,
                    Abf=newAbf, dvec=new_dvec)
     return BandAMG(levels=(lv,) + amg.levels[1:],
@@ -430,9 +495,16 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, relax, res, lastres,
         glob = base_it + k
         active = glob > 5
         worse = jnp.logical_and(res_new > res, relax > 0.125)
+        # near the root an improving Newton step is contraction-optimal
+        # undamped: mixing with the previous iterate only slows the
+        # quadratic tail, so lift the relaxation entirely below 1e-5
+        # (the `worse` branch re-damps if the iteration turns
+        # oscillatory again)
         relax_new = jnp.where(
             active,
-            jnp.where(worse, relax * 0.5, relax + 0.1 * (1.0 - relax)),
+            jnp.where(worse, relax * 0.5,
+                      jnp.where(res_new < 3e-5, 1.0,
+                                relax + 0.1 * (1.0 - relax))),
             relax)
         V_out = jnp.where(active, relax_new * V_new
                           + (1.0 - relax_new) * V, V_new)
