@@ -840,19 +840,15 @@ def solve(problem: Problem, mesh: MeshData,
                 # unit sentinel makes the loop run and reproduces the
                 # host's initial 1e-4 forcing tolerance
                 res_in = res if it > 0 else 1.0
-                Vd, dense, dvec, relax_d, res_d, lastres_d, ksteps, \
-                    cgit = newton_dev.run(
-                        dn, amg_rest, dense,
-                        jnp.asarray(V, jnp.float32),
-                        jnp.asarray(relax, jnp.float32),
-                        jnp.asarray(res_in, jnp.float32),
-                        jnp.asarray(lastres, jnp.float32),
-                        jnp.asarray(it + it_shift, jnp.int32),
-                        jnp.asarray(max(problem.Precision, 3e-7),
-                                    jnp.float32),
-                        jnp.asarray(90.0 * problem.Precision,
-                                    jnp.float32),
-                        bt=sess.bt, has_lam=has_lam)
+                state = jnp.asarray(
+                    [relax, res_in, lastres, float(it + it_shift)],
+                    jnp.float32)
+                Vd, dense, dvec, stats = newton_dev.run(
+                    dn, amg_rest, dense,
+                    jnp.asarray(V, jnp.float32), state,
+                    tol_floor=max(problem.Precision, 3e-7),
+                    target_res=90.0 * problem.Precision,
+                    bt=sess.bt, has_lam=has_lam)
                 sess.band_amg = newton_dev.rebuild_band_amg(
                     amg_rest, dense, None, dvec)
                 if sess.band_ckey is not None \
@@ -860,6 +856,8 @@ def solve(problem: Problem, mesh: MeshData,
                     solver_mod._BAND_CACHE[sess.band_ckey]["band_amg"] = \
                         sess.band_amg
                 V = np.asarray(Vd, np.float64)
+                relax_d, res_d, lastres_d, ksteps, cgit = \
+                    np.asarray(stats, np.float64)
             iters_total += int(cgit)
             dev_runs += 1
             steps = int(ksteps)

@@ -421,11 +421,13 @@ def step(dn: DeviceNewton, amg: BandAMG, dense, V, tol, bt=None,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("inner_iter", "has_lam", "max_steps"),
+                   static_argnames=("inner_iter", "has_lam", "max_steps",
+                                    "tol_floor", "target_res"),
                    donate_argnums=(2,))
-def run(dn: DeviceNewton, amg: BandAMG, dense, V, relax, res, lastres,
-        base_it, tol_floor, target_res, bt=None, inner_iter: int = 400,
-        has_lam: bool = False, max_steps: int = 30):
+def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
+        tol_floor: float = 3e-7, target_res: float = 9e-7, bt=None,
+        inner_iter: int = 400, has_lam: bool = False,
+        max_steps: int = 30):
     """Run the Newton MIDDLE AND TAIL in ONE device dispatch.
 
     ``step`` pays a host round-trip per Newton iteration; on a remote
@@ -438,16 +440,23 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, relax, res, lastres,
     host afterwards, so the reference's convergence guarantee is
     checked in f64 exactly as before.
 
-    State handoff matches the host loop: ``relax/res/lastres`` enter
-    with the host's current values and leave with the device loop's;
-    ``base_it`` is the host's global iteration number (the relaxation
-    rule activates past global iteration 5).
+    ``state`` packs the host's Newton control state into ONE (4,) f32
+    device array -- (relax, res, lastres, base_it) -- and the returned
+    ``stats`` packs (relax, res, lastres, steps, cg_total) the same
+    way: a remote (tunneled) device pays a round trip per transferred
+    buffer, so scalars travel batched. ``base_it`` is the host's
+    global iteration number (the relaxation rule activates past global
+    iteration 5); the tolerances are compile-time constants.
 
-    Returns ``(V, dense, dvec, relax, res, lastres, steps, cg_total)``.
+    Returns ``(V, dense, dvec, stats)``.
     """
     n = V.shape[0]
     lv0 = amg.levels[0]
     f32 = jnp.float32
+    relax_in = state[0]
+    res_in = state[1]
+    lastres_in = state[2]
+    base_it = state[3]
 
     def body(carry):
         (V, dense, dvec, relax, res, lastres, k, cg_tot, best,
@@ -492,8 +501,8 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, relax, res, lastres,
         # adaptive relaxation, static2d.cpp:974-989 semantics (host
         # parity: compare against the PREVIOUS residual, activate past
         # global iteration 5, mix AFTER measuring)
-        glob = base_it + k
-        active = glob > 5
+        glob = base_it + k.astype(f32)
+        active = glob > 5.0
         worse = jnp.logical_and(res_new > res, relax > 0.125)
         # near the root an improving Newton step is contraction-optimal
         # undamped: mixing with the previous iterate only slows the
@@ -520,10 +529,12 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, relax, res, lastres,
             res > target_res,
             jnp.logical_and(k < max_steps, since < 3))
 
-    carry0 = (V, dense, lv0.dvec, relax.astype(f32), res.astype(f32),
-              lastres.astype(f32), jnp.array(0, jnp.int32),
-              jnp.array(0, jnp.int32), jnp.asarray(res, f32),
-              jnp.array(0, jnp.int32))
+    carry0 = (V, dense, lv0.dvec, relax_in.astype(f32),
+              res_in.astype(f32), lastres_in.astype(f32),
+              jnp.array(0, jnp.int32), jnp.array(0, jnp.int32),
+              res_in.astype(f32), jnp.array(0, jnp.int32))
     (V, dense, dvec, relax, res, lastres, k, cg_tot, _, _) = \
         jax.lax.while_loop(cond, body, carry0)
-    return V, dense, dvec, relax, res, lastres, k, cg_tot
+    stats = jnp.stack([relax, res, lastres, k.astype(f32),
+                       cg_tot.astype(f32)])
+    return V, dense, dvec, stats
