@@ -82,3 +82,35 @@ def test_antiperiodic_flux(fixtures):
             idx += 1
     assert not fails, fails
     assert not outlier_fails, outlier_fails
+
+
+def test_antiperiodic_flux_on_reference_mesh(fixtures):
+    """All 45 points pass the reference's OR-margins VERBATIM when the
+    problem is solved on the reference fmesher's own premeshed Triangle
+    output (checked-in fixture, the reference's premeshed-fixture
+    strategy from cfemm/fsolver/test/CMakeLists.txt:15-27).  This pins
+    that the solver + postprocessor chain has full point-value parity on
+    identical meshes -- the two KNOWN_MESH_BIASED exemptions above are a
+    mesh-realization artifact, not physics."""
+    from xfemm_tpu.geometry import femfile
+    from xfemm_tpu.mesh import meshdata
+    from xfemm_tpu.models import magnetostatics
+    from xfemm_tpu.post.fpproc import MagPostProcessor
+
+    prob = femfile.load(str(fixtures / "AntiperiodicFlux.fem"))
+    mesh = meshdata.read_mesh_files(str(fixtures / "AntiperiodicFluxRefMesh"))
+    sol = magnetostatics.solve(prob, mesh)
+    pp = MagPostProcessor(prob, mesh, sol.A, sol.label_case)
+    idx = 0
+    fails = []
+    for x in range(-40, -15, 5):
+        for y in range(-20, 25, 5):
+            v = pp.get_point_values(x, y)
+            B = abs(np.real(v["B1"])) + abs(np.real(v["B2"]))
+            ref = B_ABS_REF[idx]
+            diff = abs(B - ref)
+            rel = 100 * diff / ref if ref else 0.0
+            if diff > 0.02 or rel > 70:
+                fails.append((x, y, B, ref))
+            idx += 1
+    assert not fails, fails
