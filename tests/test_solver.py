@@ -132,6 +132,14 @@ def test_band_sym_bf16_operator(monkeypatch):
     # (||dV||/||V|| < 1e-6, the convergence contract), so the two
     # fixed points may legitimately differ by up to that ball
     assert np.abs(solb.A - sol64.A).max() / scale < 1e-6
+    # the band engine must have stayed ENGAGED with a bf16 fine operator
+    # (guards against a silent latch-off to the Jacobi fallback, which
+    # would make this test vacuous -- the bf16 refinement's first pass
+    # legitimately overshoots and must be tolerated, not latched)
+    import jax.numpy as jnp
+    cached = list(solver._BAND_CACHE.values())
+    assert cached, "band hierarchy was never built/cached"
+    assert cached[0]["band_amg"].levels[0].A.dense.dtype == jnp.bfloat16
 
 
 def test_pcg_csym_pairs_matches_complex():

@@ -99,11 +99,10 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
             or session.sub_cache is None or session.perm is None:
         return None
     lv0 = session.band_amg.levels[0]
-    if lv0.A.dense.dtype == jnp.bfloat16:
-        # bf16 fine operator (beyond ~2M DOFs): CG inside step() is not
-        # stable on it (the driver uses restarted FGMRES there); keep
-        # the host loop for that regime
-        return None
+    # a bf16 fine operator (the 1M-class regime) is eligible too: the
+    # run/step kernels switch their inner solver to restarted GMRES(m)
+    # with f32 residual recomputation (CG is unstable on the perturbed
+    # bf16 operator, band.py::band_fgmres)
     # The step donates and updates the SESSION's fine band in place (the
     # caller rebuilds session.band_amg around the returned buffer), so
     # HBM must hold one fine band + the coarse hierarchy + the refresh
@@ -326,7 +325,8 @@ def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
         contrib = dn.sub_zero.at[dn.sub_rank].add(data_s)
         band_vals = dn.band_sub_static + contrib[dn.band_sub_rank]
         dense = (lv0.A.dense.reshape(NT * R, W)
-                 .at[dn.band_sub_rows, dn.band_sub_cols].set(band_vals)
+                 .at[dn.band_sub_rows, dn.band_sub_cols]
+                 .set(band_vals.astype(lv0.A.dense.dtype))
                  .reshape(NT, R, W))
         new_dvec = lv0.dvec
         if dn.dvec_rows is not None and new_dvec is not None:
@@ -339,7 +339,8 @@ def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
         if dn.upper_sel is not None:
             data_p = data_p[dn.upper_sel]
         dense = (lv0.A.dense.reshape(NT * R, W)
-                 .at[dn.band_rows, dn.band_cols].set(data_p)
+                 .at[dn.band_rows, dn.band_cols]
+                 .set(data_p.astype(lv0.A.dense.dtype))
                  .reshape(NT, R, W))
         new_dvec = None if dn.diag_pos is None else data_p[dn.diag_pos]
     newA = BandMatrix(dense=dense, shift0=lv0.A.shift0,
@@ -485,7 +486,32 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
             tol_k * jnp.sqrt(res0_sys / jnp.maximum(res_cur, 1e-30)),
             1e-7, 0.5)
         scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-30)
-        if bt is None:
+        if lvn.A.dense.dtype == jnp.bfloat16:
+            # 1M-class regime: restarted GMRES(24) with f32 residual
+            # recomputation between cycles (CG diverges on the
+            # bf16-perturbed operator -- band.py::band_fgmres)
+            rhs_s = r / scale
+            res0_pass = jnp.dot(invd * rhs_s, rhs_s)
+            res0_pass = jnp.where(res0_pass == 0.0, 1.0, res0_pass)
+
+            def fg_cond(st):
+                _x, rn, j, _tot = st
+                return jnp.logical_and(rn > tol_eff, j < 4)
+
+            def fg_body(st):
+                x, _rn, j, tot = st
+                rc = rhs_s - band_mod.band_apply(lvn.A, lvn.dvec, x)
+                d, _rr, fits = band_mod.band_fgmres(amg_new, rc, 24)
+                x = x + d
+                rc2 = rhs_s - band_mod.band_apply(lvn.A, lvn.dvec, x)
+                rn2 = jnp.sqrt(jnp.dot(invd * rc2, rc2) / res0_pass)
+                return x, rn2, j + 1, tot + fits
+
+            d_p, _rn, _j, its = jax.lax.while_loop(
+                fg_cond, fg_body,
+                (jnp.zeros(n, f32), jnp.array(jnp.inf, f32),
+                 jnp.array(0, jnp.int32), jnp.array(0, jnp.int32)))
+        elif bt is None:
             d_p, _rel, its = band_mod.band_pcg(
                 amg_new, r / scale, tol_eff.astype(f32),
                 jnp.zeros(n, f32), inner_iter)
