@@ -44,6 +44,8 @@ def main() -> None:
 
     # best of 3: the remote-TPU tunnel adds multi-second RPC jitter per
     # run, and min is the standard estimator for dispatch-bound repeats
+    from xfemm_tpu.utils import profiling
+    profiling.ENABLED = True
     elapsed = float("inf")
     for _ in range(3):
         t0 = time.time()
@@ -51,6 +53,31 @@ def main() -> None:
         elapsed = min(elapsed, time.time() - t0)
         assert sol.residual <= prob.Precision, sol.residual
     assert np.isfinite(sol.A).all()
+
+    # observability (stderr; stdout stays one JSON line): phase split of
+    # the three timed solves plus a fine-level SpMV throughput/MFU
+    # estimate from the band dims and the CG iteration count
+    print(profiling.report(), file=sys.stderr)
+    try:
+        from xfemm_tpu.ops import solver as solver_mod
+        ent = next(iter(solver_mod._BAND_CACHE.values()), None)
+        dev = ent["band_amg"].levels[0] if ent else None
+        if dev is not None:
+            NT, R, W = dev.A.dense.shape
+            flops_apply = 2.0 * NT * R * W * (2 if dev.dvec is not None
+                                              else 1)
+            cg_s = profiling.phase_seconds("device cg") \
+                + profiling.phase_seconds("device newton")
+            if cg_s > 0 and sol.iterations:
+                # ~2 fine applies per preconditioned CG iteration
+                # (operator + V-cycle smoothing at the fine level)
+                tf = 2 * sol.iterations / 3 * flops_apply / cg_s / 1e12
+                print(f"fine-band SpMV ~{tf:.1f} TFLOP/s "
+                      f"(~{100 * tf / 197:.0f}% of v5e f32 MXU peak), "
+                      f"{sol.iterations} CG its over 3 solves",
+                      file=sys.stderr)
+    except Exception as exc:  # observability must never fail the bench
+        print(f"(mfu estimate unavailable: {exc})", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"nonlinear magnetostatic solve, {mesh.num_nodes} nodes, "

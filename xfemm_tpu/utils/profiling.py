@@ -37,6 +37,11 @@ def phase(name: str):
         _cnt[name] += 1
 
 
+def phase_seconds(name: str) -> float:
+    """Accumulated seconds recorded under ``name`` (0.0 if never hit)."""
+    return _acc.get(name, 0.0)
+
+
 def report() -> str:
     lines = ["xfemm_tpu phase timers:"]
     for name, tot in sorted(_acc.items(), key=lambda kv: -kv[1]):
