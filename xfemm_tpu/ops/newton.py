@@ -356,71 +356,6 @@ def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
                    coarse_inv=amg.coarse_inv, n=amg.n)
 
 
-@functools.partial(jax.jit, static_argnames=("inner_iter", "has_lam"),
-                   donate_argnums=(2,))
-def step(dn: DeviceNewton, amg: BandAMG, dense, V, tol, bt=None,
-         inner_iter: int = 400, has_lam: bool = False):
-    """One Newton iteration on device: element update, operator refresh,
-    band-AMG PCG to ``tol`` (host stopping metric: Jacobi-weighted
-    residual norm relative to the SYSTEM rhs, matching ops/solver.py).
-
-    ``dense`` is the current fine-band value buffer, donated and
-    updated in place -- pass the SESSION's own fine band (no copy; a 1M
-    sym band is ~10 GB and two copies would not fit HBM). To keep the
-    donation un-aliased, ``amg`` must carry PLACEHOLDER buffers for the
-    level-0 ``A.dense``/``Abf.dense`` (see ``strip_fine_band``); the
-    caller rebuilds its BandAMG around the returned buffers.
-
-    Returns the UNRELAXED ``(V_new, dense_new, abf_new, dvec_new,
-    cg_iters, rel)`` (``abf_new``/``dvec_new`` are None when absent) --
-    relaxation and the convergence test stay on host."""
-    n = V.shape[0]
-    lv0 = amg.levels[0]
-    amg_cur = BandAMG(
-        levels=(BandLevel(A=BandMatrix(dense, lv0.A.shift0,
-                                       lv0.A.cchunk, lv0.A.ncols),
-                          invd=lv0.invd, omega=lv0.omega, P=lv0.P,
-                          Abf=lv0.Abf, dvec=lv0.dvec),)
-        + amg.levels[1:],
-        coarse_inv=amg.coarse_inv, n=amg.n)
-    Vl, Me, Mn = _newton_elements(dn, V, has_lam)
-    amg_new = _refresh_operator(dn, amg_cur, Me)
-    # RHS: b = b_static + scatter(-sign * (Mn Vl)) on non-fixed rows
-    dbe = jnp.einsum("tjk,tk->tj", Mn, Vl)
-    b = dn.rhs_base.at[dn.scat_idx].add(dn.scat_w * dbe.reshape(-1))
-    lvn = amg_new.levels[0]
-    bp = b[dn.perm]
-    r = bp - band_mod.band_apply(lvn.A, lvn.dvec, V[dn.perm])
-    # band_pcg stops relative to ITS rhs (the current residual); the
-    # host metric is relative to the system rhs. Convert: a warm start
-    # means the current residual is already well below the rhs norm,
-    # so the effective inner tolerance loosens by exactly that ratio.
-    invd = lvn.invd
-    res0_sys = jnp.dot(invd * bp, bp)
-    res_cur = jnp.dot(invd * r, r)
-    tol_eff = jnp.clip(
-        tol * jnp.sqrt(res0_sys / jnp.maximum(res_cur, 1e-30)),
-        1e-6, 0.5)
-    scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-30)
-    if bt is None:
-        d_p, rel, its = band_mod.band_pcg(
-            amg_new, r / scale, tol_eff.astype(jnp.float32),
-            jnp.zeros(n, jnp.float32), inner_iter)
-    else:
-        # frozen block-tridiagonal factor as the CG preconditioner
-        # (ops/blocktri.py): near-exact, so intermediate Newton solves
-        # converge in a handful of iterations even as mu drifts
-        from . import blocktri as bt_mod
-        d_p, rel, its = bt_mod.bt_pcg(
-            lvn.A, lvn.dvec, lvn.invd, bt, r / scale,
-            tol_eff.astype(jnp.float32), jnp.zeros(n, jnp.float32),
-            inner_iter)
-    V_new = V + (scale * d_p)[dn.iperm]
-    lv_new = amg_new.levels[0]
-    abf_new = None if lv_new.Abf is None else lv_new.Abf.dense
-    return V_new, lv_new.A.dense, abf_new, lv_new.dvec, its, rel
-
-
 @functools.partial(jax.jit,
                    static_argnames=("inner_iter", "has_lam", "max_steps",
                                     "tol_floor", "target_res"),
