@@ -32,6 +32,7 @@ QUICK = [
     "femmcli_compatmode.lua",
     "femmcli_matlib.lua",
     "femmcli_femfile.lua",
+    "femmcli_chdir.lua",
 ]
 SOLVES = [
     "femmcli_TorqueBenchmark.lua",
@@ -76,3 +77,19 @@ def test_reference_script_quick(script_dir, name):
 def test_reference_script_solve(script_dir, name):
     out = _run(script_dir, name)
     assert "SUCCESS" in out, out[-2000:]
+
+
+def test_reference_script_trace(script_dir):
+    """femmcli_trace.lua under --lua-trace-functions: the call-hook
+    (LuaInstance.cpp:128,302 semantics) must log each command and the
+    script's own checks must pass."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "xfemm_tpu", "script",
+         "femmcli_trace.lua", "--lua-trace-functions"],
+        cwd=script_dir, env=env, capture_output=True, text=True,
+        timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SUCCESS" in proc.stdout
+    assert "call global" in proc.stdout, proc.stdout[-2000:]
