@@ -227,3 +227,18 @@ def test_band_csym_pcg_solves_eddy_system():
     x = np.asarray(xr, np.float64) + 1j * np.asarray(xi, np.float64)
     err = np.abs(x - x_ref).max() / np.abs(x_ref).max()
     assert err < 1e-3, (err, int(it), float(rel))
+
+    # the fused restarted-GMRES kernel (one dispatch, on-device f32
+    # residual recomputation between cycles) must reach the same
+    # solution and report an honest final relative residual
+    xr, xi, rn, its = band_mod.band_csym_fgmres_fused(
+        amg, Aop, Ai, jnp.asarray(b.real, jnp.float32),
+        jnp.asarray(b.imag, jnp.float32),
+        jnp.asarray(1e-5, jnp.float32), m=24, cycles=8)
+    x = np.asarray(xr, np.float64) + 1j * np.asarray(xi, np.float64)
+    err = np.abs(x - x_ref).max() / np.abs(x_ref).max()
+    assert float(rn) < 1e-4, (float(rn), int(its))
+    assert err < 1e-3, (err, int(its))
+    r_true = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    # the device's f32 residual estimate must track the true residual
+    assert r_true < 10 * max(float(rn), 1e-6), (r_true, float(rn))
