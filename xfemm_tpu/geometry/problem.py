@@ -327,6 +327,17 @@ class HeatMaterial:
         k = k0 + (k1 - k0) * (T - t0) / (t1 - t0)
         return k, k
 
+    def get_k_array(self, T: "np.ndarray") -> "np.ndarray":
+        """Vectorized ``get_k`` over an array of temperatures (isotropic
+        K(T) curve case; same clamped piecewise-linear rule)."""
+        import numpy as np
+
+        if self.npts == 0:
+            return np.full(np.shape(T), self.Kx)
+        if self.npts == 1:
+            return np.full(np.shape(T), self.Kdata[0])
+        return np.interp(T, self.Tdata, self.Kdata)
+
 
 @dataclass
 class ElectrostaticsMaterial:

@@ -107,8 +107,7 @@ class ScalarPostProcessor:
                 kx[sel] = mat.Kx
                 ky[sel] = mat.Ky
             else:
-                kv = np.array([mat.get_k(t)[0]
-                               for t in Tn[sel].mean(axis=1)])
+                kv = mat.get_k_array(Tn[sel].mean(axis=1))
                 kx[sel] = kv
                 ky[sel] = kv
         return kx, ky
