@@ -33,6 +33,39 @@ def test_heat_matches_reference(fixtures):
     assert np.abs(sol.T[idx] - Tg).max() / scale < 1e-6
 
 
+def test_heat_band_device_loop_matches_reference(fixtures, monkeypatch):
+    """The TPU heat path (f32 band engine + the fused K(T) substitution
+    loop ops/newton.py::run_heat, forced on by pretending the device has
+    no f64) must reproduce the golden solution and actually take the
+    fused loop."""
+    import collections
+    from xfemm_tpu.ops import newton, solver
+
+    monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    monkeypatch.setattr(solver, "band_platform_ok", lambda: True)
+    monkeypatch.setattr(solver, "ROW_TILE_MIN", 64)
+    monkeypatch.setattr(solver, "_BAND_CACHE", collections.OrderedDict())
+    monkeypatch.setattr(solver, "_PATTERN_CACHE",
+                        collections.OrderedDict())
+    calls = []
+    real_run = newton.run_heat
+    monkeypatch.setattr(newton, "run_heat",
+                        lambda *a, **k: (calls.append(1),
+                                         real_run(*a, **k))[1])
+
+    p = femfile.load(str(fixtures / "HeatTemp0.feh"))
+    mesh = read_mesh_files(str(fixtures / "HeatTemp0"))
+    sol = heatflow.solve(p, mesh)
+    assert sol.residual <= p.Precision
+    assert calls, "fused device heat loop never engaged"
+
+    g = ansfile.read_ans(str(fixtures / "HeatTemp0.anh.golden"))
+    d, idx = cKDTree(mesh.nodes).query(g.mesh.nodes)
+    Tg = np.real(g.values)
+    scale = np.abs(Tg).max()
+    assert np.abs(sol.T[idx] - Tg).max() / scale < 1e-6
+
+
 def test_electrostatics_matches_reference(fixtures):
     p = femfile.load(str(fixtures / "ElecTest.fee"))
     mesh = read_mesh_files(str(fixtures / "ElecTest"))

@@ -16,8 +16,10 @@ units are meters (hsolver.cpp:65).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..constants import LENGTH_TO_METERS, PI, ProblemType
@@ -25,6 +27,7 @@ from ..geometry.problem import Problem
 from ..mesh.meshdata import EdgeMultiplicity, MeshData
 from ..ops import assembly, solver
 from ..ops.solver import ElementBlock
+from ..utils import profiling
 from .magnetostatics import build_prolongation
 
 KSB = 5.67032e-8      # Stefan-Boltzmann (femmconstants.h:26)
@@ -210,8 +213,42 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
     nl_el = np.array([mats[b].npts > 0 for b in blk], bool)
     has_rad = any(problem.lineproplist[bi].BdryFormat == 3
                   for _a, _b, bi, _m in bdry_edges)
+    dev_heat = None
+    dev_runs = 0
 
     for it in range(max_iter if nonlinear else 1):
+        # the substitution MIDDLE runs entirely on device in one
+        # dispatch (ops/newton.py::run_heat): K(T) lookup, operator
+        # refresh, preconditioned CG, convergence test. The accepting
+        # pass at the full contract Precision stays on host below.
+        if (dev_heat is not None and dev_runs < 2 and it > 0
+                and res >= 3e4 * problem.Precision
+                and sess.band_amg is not None):
+            from ..ops import newton as newton_dev
+            from ..ops import solver as solver_mod
+            with profiling.phase("device heat"):
+                amg_rest, dense, _abf = newton_dev.strip_fine_band(
+                    sess.band_amg)
+                state = jnp.asarray([res], jnp.float32)
+                Vd, dense, dvec, stats = newton_dev.run_heat(
+                    dev_heat, amg_rest, dense,
+                    jnp.asarray(V, jnp.float32), state,
+                    tol_floor=max(problem.Precision, 3e-7),
+                    target_res=max(90.0 * problem.Precision, 3e-6),
+                    bt=sess.bt)
+                sess.band_amg = newton_dev.rebuild_band_amg(
+                    amg_rest, dense, None, dvec)
+                if sess.band_ckey is not None \
+                        and sess.band_ckey in solver_mod._BAND_CACHE:
+                    solver_mod._BAND_CACHE[sess.band_ckey]["band_amg"] = \
+                        sess.band_amg
+                V = np.asarray(Vd, np.float64)
+                res_d, ksteps, cgit = np.asarray(stats, np.float64)
+            iters_total += int(cgit)
+            dev_runs += 1
+            res = float(res_d)
+            Vo = V[ridx] * rsign
+            continue
         # element conductivity: 3-node average of K(T_prev)
         knx = np.zeros(T)
         kny = np.zeros(T)
@@ -309,10 +346,50 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
             break
         e1 = float(np.sum((V - V_old) ** 2))
         e2 = float(np.sum(V_old ** 2))
-        res = math.sqrt(e1 / e2) if e2 != 0 else 0.0
+        # unit sentinel when no previous iterate exists (it-0 against
+        # V_old = 0): the substitution error is unknown, so the forcing
+        # schedule must stay loose rather than jump to full precision
+        res = math.sqrt(e1 / e2) if e2 != 0 else 1.0
         if (e2 != 0 and res < problem.Precision * 100.0
                 and tol_it <= problem.Precision):
             break
+
+        # after the it-0 solve has built the band hierarchy and value
+        # maps, intermediate substitution iterations can run on device
+        if (it == 0 and dev_heat is None and not has_rad
+                and not os.environ.get("XFEMM_TPU_NO_DEVICE_NEWTON")):
+            from ..ops import newton as newton_dev
+            # block mat = mat_0 + k * mat_k for K(T) elements (the
+            # transient lumped term is k-independent)
+            ce = dep_el / (4.0 * area) / kludge
+            pq = (geom.p[:, :, None] * geom.p[:, None, :]
+                  + geom.q[:, :, None] * geom.q[:, None, :])
+            mat_k_full = ce[:, None, None] * pq
+            mat_0_full = np.zeros_like(mat_k_full)
+            if dT != 0:
+                Kt_term0 = -dep_el * Kt * area / (3.0 * dT)
+                mat_0_full += -Kt_term0[:, None, None] * np.eye(3)[None]
+            # rhs with the changed elements' A.g coupling removed
+            # entirely (setup folds the k-independent part back in)
+            g = np.where(fixed_mask, fixed_vals, 0.0)
+            b_nofixed = np.asarray(b, np.float64).copy()
+            if fixed_mask.any() and np.any(fixed_vals[fixed_mask] != 0.0):
+                for bi_, blkk in enumerate(blocks):
+                    bidx = np.asarray(blkk.idx)
+                    bsgn = np.asarray(blkk.sign, np.float64)
+                    bmat = np.asarray(blkk.mat, np.float64)
+                    if bi_ == 0:
+                        bmat = bmat.copy()
+                        bmat[nl_el] = 0.0
+                    gl = bsgn * g[bidx]
+                    ye = np.einsum("ekl,el->ek", bmat, gl)
+                    np.subtract.at(b_nofixed, bidx.reshape(-1),
+                                   (bsgn * ye).reshape(-1))
+            mats_T = {bi2: mats[bi2].Tdata for bi2 in set(blk.tolist())}
+            mats_K = {bi2: mats[bi2].Kdata for bi2 in set(blk.tolist())}
+            dev_heat = newton_dev.setup_heat(
+                sess, ridx, rsign, tris, fixed_mask, fixed_vals,
+                mats_T, mats_K, blk, mat_k_full, mat_0_full, b_nofixed)
 
     Tn = V[ridx] * rsign
 
