@@ -30,3 +30,37 @@ def test_axi_solenoid_matches_reference(fixtures):
     Ag = np.real(g.values)
     scale = np.abs(Ag).max()
     assert np.abs(sol.A[idx] - Ag).max() / scale < 1e-6
+
+
+def test_axi_band_device_newton_matches_reference(fixtures, monkeypatch):
+    """The TPU axisymmetric path (f32 band engine + the fused device
+    Newton loop with the energy-form |B|, forced on by pretending the
+    device has no f64) must reproduce the golden solution and actually
+    take the fused loop."""
+    import collections
+    from xfemm_tpu.ops import newton, solver
+
+    monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    monkeypatch.setattr(solver, "band_platform_ok", lambda: True)
+    monkeypatch.setattr(solver, "ROW_TILE_MIN", 64)
+    monkeypatch.setattr(solver, "_BAND_CACHE", collections.OrderedDict())
+    monkeypatch.setattr(solver, "_PATTERN_CACHE",
+                        collections.OrderedDict())
+    calls = []
+    real_run = newton.run
+    monkeypatch.setattr(
+        newton, "run",
+        lambda *a, **k: (calls.append(k.get("axi", False)),
+                        real_run(*a, **k))[1])
+
+    p = femfile.load(str(fixtures / "AxiSolenoid.fem"))
+    mesh = read_mesh_files(str(fixtures / "AxiSolenoid"))
+    sol = axisymmetric.solve(p, mesh)
+    assert sol.residual <= p.Precision
+    assert calls and all(calls), "fused axi device Newton never engaged"
+
+    g = ansfile.read_ans(str(fixtures / "AxiSolenoid.ans.golden"))
+    d, idx = cKDTree(mesh.nodes).query(g.mesh.nodes)
+    Ag = np.real(g.values)
+    scale = np.abs(Ag).max()
+    assert np.abs(sol.A[idx] - Ag).max() / scale < 1e-6

@@ -13,13 +13,16 @@ path as the planar model).
 from __future__ import annotations
 
 import math
+import os
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..constants import C_APOT, MU0, PI, ProblemType
 from ..geometry.problem import Problem
 from ..mesh.meshdata import MeshData
 from ..ops import assembly, solver
+from ..utils import profiling
 from .magnetostatics import (MagSolution, PackedMagnetostatic, _element_blocks,
                              _rhs, pack)
 
@@ -135,8 +138,45 @@ def solve(problem: Problem, mesh: MeshData,
     lastres = 0.0
     iters_total = 0
     rel_resid = 0.0
+    dev_state = None
+    dev_runs = 0
 
     for it in range(max_newton if nonlinear else 1):
+        # the Newton middle runs on device in one dispatch
+        # (ops/newton.py::run with axi=True); the accepting pass at the
+        # full contract Precision stays on host below
+        if (dev_state is not None and dev_runs < 2 and it > 0
+                and res >= 3e4 * problem.Precision
+                and sess.band_amg is not None):
+            from ..ops import newton as newton_dev
+            from ..ops import solver as solver_mod
+            dn, has_lam = dev_state
+            with profiling.phase("device newton"):
+                amg_rest, dense, _abf = newton_dev.strip_fine_band(
+                    sess.band_amg)
+                state = jnp.asarray([relax, res, lastres, float(it)],
+                                    jnp.float32)
+                Vd, dense, dvec, stats = newton_dev.run(
+                    dn, amg_rest, dense,
+                    jnp.asarray(V, jnp.float32), state,
+                    tol_floor=max(problem.Precision, 3e-7),
+                    target_res=max(90.0 * problem.Precision, 3e-6),
+                    bt=sess.bt, has_lam=has_lam, axi=True)
+                sess.band_amg = newton_dev.rebuild_band_amg(
+                    amg_rest, dense, None, dvec)
+                if sess.band_ckey is not None \
+                        and sess.band_ckey in solver_mod._BAND_CACHE:
+                    solver_mod._BAND_CACHE[sess.band_ckey]["band_amg"] = \
+                        sess.band_amg
+                V = np.asarray(Vd, np.float64)
+                relax_d, res_d, lastres_d, _ksteps, cgit = \
+                    np.asarray(stats, np.float64)
+            iters_total += int(cgit)
+            dev_runs += 1
+            relax = max(float(relax_d), 0.5)
+            lastres = float(lastres_d)
+            res = float(res_d)
+            continue
         Mn = np.zeros((T, 3, 3))
         be = be_static
         if it > 0:
@@ -224,6 +264,17 @@ def solve(problem: Problem, mesh: MeshData,
         if (res < 100.0 * problem.Precision and it > 0
                 and tol_it <= problem.Precision):
             break
+
+        # after the it-0 solve has built the band hierarchy and value
+        # maps, intermediate Newton iterations can run on device
+        if (it == 0 and nonlinear and dev_state is None
+                and not os.environ.get("XFEMM_TPU_NO_DEVICE_NEWTON")):
+            from ..ops import newton as newton_dev
+            b_static = _rhs(pk, geom, be_static)
+            made = newton_dev.setup(pk, geom, Mx, My, sess, b_static, c,
+                                    axi=True)
+            if made is not None:
+                dev_state = made
 
     # flux output: A_i = V_i * c * 2*pi*r_m (staticaxi.cpp:779-784)
     Vfull = V[pk.ridx] * pk.rsign

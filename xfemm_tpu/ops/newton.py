@@ -87,14 +87,16 @@ class DeviceNewton(NamedTuple):
     dvec_static: jnp.ndarray | None = None
 
 
-def setup(pk, geom, Mx, My, session, b_base, c: float):
+def setup(pk, geom, Mx, My, session, b_base, c: float, axi: bool = False):
     """Build the device data: returns (DeviceNewton, has_lam) or None
     when ineligible.
 
     Eligibility: band engine active with an f32 (non-bf16) fine level,
     sub_cache present (the it-0 solve ran with ``changed=``), and no
     nonzero Dirichlet values coupled to changed elements (their A.g RHS
-    correction would change per iteration)."""
+    correction would change per iteration). ``axi=True`` packs the
+    element VOLUME into the area field and zero q/p (the axisymmetric
+    |B| comes from the energy quadratic form, see _newton_elements)."""
     if not _band_eligible(session):
         return None
     maps = _band_refresh_maps(session, pk.fixed_mask)
@@ -113,12 +115,18 @@ def setup(pk, geom, Mx, My, session, b_base, c: float):
     scat_idx = idxT.reshape(-1).astype(np.int32)
     scat_w = (-sgnT.reshape(-1) * keep[scat_idx]).astype(f32)
     lts = pk.lam_type[ns]
+    if axi:
+        qp = np.zeros((ns.size, 3), f32)
+        denom = np.asarray(geom.vol)[ns]
+    else:
+        qp = None
+        denom = geom.area[ns]
     dn = DeviceNewton(
         idxT=jnp.asarray(idxT.astype(np.int32)),
         sgnT=jnp.asarray(sgnT.astype(f32)),
-        q=jnp.asarray(geom.q[ns].astype(f32)),
-        p=jnp.asarray(geom.p[ns].astype(f32)),
-        area=jnp.asarray(geom.area[ns].astype(f32)),
+        q=jnp.asarray(qp if axi else geom.q[ns].astype(f32)),
+        p=jnp.asarray(qp if axi else geom.p[ns].astype(f32)),
+        area=jnp.asarray(np.asarray(denom).astype(f32)),
         lt=jnp.asarray(lts.astype(np.int32)),
         fs=jnp.asarray(pk.lam_fill[ns].astype(f32)),
         bhB=jnp.asarray(pk.bh_B[ns].astype(f32)),
@@ -290,15 +298,34 @@ def rebuild_band_amg(amg_rest: BandAMG, dense, abf, dvec) -> BandAMG:
                    coarse_inv=amg_rest.coarse_inv, n=amg_rest.n)
 
 
-def _newton_elements(dn: DeviceNewton, V, has_lam: bool):
+def _newton_elements(dn: DeviceNewton, V, has_lam: bool,
+                     axi: bool = False):
     """Element update: B from V, spline mu, Newton matrices Mn and the
-    changed-element matrices Me (static2d.cpp:600-796 semantics, f32)."""
+    changed-element matrices Me (static2d.cpp:600-796 semantics, f32).
+
+    ``axi=True`` switches |B| to the axisymmetric energy quadratic form
+    (staticaxi.cpp:510-521; ``dn.area`` then carries the element VOLUME
+    and the lamination-variant curl operators are formed from Mx/My on
+    the fly); the mu update, Newton matrices and Me are otherwise the
+    same expressions with vol in place of area."""
     Vl = dn.sgnT * V[dn.idxT]
-    B1 = jnp.sum(Vl * dn.q, axis=1)
-    B2 = jnp.sum(Vl * dn.p, axis=1)
-    B1 = jnp.where(dn.lt == 2, B1 / dn.fs, B1)
-    B2 = jnp.where(dn.lt == 1, B2 / dn.fs, B2)
-    Bmag = dn.c * jnp.sqrt(B1 * B1 + B2 * B2) / (0.02 * dn.area)
+    if axi:
+        fsn = dn.fs[:, None, None]
+        MxMy0 = dn.Mx + dn.My
+        Mb = jnp.where((dn.lt == 0)[:, None, None], MxMy0,
+                       jnp.where((dn.lt == 1)[:, None, None],
+                                 dn.Mx + dn.My / (fsn * fsn),
+                                 dn.Mx / (fsn * fsn) + dn.My))
+        vv_vec = jnp.einsum("tjw,tw->tj", Mb, Vl)
+        dv_en = jnp.einsum("tj,tj->t", Vl, vv_vec) * \
+            (1e4 * dn.c * dn.c / dn.area)
+        Bmag = jnp.sqrt(jnp.abs(dv_en))
+    else:
+        B1 = jnp.sum(Vl * dn.q, axis=1)
+        B2 = jnp.sum(Vl * dn.p, axis=1)
+        B1 = jnp.where(dn.lt == 2, B1 / dn.fs, B1)
+        B2 = jnp.where(dn.lt == 1, B2 / dn.fs, B2)
+        Bmag = dn.c * jnp.sqrt(B1 * B1 + B2 * B2) / (0.02 * dn.area)
     vv, dv = assembly.hermite_vdv(Bmag, dn.bhB, dn.bhH, dn.bhS)
     mu_el = 1.0 / (MU0 * vv)
     mu1 = jnp.where(dn.lt == 0, mu_el,
@@ -420,12 +447,12 @@ def _inner_solve(amg_new, r_scaled, tol_eff, inner_iter, bt, n):
 
 @functools.partial(jax.jit,
                    static_argnames=("inner_iter", "has_lam", "max_steps",
-                                    "tol_floor", "target_res"),
+                                    "tol_floor", "target_res", "axi"),
                    donate_argnums=(2,))
 def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
         tol_floor: float = 3e-7, target_res: float = 9e-7, bt=None,
         inner_iter: int = 400, has_lam: bool = False,
-        max_steps: int = 30):
+        max_steps: int = 30, axi: bool = False):
     """Run the Newton MIDDLE AND TAIL in ONE device dispatch.
 
     ``step`` pays a host round-trip per Newton iteration; on a remote
@@ -466,7 +493,7 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
                               Abf=None, dvec=dvec),)
             + amg.levels[1:],
             coarse_inv=amg.coarse_inv, n=amg.n)
-        Vl, Me, Mn = _newton_elements(dn, V, has_lam)
+        Vl, Me, Mn = _newton_elements(dn, V, has_lam, axi)
         amg_new = _refresh_operator(dn, amg_cur, Me)
         dbe = jnp.einsum("tjk,tk->tj", Mn, Vl)
         b = dn.rhs_base.at[dn.scat_idx].add(dn.scat_w * dbe.reshape(-1))
