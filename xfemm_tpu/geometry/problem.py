@@ -328,11 +328,19 @@ class HeatMaterial:
         return k, k
 
     def get_k_array(self, T: "np.ndarray") -> "np.ndarray":
-        """Vectorized ``get_k`` over an array of temperatures (isotropic
-        K(T) curve case; same clamped piecewise-linear rule)."""
+        """Vectorized ``get_k`` over an array of temperatures for
+        materials with a K(T) curve, which is always isotropic (same
+        clamped piecewise-linear rule). Materials WITHOUT a curve may be
+        orthotropic (Kx != Ky) and must use ``Kx``/``Ky`` directly --
+        this raises rather than silently dropping Ky."""
         import numpy as np
 
         if self.npts == 0:
+            if self.Kx != self.Ky:
+                raise ValueError(
+                    "get_k_array is for isotropic K(T)-curve materials; "
+                    f"'{self.name}' is orthotropic (Kx={self.Kx}, "
+                    f"Ky={self.Ky}) -- use Kx/Ky directly")
             return np.full(np.shape(T), self.Kx)
         if self.npts == 1:
             return np.full(np.shape(T), self.Kdata[0])

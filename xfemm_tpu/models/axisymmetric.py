@@ -140,6 +140,8 @@ def solve(problem: Problem, mesh: MeshData,
     rel_resid = 0.0
     dev_state = None
     dev_runs = 0
+    it_shift = 0       # extra global iterations from device runs
+    dev_handoff = False
 
     for it in range(max_newton if nonlinear else 1):
         # the Newton middle runs on device in one dispatch
@@ -154,8 +156,9 @@ def solve(problem: Problem, mesh: MeshData,
             with profiling.phase("device newton"):
                 amg_rest, dense, _abf = newton_dev.strip_fine_band(
                     sess.band_amg)
-                state = jnp.asarray([relax, res, lastres, float(it)],
-                                    jnp.float32)
+                state = jnp.asarray(
+                    [relax, res, lastres, float(it + it_shift)],
+                    jnp.float32)
                 Vd, dense, dvec, stats = newton_dev.run(
                     dn, amg_rest, dense,
                     jnp.asarray(V, jnp.float32), state,
@@ -169,14 +172,24 @@ def solve(problem: Problem, mesh: MeshData,
                     solver_mod._BAND_CACHE[sess.band_ckey]["band_amg"] = \
                         sess.band_amg
                 V = np.asarray(Vd, np.float64)
-                relax_d, res_d, lastres_d, _ksteps, cgit = \
+                relax_d, res_d, lastres_d, ksteps, cgit = \
                     np.asarray(stats, np.float64)
             iters_total += int(cgit)
             dev_runs += 1
+            it_shift += max(int(ksteps) - 1, 0)
+            # the device loop exits at an f32 noise floor; entering the
+            # host tail over-damped makes it crawl (same reasoning as
+            # the planar path)
             relax = max(float(relax_d), 0.5)
             lastres = float(lastres_d)
             res = float(res_d)
+            # the device residuals are f32-floor values; comparing the
+            # next host f64 displacement against them would trip the
+            # oscillation damping spuriously
+            dev_handoff = True
             continue
+        dev_handoff_prev = dev_handoff
+        dev_handoff = False
         Mn = np.zeros((T, 3, 3))
         be = be_static
         if it > 0:
@@ -253,8 +266,8 @@ def solve(problem: Problem, mesh: MeshData,
             break
         lastres = res
         res = math.sqrt(num / den)
-        if it > 5:
-            if res > lastres and relax > 0.125:
+        if it + it_shift > 5:
+            if res > lastres and relax > 0.125 and not dev_handoff_prev:
                 relax /= 2.0
             else:
                 relax += 0.1 * (1.0 - relax)

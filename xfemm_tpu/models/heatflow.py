@@ -259,7 +259,7 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
                 knx[sel] = mat.Kx
                 kny[sel] = mat.Ky
             else:
-                kav = mat.get_k_array(Vo)[tris[sel]].mean(axis=1)
+                kav = mat.get_k_array(Vo[tris[sel]]).mean(axis=1)
                 knx[sel] = kav
                 kny[sel] = kav
 

@@ -672,11 +672,12 @@ def setup_heat(session, ridx, rsign, tris, fixed, fixed_vals, mats_T,
 
 def _heat_elements(dh: DeviceHeat, V):
     """Element conductivity from the iterate: 3-node average of the
-    clamped piecewise-linear K(T) (hsolver.cpp:573-575 semantics), then
-    the changed-element block matrices mat = mat_0 + k * mat_k."""
+    clamped piecewise-linear K(T) -- the average of K at the corner
+    temperatures, NOT K of the average temperature (hsolver.cpp:573-575
+    and the host loop's kvals[tris].mean) -- then the changed-element
+    block matrices mat = mat_0 + k * mat_k."""
     Tl = dh.sgnT * V[dh.idxT]
-    Tavg = jnp.mean(Tl, axis=1)
-    kav = jax.vmap(jnp.interp)(Tavg, dh.Tc, dh.Kc)
+    kav = jnp.mean(jax.vmap(jnp.interp)(Tl, dh.Tc, dh.Kc), axis=1)
     mat = dh.mat_0 + kav[:, None, None] * dh.mat_k
     return kav, mat
 
