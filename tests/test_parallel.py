@@ -150,3 +150,39 @@ def test_distributed_ac_csym_solve():
     assert rr_d <= 1e-9
     scale = np.abs(x_ref).max()
     assert np.abs(x_d - x_ref).max() / scale < 1e-7
+
+
+def test_distributed_heat_solve_end_to_end(fixtures):
+    """heatflow.solve(..., devices=8): the K(T) substitution loop with
+    every linear solve distributed must reproduce the single-chip
+    solution (multi-block system: elements + convection edges)."""
+    from xfemm_tpu.geometry import femfile
+    from xfemm_tpu.mesh.meshdata import read_mesh_files
+    from xfemm_tpu.models import heatflow
+
+    p = femfile.load(str(fixtures / "HeatTemp0.feh"))
+    mesh = read_mesh_files(str(fixtures / "HeatTemp0"))
+    ref = heatflow.solve(p, mesh)
+    dist = heatflow.solve(p, mesh, devices=8)
+    assert dist.residual <= p.Precision
+    scale = np.abs(ref.T).max()
+    assert np.abs(dist.T - ref.T).max() / scale < 1e-6
+
+
+def test_distributed_electrostatics_schwarz_fallback(fixtures):
+    """electrostatics.solve(..., devices=8) on the axisymmetric
+    capacitor: the r-weighted eps0-scaled operator defeats the Schwarz
+    V-cycle, so this also pins the runtime fallback (stall guard ->
+    latch AMG off -> plain Jacobi distributed CG) reaching the
+    contract."""
+    from xfemm_tpu.geometry import femfile
+    from xfemm_tpu.mesh.meshdata import read_mesh_files
+    from xfemm_tpu.models import electrostatics
+
+    p = femfile.load(str(fixtures / "ElecTest.fee"))
+    mesh = read_mesh_files(str(fixtures / "ElecTest"))
+    ref = electrostatics.solve(p, mesh)
+    dist = electrostatics.solve(p, mesh, devices=8)
+    assert dist.residual <= p.Precision
+    scale = np.abs(ref.V).max()
+    assert np.abs(dist.V - ref.V).max() / scale < 1e-6

@@ -40,7 +40,8 @@ class ElecSolution:
     residual: float = 0.0
 
 
-def solve(problem: Problem, mesh: MeshData) -> ElecSolution:
+def solve(problem: Problem, mesh: MeshData, devices: int | None = None,
+          device_mesh=None) -> ElecSolution:
     from ..mesh.meshdata import resolve_default_labels
     resolve_default_labels(problem, mesh)
     units = LENGTH_TO_MM[int(problem.LengthUnits)]
@@ -165,9 +166,18 @@ def solve(problem: Problem, mesh: MeshData) -> ElecSolution:
     dof_coords = np.zeros((nred, 2))
     dof_coords[ridx] = xy
 
-    V, rel_resid, cg_iters = solver.solve(
-        blocks, b, fixed_mask, fixed_vals, problem.Precision,
-        coords=dof_coords)
+    if devices:
+        # multi-chip: domain-decomposition halo-exchange PCG
+        # (parallel/driver.py), same convergence contract
+        from ..parallel.driver import DistributedSession
+        dsess = DistributedSession(devices, mesh=device_mesh)
+        V, rel_resid, cg_iters = dsess.solve(
+            blocks, b, fixed_mask, fixed_vals, problem.Precision,
+            coords=dof_coords)
+    else:
+        V, rel_resid, cg_iters = solver.solve(
+            blocks, b, fixed_mask, fixed_vals, problem.Precision,
+            coords=dof_coords)
     V = np.asarray(V)
     Vn = V[ridx] * rsign
 

@@ -91,7 +91,13 @@ def conductor_prolongation(n, pbc_pairs, node_cond, conductors):
 
 
 def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
-          max_iter: int = 100) -> HeatSolution:
+          max_iter: int = 100, devices: int | None = None,
+          device_mesh=None) -> HeatSolution:
+    """``devices=N`` runs every linear solve of the K(T) loop on an
+    N-device 1-D ``jax.sharding.Mesh`` (domain-decomposition halo
+    exchange + additive-Schwarz AMG, parallel/driver.py) -- the
+    multi-chip analogue of the reference's PCGSolve call inside
+    hsolver.cpp's AnalyzeProblem loop."""
     from ..mesh.meshdata import resolve_default_labels
     resolve_default_labels(problem, mesh)
     if Tprev is None and problem.PrevSoln:
@@ -215,6 +221,10 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
                   for _a, _b, bi, _m in bdry_edges)
     dev_heat = None
     dev_runs = 0
+    dsess = None
+    if devices:
+        from ..parallel.driver import DistributedSession
+        dsess = DistributedSession(devices, mesh=device_mesh)
 
     for it in range(max_iter if nonlinear else 1):
         # the substitution MIDDLE runs entirely on device in one
@@ -334,10 +344,16 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
                     np.ones(len(blocks[1].idx), bool) if has_rad else None)
 
         V_old = V
-        V, rel_resid, cg_iters = solver.solve(
-            blocks, b, fixed_mask, fixed_vals, tol_it,
-            x0=V if it > 0 else None, coords=dof_coords, session=sess,
-            changed=changed)
+        if dsess is not None:
+            with profiling.phase("distributed solve"):
+                V, rel_resid, cg_iters = dsess.solve(
+                    blocks, b, fixed_mask, fixed_vals, tol_it,
+                    x0=V if it > 0 else None, coords=dof_coords)
+        else:
+            V, rel_resid, cg_iters = solver.solve(
+                blocks, b, fixed_mask, fixed_vals, tol_it,
+                x0=V if it > 0 else None, coords=dof_coords, session=sess,
+                changed=changed)
         V = np.asarray(V)
         iters_total += int(cg_iters)
         Vo = V[ridx] * rsign
@@ -357,6 +373,7 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
         # after the it-0 solve has built the band hierarchy and value
         # maps, intermediate substitution iterations can run on device
         if (it == 0 and dev_heat is None and not has_rad
+                and dsess is None
                 and not os.environ.get("XFEMM_TPU_NO_DEVICE_NEWTON")):
             from ..ops import newton as newton_dev
             # block mat = mat_0 + k * mat_k for K(T) elements (the

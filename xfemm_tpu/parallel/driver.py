@@ -153,6 +153,22 @@ class DistributedSession:
             x0_dev = jnp.where(da.fixed_mask, da.fixed_vals, x0_dev)
         x_dev, relres, iters = self._solver(da, rhs, diag, tol, x0_dev)
         it = int(iters)
+        if float(relres) > tol and self._amg is not None:
+            # the Schwarz-AMG preconditioner is not contracting on this
+            # operator (measured: the axisymmetric electrostatic system,
+            # whose r-weighted rows span ~12 orders of magnitude with
+            # eps0 scaling, defeats the smoothed-aggregation V-cycle):
+            # latch it off for this session and re-solve with plain
+            # Jacobi CG -- the same runtime fallback the single-chip
+            # band engine uses (ops/solver.py)
+            self.schwarz = False
+            self._amg = None
+            self._coarse = None
+            self._solver = halo.make_distributed_pcg(
+                self.mesh, ps.hmax, max_iter, amg=None, coarse=None)
+            x_dev, relres, it2 = self._solver(da, rhs, diag, tol, x0_dev)
+            it += int(it2)
+            self.first_iters = None
         if self.first_iters is None:
             self.first_iters = it
         self.last_iters = it

@@ -132,13 +132,20 @@ def _pcg_shard(da: DeviceArrays, b, x0, diag, tol, max_iter, hmax,
     p = z
     res = pdot(z, r)
 
+    # stall guard: a non-contracting preconditioner (e.g. an operator
+    # the Schwarz V-cycle cannot handle) must not burn max_iter -- exit
+    # once no 10% improvement happened within the window so the driver
+    # can latch the preconditioner off and retry (driver.py)
+    stall_window = 500
+
     def cond(state):
-        _, _, _, res, it = state
-        return jnp.logical_and(jnp.sqrt(jnp.abs(res) / res0) > tol,
-                               it < max_iter)
+        _, _, _, res, it, _best, since = state
+        return jnp.logical_and(
+            jnp.sqrt(jnp.abs(res) / res0) > tol,
+            jnp.logical_and(it < max_iter, since < stall_window))
 
     def body(state):
-        x, r, p, res, it = state
+        x, r, p, res, it, best, since = state
         u = op(p)
         delta = res / pdot(p, u)
         x = x + delta * p
@@ -146,10 +153,14 @@ def _pcg_shard(da: DeviceArrays, b, x0, diag, tol, max_iter, hmax,
         z = prec(r)
         res_new = pdot(z, r)
         p = z + (res_new / res) * p
-        return x, r, p, res_new, it + 1
+        improved = jnp.abs(res_new) < 0.9 * best
+        best = jnp.minimum(best, jnp.abs(res_new))
+        since = jnp.where(improved, 0, since + 1)
+        return x, r, p, res_new, it + 1, best, since
 
-    x, r, p, res, it = jax.lax.while_loop(
-        cond, body, (x0, r, p, res, jnp.array(0, jnp.int32)))
+    x, r, p, res, it, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r, p, res, jnp.array(0, jnp.int32),
+                     jnp.abs(res), jnp.array(0, jnp.int32)))
     return x, jnp.sqrt(jnp.abs(res) / res0), it
 
 
