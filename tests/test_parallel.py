@@ -186,3 +186,29 @@ def test_distributed_electrostatics_schwarz_fallback(fixtures):
     assert dist.residual <= p.Precision
     scale = np.abs(ref.V).max()
     assert np.abs(dist.V - ref.V).max() / scale < 1e-6
+
+
+def test_distributed_harmonic_solve_end_to_end(fixtures):
+    """harmonic.solve(..., devices=8): the AC pairs path end-to-end from
+    a real .fem (eddy steel plate + fixed-J source, circuits stripped --
+    Case-2 bordered rows stay single-chip by design). Must reproduce the
+    single-chip complex solution."""
+    from xfemm_tpu.geometry import femfile
+    from xfemm_tpu.mesh.meshdata import read_mesh_files
+    from xfemm_tpu.models import harmonic
+
+    p = femfile.load(str(fixtures / "ACtest.fem"))
+    for lab in p.labellist:
+        lab.InCircuit = -1
+    mesh = read_mesh_files(str(fixtures / "ACtest"))
+    ref = harmonic.solve(p, mesh)
+    dist = harmonic.solve(p, mesh, devices=8)
+    assert dist.residual <= p.Precision
+    scale = np.abs(ref.A).max()
+    assert np.abs(dist.A - ref.A).max() / scale < 1e-6
+
+    # circuit Case-2 problems keep the single-chip path (documented):
+    # devices=8 on the unmodified fixture must still meet the contract
+    p2 = femfile.load(str(fixtures / "ACtest.fem"))
+    full = harmonic.solve(p2, mesh, devices=8)
+    assert full.residual <= p2.Precision

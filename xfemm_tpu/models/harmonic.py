@@ -135,7 +135,15 @@ def _effective_mu(problem: Problem, mat) -> tuple[complex, complex]:
 
 
 def solve(problem: Problem, mesh: MeshData,
-          max_newton: int = 100, Aprev=None) -> MagSolution:
+          max_newton: int = 100, Aprev=None, devices: int | None = None,
+          device_mesh=None) -> MagSolution:
+    """``devices=N`` runs the complex-symmetric solves distributed on an
+    N-device mesh ((re,im) pairs + halo exchange, parallel/driver.py).
+    Problems with circuit Case-2 voltage-gradient DOFs keep the
+    single-chip path: those bordered rows couple densely to every
+    element of their winding, which a 1-D slab halo cannot carry (the
+    reference solves them inside the same matrix, cspars.cpp; here they
+    would need a Schur complement over the few circuit DOFs)."""
     assert problem.ProblemType == ProblemType.PLANAR, \
         "harmonic axisymmetric in models/harmonicaxi.py"
     assert problem.Frequency != 0
@@ -325,6 +333,14 @@ def solve(problem: Problem, mesh: MeshData,
     lastres = 0.0
     iters_total = 0
     rel_resid = 0.0
+    dsess = None
+    dof_coords_c = None
+    if devices and not case2_ids:
+        from ..parallel.driver import DistributedSession
+        dsess = DistributedSession(devices, mesh=device_mesh,
+                                   schwarz=False)
+        dof_coords_c = np.zeros((ntot, 2))
+        dof_coords_c[pk.ridx] = pk.xy
 
     for it in range(max_newton if nonlinear else 1):
         Mn = np.zeros((T, 3, 3), complex)
@@ -397,9 +413,14 @@ def solve(problem: Problem, mesh: MeshData,
             b[pk.ridx[bb]] += -pk.rsign[bb] * Kb
 
         V_old = V
-        V, rel_resid, cg_iters = solver.solve_complex(
-            blocks, b, fixed_mask, fixed_vals, problem.Precision,
-            x0=V if it > 0 else None)
+        if dsess is not None:
+            V, rel_resid, cg_iters = dsess.solve_complex(
+                blocks, b, fixed_mask, fixed_vals, problem.Precision,
+                x0=V if it > 0 else None, coords=dof_coords_c)
+        else:
+            V, rel_resid, cg_iters = solver.solve_complex(
+                blocks, b, fixed_mask, fixed_vals, problem.Precision,
+                x0=V if it > 0 else None)
         V = np.asarray(V)
         iters_total += int(cg_iters)
 
