@@ -212,3 +212,42 @@ def test_distributed_harmonic_solve_end_to_end(fixtures):
     p2 = femfile.load(str(fixtures / "ACtest.fem"))
     full = harmonic.solve(p2, mesh, devices=8)
     assert full.residual <= p2.Precision
+
+
+def test_distributed_axisymmetric_solve_end_to_end(fixtures):
+    """axisymmetric.solve(..., devices=8) on the nonlinear solenoid:
+    the r-weighted Newton loop with every linear solve distributed must
+    reproduce the single-chip solution."""
+    from xfemm_tpu.geometry import femfile
+    from xfemm_tpu.mesh.meshdata import read_mesh_files
+    from xfemm_tpu.models import axisymmetric
+
+    p = femfile.load(str(fixtures / "AxiSolenoid.fem"))
+    mesh = read_mesh_files(str(fixtures / "AxiSolenoid"))
+    ref = axisymmetric.solve(p, mesh)
+    dist = axisymmetric.solve(p, mesh, devices=8)
+    assert dist.residual <= p.Precision
+    scale = np.abs(ref.A).max()
+    assert np.abs(dist.A - ref.A).max() / scale < 1e-6
+
+
+def test_distributed_harmonicaxi_solve_end_to_end(fixtures):
+    """harmonicaxi.solve(..., devices=8): distributed complex pairs on
+    the axisymmetric eddy problem (circuit replaced by a fixed J so no
+    Case-2 bordered rows)."""
+    from xfemm_tpu.geometry import femfile
+    from xfemm_tpu.mesh.meshdata import read_mesh_files
+    from xfemm_tpu.models import harmonicaxi
+
+    p = femfile.load(str(fixtures / "ACaxi.fem"))
+    for lab in p.labellist:
+        lab.InCircuit = -1
+    for m in p.blockproplist:
+        if m.name == "Coil":
+            m.J = 2.0 + 0.0j
+    mesh = read_mesh_files(str(fixtures / "ACaxi"))
+    ref = harmonicaxi.solve(p, mesh)
+    dist = harmonicaxi.solve(p, mesh, devices=8)
+    assert dist.residual <= p.Precision
+    scale = np.abs(ref.A).max()
+    assert np.abs(dist.A - ref.A).max() / scale < 1e-6

@@ -59,14 +59,11 @@ def cmd_solve(args) -> int:
     t0 = time.time()
     kw = {}
     if getattr(args, "devices", None):
-        from .constants import ProblemType
-        if (problem.filetype == FileType.MAGNETICS
-                and problem.Frequency == 0
-                and problem.ProblemType == ProblemType.PLANAR):
-            kw["devices"] = args.devices
-        else:
-            print("--devices: distributed backend currently covers "
-                  "planar DC magnetostatics; solving single-chip")
+        # every solver family routes its linear solves through the
+        # distributed backend (harmonic problems with circuit Case-2
+        # voltage DOFs internally keep the single-chip path, see
+        # models/harmonic.py)
+        kw["devices"] = args.devices
     sol = models.solve(problem, mesh, **kw)
     elapsed = time.time() - t0
 

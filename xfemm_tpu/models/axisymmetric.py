@@ -56,7 +56,8 @@ def _circuit_preprocess_axi(pk: PackedMagnetostatic, geom):
 
 
 def solve(problem: Problem, mesh: MeshData,
-          max_newton: int = 100) -> MagSolution:
+          max_newton: int = 100, devices: int | None = None,
+          device_mesh=None) -> MagSolution:
     assert problem.ProblemType == ProblemType.AXISYMMETRIC
     pk = pack(problem, mesh)
     c = C_APOT
@@ -142,6 +143,10 @@ def solve(problem: Problem, mesh: MeshData,
     dev_runs = 0
     it_shift = 0       # extra global iterations from device runs
     dev_handoff = False
+    dsess = None
+    if devices:
+        from ..parallel.driver import DistributedSession
+        dsess = DistributedSession(devices, mesh=device_mesh)
 
     for it in range(max_newton if nonlinear else 1):
         # the Newton middle runs on device in one dispatch
@@ -251,10 +256,16 @@ def solve(problem: Problem, mesh: MeshData,
             tol_it = max(problem.Precision, min(1e-4, 0.03 * res))
 
         V_old = V
-        V, rel_resid, cg_iters = solver.solve(
-            blocks, b, pk.fixed_mask, pk.fixed_vals, tol_it,
-            x0=V if it > 0 else None, coords=dof_coords, session=sess,
-            changed=[nl] if nonlinear else None)
+        if dsess is not None:
+            with profiling.phase("distributed solve"):
+                V, rel_resid, cg_iters = dsess.solve(
+                    blocks, b, pk.fixed_mask, pk.fixed_vals, tol_it,
+                    x0=V if it > 0 else None, coords=dof_coords)
+        else:
+            V, rel_resid, cg_iters = solver.solve(
+                blocks, b, pk.fixed_mask, pk.fixed_vals, tol_it,
+                x0=V if it > 0 else None, coords=dof_coords, session=sess,
+                changed=[nl] if nonlinear else None)
         V = np.asarray(V)
         iters_total += int(cg_iters)
 
@@ -281,6 +292,7 @@ def solve(problem: Problem, mesh: MeshData,
         # after the it-0 solve has built the band hierarchy and value
         # maps, intermediate Newton iterations can run on device
         if (it == 0 and nonlinear and dev_state is None
+                and dsess is None
                 and not os.environ.get("XFEMM_TPU_NO_DEVICE_NEWTON")):
             from ..ops import newton as newton_dev
             b_static = _rhs(pk, geom, be_static)

@@ -30,7 +30,11 @@ from .magnetostatics import MagSolution, pack
 
 
 def solve(problem: Problem, mesh: MeshData,
-          max_newton: int = 100) -> MagSolution:
+          max_newton: int = 100, devices: int | None = None,
+          device_mesh=None) -> MagSolution:
+    """``devices=N``: distributed complex-symmetric solves; circuit
+    Case-2 bordered problems keep the single-chip path (see
+    models/harmonic.py)."""
     assert problem.ProblemType == ProblemType.AXISYMMETRIC
     assert problem.Frequency != 0
     pk = pack(problem, mesh)
@@ -184,6 +188,15 @@ def solve(problem: Problem, mesh: MeshData,
     iters_total = 0
     rel_resid = 0.0
 
+    dsess = None
+    dof_coords_c = None
+    if devices and not case2_ids:
+        from ..parallel.driver import DistributedSession
+        dsess = DistributedSession(devices, mesh=device_mesh,
+                                   schwarz=False)
+        dof_coords_c = np.zeros((ntot, 2))
+        dof_coords_c[pk.ridx] = pk.xy
+
     for it in range(max_newton if nonlinear else 1):
         Mn = np.zeros((T, 3, 3), complex)
         be = be_static.copy()
@@ -247,9 +260,14 @@ def solve(problem: Problem, mesh: MeshData,
             b[pk.ridx[bb]] += -pk.rsign[bb] * Kb
 
         V_old = V
-        V, rel_resid, cg_iters = solver.solve_complex(
-            blocks, b, fixed_mask, fixed_vals, problem.Precision,
-            x0=V if it > 0 else None)
+        if dsess is not None:
+            V, rel_resid, cg_iters = dsess.solve_complex(
+                blocks, b, fixed_mask, fixed_vals, problem.Precision,
+                x0=V if it > 0 else None, coords=dof_coords_c)
+        else:
+            V, rel_resid, cg_iters = solver.solve_complex(
+                blocks, b, fixed_mask, fixed_vals, problem.Precision,
+                x0=V if it > 0 else None)
         V = np.asarray(V)
         iters_total += int(cg_iters)
 
