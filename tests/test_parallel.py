@@ -171,10 +171,12 @@ def test_distributed_heat_solve_end_to_end(fixtures):
 
 def test_distributed_electrostatics_schwarz_fallback(fixtures):
     """electrostatics.solve(..., devices=8) on the axisymmetric
-    capacitor: the r-weighted eps0-scaled operator defeats the Schwarz
-    V-cycle, so this also pins the runtime fallback (stall guard ->
-    latch AMG off -> plain Jacobi distributed CG) reaching the
-    contract."""
+    capacitor: the operator whose on-axis rows vanish like r used to
+    defeat the Schwarz V-cycle (near-singular local coarse blocks +
+    an underestimated smoother bound); with the Gershgorin omega and
+    scaled coarse inversion it now converges through Schwarz, and the
+    stall-guard/Jacobi fallback added for it remains as the safety
+    net."""
     from xfemm_tpu.geometry import femfile
     from xfemm_tpu.mesh.meshdata import read_mesh_files
     from xfemm_tpu.models import electrostatics

@@ -68,6 +68,24 @@ def lambda_max_est(A: sp.csr_matrix, invd: np.ndarray, iters: int = 12):
     return max(lam, 1.0)
 
 
+def scaled_inv(Ad: "np.ndarray") -> "np.ndarray":
+    """Dense coarsest-level inverse through symmetric Jacobi scaling,
+    lightly regularized.
+
+    Coarsest Galerkin matrices can be near-singular in raw units even
+    when the global system is SPD (measured: the axisymmetric
+    electrostatic operator, whose on-axis rows vanish like r -- kappa ~
+    3e16 made np.linalg.inv return garbage, the V-cycle's coarse
+    correction destroyed positive definiteness, and CG stalled). The
+    D^-1/2 scaling makes the rows O(1); the Tikhonov term bounds the
+    inverse when a genuinely floating null mode remains."""
+    d = np.sqrt(np.abs(np.diag(Ad)))
+    d[d == 0] = 1.0
+    As = Ad / d[:, None] / d[None, :]
+    As = As + np.eye(As.shape[0]) * 1e-10
+    return np.linalg.inv(As) / d[None, :] / d[:, None]
+
+
 class HostLevel(NamedTuple):
     A: sp.csr_matrix
     invd: np.ndarray       # 1/diag
@@ -185,7 +203,7 @@ def to_device(levels: list[HostLevel], dtype=np.float32) -> DeviceAMG:
             p_vals=jnp.asarray(pell.vals),
             p_cols=jnp.asarray(pell.cols)))
     coarse = levels[-1].A.toarray()
-    cinv = np.linalg.inv(coarse)
+    cinv = scaled_inv(coarse)
     return DeviceAMG(levels=tuple(dev_levels),
                      coarse_inv=jnp.asarray(cinv, dtype))
 

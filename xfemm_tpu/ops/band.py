@@ -346,7 +346,8 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         A = Ac
         first = False
 
-    cinv = np.linalg.inv(A.toarray().astype(np.float64))
+    from .amg import scaled_inv
+    cinv = scaled_inv(A.toarray().astype(np.float64))
     amg = BandAMG(levels=tuple(levels),
                   coarse_inv=jnp.asarray(cinv.astype(dtype)),
                   n=At.shape[0])

@@ -27,7 +27,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..ops.amg import (JACOBI_OMEGA, DeviceAMG, DeviceLevel,
-                       lambda_max_est)
+                       lambda_max_est, scaled_inv)
 from .partition import PartitionedSystem
 
 AGG = 8
@@ -160,7 +160,7 @@ def build_schwarz_amg(ps: PartitionedSystem, dtype=np.float32) -> DeviceAMG:
             omega=jnp.asarray(np.stack(om)),
             p_vals=jnp.asarray(np.stack(pv)),
             p_cols=jnp.asarray(np.stack(pc))))
-    cinv = np.stack([np.linalg.inv(A.toarray()) for A in coarse_mats])
+    cinv = np.stack([scaled_inv(A.toarray()) for A in coarse_mats])
     return DeviceAMG(levels=tuple(dev_levels),
                      coarse_inv=jnp.asarray(cinv.astype(dtype)))
 
@@ -233,4 +233,4 @@ def build_global_coarse(ps: PartitionedSystem):
     d0[d0 == 0] = 1.0
     np.fill_diagonal(Ac, d0)
     import jax.numpy as jnp
-    return jnp.asarray(np.linalg.inv(Ac)), aggc
+    return jnp.asarray(scaled_inv(Ac)), aggc
