@@ -97,3 +97,60 @@ def plot_flux_lines(mesh: MeshData, A, ax=None, levels=19, color="k"):
                   colors=color, linewidths=0.6)
     ax.set_aspect("equal")
     return ax
+
+
+def plot_B(post, ax=None, kind="magnitude", cmap="inferno", levels=32,
+           colorbar=True, quiver_step: int = 0):
+    """Flux-density view from a solved magnetics postprocessor
+    (mfemm/visualisation/B_from_vector_potential.m + the 'PlotFields'
+    overlay of plotfemmproblem.m): filled |B| density from the smoothed
+    per-corner reconstruction, optionally with a B-direction quiver
+    every ``quiver_step`` elements.
+
+    ``post`` is a ``post.fpproc.MagPostProcessor`` (api.Solution.post).
+    """
+    import matplotlib.pyplot as plt
+    import matplotlib.tri as mtri
+    ax = _ax(ax)
+    mesh = post.mesh
+    nb1, nb2 = post.nodal_B()
+    # per-element |B| from the corner average
+    b1 = np.real(np.asarray(nb1)).mean(axis=1)
+    b2 = np.real(np.asarray(nb2)).mean(axis=1)
+    mag = np.hypot(b1, b2)
+    tri = mtri.Triangulation(mesh.nodes[:, 0], mesh.nodes[:, 1],
+                             mesh.elements)
+    if kind == "magnitude":
+        m = ax.tripcolor(tri, facecolors=mag, cmap=cmap)
+        if colorbar:
+            plt.colorbar(m, ax=ax, label="|B| [T]")
+    if quiver_step:
+        cx = mesh.nodes[mesh.elements, 0].mean(axis=1)
+        cy = mesh.nodes[mesh.elements, 1].mean(axis=1)
+        s = slice(None, None, int(quiver_step))
+        ax.quiver(cx[s], cy[s], b1[s], b2[s], angles="xy", width=2e-3,
+                  color="w" if kind == "magnitude" else "k")
+    ax.set_aspect("equal")
+    return ax
+
+
+def plot_solution(problem: Problem, mesh: MeshData, sol, ax=None,
+                  flux_levels: int = 19):
+    """One-call solution view (the FEMM postprocessor's default window):
+    |B| density + flux lines for magnetics, T / V density for heat and
+    electrostatics."""
+    from ..constants import FileType
+    ax = _ax(ax)
+    ft = problem.filetype
+    if ft == FileType.MAGNETICS:
+        from ..post.fpproc import MagPostProcessor
+        post = MagPostProcessor(problem, mesh, sol.A,
+                                getattr(sol, "label_case", None))
+        plot_B(post, ax=ax)
+        plot_flux_lines(mesh, sol.A, ax=ax, levels=flux_levels,
+                        color="w")
+    elif ft == FileType.HEATFLOW:
+        plot_density(mesh, sol.T, ax=ax, label="T [K]")
+    else:
+        plot_density(mesh, sol.V, ax=ax, label="V [V]")
+    return ax
