@@ -26,12 +26,51 @@ REF_FSOLVER_SECONDS = 12.9        # reference fsolver on the same mesh
 TARGET_NODES = 250_000
 
 
+def _probe_accelerator(timeout_s: float = 180.0) -> bool:
+    """Check (in a subprocess, so a wedged tunnel RPC can't hang the
+    benchmark) whether the accelerator backend initializes."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        print(f"backend probe hung >{timeout_s:.0f}s", file=sys.stderr)
+        return False
+    if proc.returncode != 0:
+        print(f"backend probe failed: {proc.stderr.strip()[-400:]}",
+              file=sys.stderr)
+        return False
+    return proc.stdout.strip() not in ("", "cpu")
+
+
+def _backend_platform() -> str:
+    """Initialize the JAX backend, retrying once if the remote TPU
+    tunnel is briefly unavailable; fall back to CPU (explicitly labeled
+    in the metric) rather than failing the benchmark artifact when the
+    accelerator is unreachable or its init hangs."""
+    import jax
+    for attempt in (1, 2):
+        if _probe_accelerator():
+            return jax.devices()[0].platform
+        if attempt == 1:
+            time.sleep(60)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    return jax.devices()[0].platform
+
+
 def main() -> None:
     t_start = time.time()
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import xfemm_tpu  # noqa: F401  (enables the persistent compile cache)
+    platform = _backend_platform()
+    suffix = "" if platform in ("tpu", "axon") \
+        else f" [{platform} FALLBACK -- accelerator unreachable]"
     from xfemm_tpu.mesh import mesher
     from xfemm_tpu.models import benchprob, magnetostatics
 
@@ -84,7 +123,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": f"nonlinear magnetostatic solve, {mesh.num_nodes} nodes, "
-                  f"1e-8 tol (warm)",
+                  f"1e-8 tol (warm){suffix}",
         "value": round(elapsed, 2),
         "unit": "s",
         "vs_baseline": round(REF_FSOLVER_SECONDS / elapsed, 3),
