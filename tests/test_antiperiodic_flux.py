@@ -7,26 +7,22 @@ block label. |Bx|+|By| is checked on the lua test's 45-point grid with
 the reference's own OR-margins (fail when abs diff > 0.02 OR rel diff >
 70%, femmcli_antiperiodicBC_flux.lua:20).
 
-Two grid points are known to fail the reference margins on OUR mesh and
-are tracked with documented looser bounds instead:
+One grid point is known to fail the reference margins on OUR mesh and
+is tracked with a documented looser bound instead:
 
 * ``(-20, -10)``: |B| in a steel region 0.16 units from the rotor-surface
   arc (R=22.2).  The expected value encodes FEMM 4.2's particular mesh
   realization: on the reference's OWN Triangle mesh our solver + post
   reproduce it to +0.9% (within margin), and the value does not converge
-  into the 1.7% margin under refinement of our mesh (stable at ~-3.5%
-  from 10k to 13k nodes), i.e. the margin is tighter than the
-  discretization scatter between two equal-density meshes.
-* ``(-35, 10)``: near-zero leakage field (|B| ~ 9e-4) where the absolute
-  margin (0.02) passes easily but the relative margin (70%) measures
-  mesh noise; our meshes give 1.5-4x the expected value, the reference's
-  own Triangle mesh gives 0.9x.
+  into the 1.7% margin under refinement of our mesh, i.e. the margin is
+  tighter than the discretization scatter between two equal-density
+  meshes.
 
-Both points pass when the problem is solved on the reference mesher's
+The point passes when the problem is solved on the reference mesher's
 output (tests/test_magnetostatics golden comparisons pin that the solver
 matches the reference exactly on identical meshes), so the residual gap
-is mesh realization, not physics.  The other 43 points must pass the
-reference margins verbatim, and the two outliers are still bounded
+is mesh realization, not physics.  The other 44 points must pass the
+reference margins verbatim, and the outlier is still bounded
 (abs <= 0.06 or rel <= 450%) so a real regression trips the test.
 """
 
@@ -54,7 +50,10 @@ B_ABS_REF = [
 ]
 
 #: grid points exempted from the reference margins (see module docstring)
-KNOWN_MESH_BIASED = {(-35, 10), (-20, -10)}
+#: ((-35, 10) passed the reference margins again once the refinement
+#: queue's recycled-slot bug was fixed; only the saturated-steel point
+#: remains mesh-biased)
+KNOWN_MESH_BIASED = {(-20, -10)}
 
 
 def test_antiperiodic_flux(fixtures):
