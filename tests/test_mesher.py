@@ -143,3 +143,31 @@ def test_read_reference_premeshed(fixtures):
     assert mesh.num_nodes == 15306
     assert mesh.num_elements == 30081
     assert len(mesh.pbc_pairs) == 176
+
+
+def test_refinement_density_short_segment():
+    """Steiner-point economy regression guard: one short interior
+    segment in a big square. The vendored Triangle emits 57 points for
+    this PSLG; tpumesh emits ~77. The stale-queue/recycled-slot bug
+    (entries acting on new triangles occupying recycled slots, processed
+    out of shortest-edge order) put this at 116 and motor meshes at
+    1.3x Triangle density -- a wide margin still traps that failure
+    class without pinning the chaotic exact count."""
+    pts = np.array([(0, 0), (10, 0), (10, 10), (0, 10),
+                    (4.95, 5.0), (5.05, 5.0)], float)
+    segs = np.array([(0, 1), (1, 2), (2, 3), (3, 0), (4, 5)], np.int32)
+    t = core.triangulate(pts, segs, min_angle=33.0)
+    assert len(t.points) <= 95, len(t.points)
+
+
+def test_refinement_density_cocircular_polygon():
+    """Discretized-arc economy: a regular 64-gon (all points
+    co-circular, the hardest self-organization case). Triangle: 187
+    points; tpumesh: ~207; the recycled-slot bug gave 239+."""
+    k = 64
+    th = np.linspace(0, 2 * np.pi, k, endpoint=False)
+    pts = np.stack([np.cos(th), np.sin(th)], axis=1)
+    segs = np.stack([np.arange(k), (np.arange(k) + 1) % k],
+                    axis=1).astype(np.int32)
+    t = core.triangulate(pts, segs, min_angle=33.0)
+    assert len(t.points) <= 225, len(t.points)
