@@ -7,12 +7,12 @@ path) and reports wall time for a warm solve (compiles cached; the first
 solve pays one-time XLA compilation).
 
 Baseline: the unmodified reference fsolver (single-threaded C++, built
-from /root/reference at -O2) solves the identical premeshed 242,339-node
-problem in 12.9 s on this machine (AMD EPYC-class host, single core) --
-measured 2026-08-17 (best of 2: 12.9/13.3 s) on the mesh produced by the
-current refinement kernel at AREA_TIGHTEN 0.62. ``vs_baseline`` is the
-speedup factor baseline_time / our_time (>1 means faster than the
-reference).
+from /root/reference at -O2) solves the identical premeshed 251,100-node
+problem in 14.0 s on this machine (AMD EPYC-class host, single core) --
+measured 2026-08-18 (best of 2: 13.98/14.87 s) on the mesh produced by
+the current refinement kernel (generation-stamped queue, AREA_TIGHTEN
+0.55). ``vs_baseline`` is the speedup factor baseline_time / our_time
+(>1 means faster than the reference).
 
 Prints exactly one JSON line.
 """
@@ -22,7 +22,7 @@ import os
 import sys
 import time
 
-REF_FSOLVER_SECONDS = 12.9        # reference fsolver on the same mesh
+REF_FSOLVER_SECONDS = 14.0        # reference fsolver on the same mesh
 TARGET_NODES = 250_000
 
 
