@@ -1484,18 +1484,22 @@ void refine(Mesh &m) {
             continue;
         }
 
-        // PROTECTED ("-Y") segments only: skip proposals whose point falls
-        // in a nearby protected lens BEFORE inserting. The star-based
-        // post-check below would reject them anyway (give-up), but the
-        // undo's cavity refill is not guaranteed Delaunay, so a pure
-        // insert-then-undo protocol perturbs the neighborhood it restores;
-        // skipping up front leaves the mesh untouched, which measures
-        // ~3-4% fewer nodes on the periodic-boundary fixtures. For
-        // SPLITTABLE segments no such pre-scan runs -- rejecting a point
-        // for a lens hit outside its own star splits boundary segments
-        // Triangle would never split (one extra generation of boundary
-        // subdivision; 2x total points on a square with one short
-        // interior segment).
+        // Pre-insertion lens scan for quality (non-area) proposals, two
+        // cases only:
+        //  * PROTECTED ("-Y") segments: skip the proposal outright. The
+        //    star-based post-check below would reject it anyway
+        //    (give-up), but the undo's cavity refill is not guaranteed
+        //    to reproduce the pre-insertion triangulation exactly, so a
+        //    pure insert-then-undo protocol perturbs the neighborhood
+        //    it restores; skipping up front leaves the mesh untouched
+        //    (~3-4% fewer nodes on the periodic-boundary fixtures).
+        //  * Splittable segments at the proposal's own scale, or inside
+        //    area-bounded regions: split preemptively (details below).
+        // Everything else follows Triangle's lazy protocol -- rejecting
+        // a point for a lens hit outside its own star splits boundary
+        // segments Triangle would never split (one extra generation of
+        // boundary subdivision; 2x total points on a square with one
+        // short interior segment).
         if (!bad_area) {
             bool prot_enc = false;
             uint64_t short_enc = 0;
