@@ -35,7 +35,12 @@ def _machine_fingerprint() -> str:
     import hashlib
     import platform as _plat
 
-    parts = [_plat.machine(), _plat.processor()]
+    # XLA_FLAGS participates: flags like
+    # --xla_force_host_platform_device_count change the CPU backend's
+    # codegen pseudo-features (prefer-no-scatter/gather), and loading
+    # those entries from a plain run trips the AOT feature check
+    parts = [_plat.machine(), _plat.processor(),
+             _os.environ.get("XLA_FLAGS", "")]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:

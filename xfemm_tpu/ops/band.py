@@ -244,13 +244,21 @@ class BandAMG(NamedTuple):
     levels: tuple
     coarse_inv: "np.ndarray"
     n: int
+    #: optional near-exact bottom solve: a block-tridiagonal factor
+    #: (ops/blocktri.py BTFactor) of the FIRST Galerkin coarse matrix.
+    #: When present the hierarchy is two-grid -- fine smoothing plus an
+    #: (almost) exact coarse correction -- which cuts PCG iterations
+    #: ~5-10x on 1M-class problems where the fine-level factor itself
+    #: cannot fit HBM (blocktri.factor_bytes(1M, 2048) ~ 16 GB, but the
+    #: 250k coarse level factors in 1-2 GB).
+    bt_coarse: "object | None" = None
 
 
 SYM_MIN_BYTES = 256 * 2 ** 20    # store levels above this as triu
 
 
 def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
-                   fine_dtype=None):
+                   fine_dtype=None, bt_coarse_budget: float = 0.0):
     """Build the band hierarchy (host, f64 -> device dtype). ``At`` must
     already be RCM-ordered with Dirichlet identity rows. Returns
     (BandAMG, fine_layout) -- the fine layout supports value-only
@@ -262,12 +270,19 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
     drops the fine operator itself to bf16: the mixed-precision
     refinement driver then needs a couple more outer passes (each pass
     still contracts the true f64 residual by ~1/|dA| ~ 250x), trading
-    a little convergence for another 2x of memory."""
+    a little convergence for another 2x of memory.
+
+    ``bt_coarse_budget`` (bytes, > 0 enables): try to block-tridiagonal
+    factor the FIRST Galerkin coarse matrix and stop the hierarchy there
+    (two-grid with a near-exact coarse solve). The factor is built
+    BEFORE the fine band is filled on device, so the transient peak is
+    ``2 * factor_bytes`` rather than ``fine_band + 2 * factor_bytes``."""
     import jax.numpy as jnp
 
     from ..utils import profiling
 
     levels = []
+    bt_coarse = None
     # f32 throughout: the hierarchy is a preconditioner, and the host
     # Galerkin products dominate setup time -- f32 halves their memory
     # traffic (the CG operator itself is filled from the f64 CSR data)
@@ -292,6 +307,21 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                  @ (A @ P0)).tocsr()
             Ac = (P.T @ A @ P).tocsr()
             Ac.sum_duplicates()
+
+        if first and bt_coarse_budget > 0.0:
+            # two-grid: factor the coarse Galerkin matrix now, BEFORE
+            # the fine band exists on device (peak = 2 * factor bytes)
+            from . import blocktri as bt_mod
+            bwc = bt_mod.bandwidth(Ac)
+            bsize = bt_mod.pick_block(bwc)
+            if bsize is not None and 2.0 * bt_mod.factor_bytes(
+                    Ac.shape[0], bsize) <= bt_coarse_budget:
+                with profiling.phase("bt coarse factor"):
+                    lay_c = bt_mod.pack_layout(Ac, bsize)
+                    maps_c = bt_mod.device_maps(lay_c)
+                    bt_coarse = bt_mod.build_factor(
+                        maps_c, Ac.data, b=bsize, NB=lay_c.NB)
+                    bt_coarse.Sinv.block_until_ready()
 
         Astore = A
         dvec = None
@@ -345,12 +375,17 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             P=Pdev, Abf=Abf, dvec=dvec))
         A = Ac
         first = False
+        if bt_coarse is not None:
+            break
 
     from .amg import scaled_inv
-    cinv = scaled_inv(A.toarray().astype(np.float64))
+    if bt_coarse is not None:
+        cinv = np.zeros((1, 1))       # placeholder; bottom solve is bt
+    else:
+        cinv = scaled_inv(A.toarray().astype(np.float64))
     amg = BandAMG(levels=tuple(levels),
                   coarse_inv=jnp.asarray(cinv.astype(dtype)),
-                  n=At.shape[0])
+                  n=At.shape[0], bt_coarse=bt_coarse)
     return amg, fine_layout
 
 
@@ -418,7 +453,8 @@ def update_fine_values(amg: BandAMG, fine_layout, data,
     levels = (BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
                         P=lv0.P, Abf=newAbf, dvec=new_dvec),) \
         + amg.levels[1:]
-    return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n)
+    return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n,
+                   bt_coarse=amg.bt_coarse)
 
 
 #: Chebyshev smoothing degree for the band V-cycle. Degree 1 is plain
@@ -465,13 +501,18 @@ def band_vcycle(amg: BandAMG, r):
 
     def cycle(l, r):
         if l == L:
+            if amg.bt_coarse is not None:
+                from .blocktri import bt_apply
+                return bt_apply(amg.bt_coarse, r)
             return amg.coarse_inv @ r
         lv = amg.levels[l]
         As = lv.Abf if lv.Abf is not None else lv.A
         z = _cheby_smooth(lv, As, r)
         d = r - band_apply(As, lv.dvec, z)
         rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
-                  else amg.coarse_inv.shape[0])
+                  else (amg.coarse_inv.shape[0]
+                        if amg.bt_coarse is None
+                        else (r.shape[0] + AGG - 1) // AGG))
         if lv.P is not None:
             # smoothed-prolongator transfers (bf16): halves CG
             # iterations vs plain aggregation

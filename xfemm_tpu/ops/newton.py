@@ -174,7 +174,8 @@ def _band_eligible(session) -> bool:
             levels=(lv0._replace(Abf=None),)
             + session.band_amg.levels[1:],
             coarse_inv=session.band_amg.coarse_inv,
-            n=session.band_amg.n)
+            n=session.band_amg.n,
+            bt_coarse=session.band_amg.bt_coarse)
     return True
 
 
@@ -277,7 +278,7 @@ def strip_fine_band(amg: BandAMG):
         levels=(BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
                           P=lv0.P, Abf=newAbf, dvec=lv0.dvec),)
         + amg.levels[1:],
-        coarse_inv=amg.coarse_inv, n=amg.n)
+        coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
     return rest, dense, abf
 
 
@@ -295,7 +296,8 @@ def rebuild_band_amg(amg_rest: BandAMG, dense, abf, dvec) -> BandAMG:
     lv = BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega, P=lv0.P,
                    Abf=newAbf, dvec=dvec)
     return BandAMG(levels=(lv,) + amg_rest.levels[1:],
-                   coarse_inv=amg_rest.coarse_inv, n=amg_rest.n)
+                   coarse_inv=amg_rest.coarse_inv, n=amg_rest.n,
+                   bt_coarse=amg_rest.bt_coarse)
 
 
 def _newton_elements(dn: DeviceNewton, V, has_lam: bool,
@@ -400,7 +402,8 @@ def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
     lv = BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega, P=lv0.P,
                    Abf=newAbf, dvec=new_dvec)
     return BandAMG(levels=(lv,) + amg.levels[1:],
-                   coarse_inv=amg.coarse_inv, n=amg.n)
+                   coarse_inv=amg.coarse_inv, n=amg.n,
+                   bt_coarse=amg.bt_coarse)
 
 
 def _inner_solve(amg_new, r_scaled, tol_eff, inner_iter, bt, n):
@@ -492,7 +495,7 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
                               invd=lv0.invd, omega=lv0.omega, P=lv0.P,
                               Abf=None, dvec=dvec),)
             + amg.levels[1:],
-            coarse_inv=amg.coarse_inv, n=amg.n)
+            coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
         Vl, Me, Mn = _newton_elements(dn, V, has_lam, axi)
         amg_new = _refresh_operator(dn, amg_cur, Me)
         dbe = jnp.einsum("tjk,tk->tj", Mn, Vl)
@@ -712,7 +715,7 @@ def run_heat(dn: DeviceHeat, amg: BandAMG, dense, V, state,
                               invd=lv0.invd, omega=lv0.omega, P=lv0.P,
                               Abf=None, dvec=dvec),)
             + amg.levels[1:],
-            coarse_inv=amg.coarse_inv, n=amg.n)
+            coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
         kav, mat = _heat_elements(dn, V)
         # _refresh_operator computes souter * (-Me); the block carries
         # ``mat`` directly, so pass Me = -mat

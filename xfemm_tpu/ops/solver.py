@@ -1060,33 +1060,53 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                                      # reduced operator precision
             if sym is not None:
                 import jax.numpy as _jnp
+                # fine-level block-tridiagonal eligibility first: when
+                # the factor fits next to the band it is the strongest
+                # preconditioner; when it does NOT (1M-class), ask the
+                # hierarchy builder for a two-grid coarse factor instead
+                # (blocktri on the first Galerkin level, ~1/16 the size)
+                from . import blocktri as bt_mod
+                session.bt = None
+                bw = bt_mod.bandwidth(Ap)
+                bsize = bt_mod.pick_block(bw)
+                # ``est_bytes`` above is the FULL-f32 estimate used only
+                # to pick the storage tier; the memory actually held by
+                # the chosen fine band is what the factor must coexist
+                # with (at 1M the bf16-sym band is ~4x smaller than the
+                # f32 full estimate -- gating on the latter starved the
+                # coarse factor of its budget entirely)
+                if sym:
+                    act_bytes = _band_bytes_estimate(
+                        Ap, band_mod.ROW_TILE, sym=True,
+                        itemsize=(2 if fine_dtype else 4))
+                else:
+                    act_bytes = est_bytes
+                fine_bt_ok = (bsize is not None
+                              and act_bytes + 2 * bt_mod.factor_bytes(
+                                  n, bsize) <= 0.72 * hbm)
+                bt_budget = 0.0
+                if not fine_bt_ok:
+                    bt_budget = min(0.8 * hbm,
+                                    2.0 * (0.8 * hbm - act_bytes))
                 with profiling.phase("band amg setup"):
                     session.band_amg, session.band_layout = \
                         band_mod.setup_band_amg(
                             Ap, sym=sym,
                             fine_dtype=(_jnp.bfloat16 if fine_dtype
-                                        else None))
+                                        else None),
+                            bt_coarse_budget=bt_budget)
                     if session.band_data_map is None:
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
                     session.first_iters = None
-                # block-tridiagonal factor: bandwidth- and HBM-gated.
-                # The factor (Sinv + G) plus its fill transient (D + L)
-                # must coexist with the band hierarchy.
-                from . import blocktri as bt_mod
-                session.bt = None
-                bw = bt_mod.bandwidth(Ap)
-                bsize = bt_mod.pick_block(bw)
-                if bsize is not None:
-                    fb = bt_mod.factor_bytes(n, bsize)
-                    if est_bytes + 2 * fb <= 0.72 * hbm:
-                        with profiling.phase("bt factor"):
-                            lay = bt_mod.pack_layout(Ap, bsize)
-                            session.bt_maps = bt_mod.device_maps(lay)
-                            session.bt_shape = (bsize, lay.NB)
-                            session.bt = bt_mod.build_factor(
-                                session.bt_maps, Ap.data, b=bsize,
-                                NB=lay.NB)
+                if fine_bt_ok:
+                    with profiling.phase("bt factor"):
+                        lay = bt_mod.pack_layout(Ap, bsize)
+                        session.bt_maps = bt_mod.device_maps(lay)
+                        session.bt_shape = (bsize, lay.NB)
+                        session.bt = bt_mod.build_factor(
+                            session.bt_maps, Ap.data, b=bsize,
+                            NB=lay.NB)
                 if ckey is None:
                     ckey = _band_cache_key(At, fixed)
                 session.band_ckey = ckey
