@@ -258,7 +258,8 @@ SYM_MIN_BYTES = 256 * 2 ** 20    # store levels above this as triu
 
 
 def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
-                   fine_dtype=None, bt_coarse_budget: float = 0.0):
+                   fine_dtype=None, bt_coarse_budget: float = 0.0,
+                   bt_transient_budget: float | None = None):
     """Build the band hierarchy (host, f64 -> device dtype). ``At`` must
     already be RCM-ordered with Dirichlet identity rows. Returns
     (BandAMG, fine_layout) -- the fine layout supports value-only
@@ -276,7 +277,9 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
     factor the FIRST Galerkin coarse matrix and stop the hierarchy there
     (two-grid with a near-exact coarse solve). The factor is built
     BEFORE the fine band is filled on device, so the transient peak is
-    ``2 * factor_bytes`` rather than ``fine_band + 2 * factor_bytes``."""
+    ``2 * factor_bytes`` rather than ``fine_band + 2 * factor_bytes``;
+    ``bt_transient_budget`` bounds that build-time peak separately
+    (defaults to the steady budget)."""
     import jax.numpy as jnp
 
     from ..utils import profiling
@@ -308,20 +311,63 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             Ac = (P.T @ A @ P).tocsr()
             Ac.sum_duplicates()
 
+        force_agg_P = False
+        P_extra_budget = 0.0
         if first and bt_coarse_budget > 0.0:
-            # two-grid: factor the coarse Galerkin matrix now, BEFORE
-            # the fine band exists on device (peak = 2 * factor bytes)
+            # Two-grid: factor the coarse Galerkin matrix now, BEFORE
+            # the fine band exists on device (peak = 2 * factor bytes).
+            # Candidate ladder, strongest first (measured PCG its on
+            # the 1M benchmark matrix, random rhs @1e-5: 68 / 121 / 124
+            # vs 175 for the plain multilevel V-cycle):
+            #   1. smoothed-P Galerkin Ac, RE-RCM-ORDERED (smoothing
+            #      widens Ac's inherited bandwidth ~3x; its own RCM
+            #      recovers a ~4x smaller factor) -- pairs with
+            #      smoothed-P transfers when the P band also fits;
+            #   2. same factor, aggregation transfers (P too big);
+            #   3. unsmoothed P0^T A P0 (variational for aggregation
+            #      transfers; smallest factor).
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
             from . import blocktri as bt_mod
-            bwc = bt_mod.bandwidth(Ac)
-            bsize = bt_mod.pick_block(bwc)
-            if bsize is not None and 2.0 * bt_mod.factor_bytes(
-                    Ac.shape[0], bsize) <= bt_coarse_budget:
+            cands = []
+            pc = np.asarray(reverse_cuthill_mckee(Ac, symmetric_mode=True))
+            Acp = Ac[pc][:, pc].tocsr()
+            cands.append((Acp, pc, False))
+            cands.append((Ac, None, False))
+            A0c = (P0.T @ A @ P0).tocsr()
+            p0c = np.asarray(reverse_cuthill_mckee(A0c,
+                                                   symmetric_mode=True))
+            cands.append((A0c[p0c][:, p0c].tocsr(), p0c, True))
+            cands.append((A0c, None, True))
+            transient = (bt_transient_budget
+                         if bt_transient_budget else bt_coarse_budget)
+            for cand, cperm, needs_agg in cands:
+                bwc = bt_mod.bandwidth(cand)
+                bsize = bt_mod.pick_block(bwc)
+                if bsize is None:
+                    continue
+                fb = bt_mod.factor_bytes(cand.shape[0], bsize)
+                if fb > bt_coarse_budget or 2.0 * fb > transient:
+                    continue
+                cand.sum_duplicates()
                 with profiling.phase("bt coarse factor"):
-                    lay_c = bt_mod.pack_layout(Ac, bsize)
+                    lay_c = bt_mod.pack_layout(cand, bsize)
                     maps_c = bt_mod.device_maps(lay_c)
-                    bt_coarse = bt_mod.build_factor(
-                        maps_c, Ac.data, b=bsize, NB=lay_c.NB)
-                    bt_coarse.Sinv.block_until_ready()
+                    factor = bt_mod.build_factor(
+                        maps_c, cand.data, b=bsize, NB=lay_c.NB)
+                    factor.Sinv.block_until_ready()
+                bt_coarse = bt_mod.BTCoarse(
+                    factor, n=cand.shape[0],
+                    perm=None if cperm is None
+                    else jnp.asarray(cperm.astype(np.int32)),
+                    iperm=None if cperm is None
+                    else jnp.asarray(np.argsort(cperm).astype(np.int32)))
+                force_agg_P = needs_agg
+                # whatever budget the factor left over may hold the
+                # smoothed-P band (bf16) -- worth it: P transfers beat
+                # aggregation 68 vs 121 its on the 1M benchmark
+                P_extra_budget = bt_coarse_budget - fb
+                break
 
         Astore = A
         dvec = None
@@ -359,7 +405,9 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         cch_p = max(ROW_TILE // AGG, 8)
         layP = pack_band_layout(P, ROW_TILE, cch_p)
         Pdev = None
-        if layP[4] * layP[5] * layP[6] * 2 <= P_MAX_BYTES:
+        if (not force_agg_P
+                and layP[4] * layP[5] * layP[6] * 2
+                <= max(P_MAX_BYTES, P_extra_budget)):
             Pdev = fill_band_device(layP, P.data, cch_p, jnp.bfloat16)
         Abf = None
         if (Adev.dense.dtype != jnp.bfloat16
@@ -502,8 +550,8 @@ def band_vcycle(amg: BandAMG, r):
     def cycle(l, r):
         if l == L:
             if amg.bt_coarse is not None:
-                from .blocktri import bt_apply
-                return bt_apply(amg.bt_coarse, r)
+                from .blocktri import bt_coarse_apply
+                return bt_coarse_apply(amg.bt_coarse, r)
             return amg.coarse_inv @ r
         lv = amg.levels[l]
         As = lv.Abf if lv.Abf is not None else lv.A
@@ -512,7 +560,7 @@ def band_vcycle(amg: BandAMG, r):
         rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
                   else (amg.coarse_inv.shape[0]
                         if amg.bt_coarse is None
-                        else (r.shape[0] + AGG - 1) // AGG))
+                        else amg.bt_coarse.n))
         if lv.P is not None:
             # smoothed-prolongator transfers (bf16): halves CG
             # iterations vs plain aggregation
@@ -640,7 +688,13 @@ def band_fgmres(amg: BandAMG, b, m: int = 16):
         H = H.at[:, j].set(hcol.at[j + 1].add(wn))
         return V, Z, H
 
-    V, Z, H = jax.lax.fori_loop(0, m, body, (V, Z, H))
+    # float32 matmul precision: the default bf16 matmul passes corrupt
+    # the Arnoldi basis (measured on the 1M benchmark: the Hessenberg
+    # least-squares reports rel 0.045 while the TRUE residual is 0.28 --
+    # the computed H stops describing the actual Krylov space). Same
+    # fix as band_csym_fgmres.
+    with jax.default_matmul_precision("float32"):
+        V, Z, H = jax.lax.fori_loop(0, m, body, (V, Z, H))
     e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
     y, _, _, _ = jnp.linalg.lstsq(H, e1)
     x = y @ Z

@@ -56,6 +56,40 @@ class BTFactor(NamedTuple):
     s: jnp.ndarray
 
 
+@jax.tree_util.register_pytree_node_class
+class BTCoarse:
+    """A block-tridiagonal factor serving as the (near-)exact bottom
+    solve of a two-grid band hierarchy, together with the ordering in
+    which it was factored. The Galerkin coarse matrix inherits the fine
+    RCM ordering, whose bandwidth the prolongator smoothing has widened;
+    re-RCM-ing the COARSE matrix recovers a ~2x smaller block size (and
+    a ~4x smaller factor), at the price of one gather each way per
+    coarse solve. ``perm``/``iperm`` are None when the factor was built
+    in hierarchy order. ``n`` (the logical coarse dimension) is static
+    aux data -- it sizes the restriction slice under jit."""
+
+    def __init__(self, factor: BTFactor, n: int, perm=None, iperm=None):
+        self.factor = factor
+        self.n = n
+        self.perm = perm
+        self.iperm = iperm
+
+    def tree_flatten(self):
+        return (self.factor, self.perm, self.iperm), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        factor, perm, iperm = children
+        return cls(factor, aux[0], perm, iperm)
+
+
+def bt_coarse_apply(btc: BTCoarse, rc):
+    """Near-exact coarse solve in hierarchy ordering (traceable)."""
+    rcp = rc if btc.perm is None else rc[btc.perm]
+    z = bt_apply(btc.factor, rcp)
+    return z if btc.iperm is None else z[btc.iperm]
+
+
 class BTLayout(NamedTuple):
     """Host scatter maps from permuted-CSR entry order into the D/L
     block buffers (value-only refreshes reuse them)."""

@@ -170,6 +170,22 @@ def device_hbm_bytes() -> float:
 
 
 @functools.lru_cache(maxsize=1)
+def _solve_trace() -> bool:
+    """``XFEMM_TPU_SOLVE_TRACE=1`` prints one line per refinement pass
+    (pass index, engine, inner iterations, metric before/after) to
+    stderr -- the linear-solve analogue of the reference's PCG percent
+    logs (spars.cpp:254)."""
+    import os
+    return os.environ.get("XFEMM_TPU_SOLVE_TRACE", "") not in ("", "0")
+
+
+def _trace(msg: str) -> None:
+    if _solve_trace():
+        import sys
+        print(f"[xfemm_tpu solve] {msg}", file=sys.stderr, flush=True)
+
+
+@functools.lru_cache(maxsize=1)
 def band_platform_ok() -> bool:
     """Gate for the dense-band MXU engine: it pays off on accelerators
     whose matmul units make banded-dense SpMV fast (TPU/axon/GPU), and
@@ -1075,26 +1091,40 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 # with (at 1M the bf16-sym band is ~4x smaller than the
                 # f32 full estimate -- gating on the latter starved the
                 # coarse factor of its budget entirely)
-                if sym:
-                    act_bytes = _band_bytes_estimate(
-                        Ap, band_mod.ROW_TILE, sym=True,
-                        itemsize=(2 if fine_dtype else 4))
-                else:
-                    act_bytes = est_bytes
+                def _act(fd):
+                    if sym:
+                        return _band_bytes_estimate(
+                            Ap, band_mod.ROW_TILE, sym=True,
+                            itemsize=(2 if fd else 4))
+                    return est_bytes
+                act_bytes = _act(fine_dtype)
                 fine_bt_ok = (bsize is not None
                               and act_bytes + 2 * bt_mod.factor_bytes(
                                   n, bsize) <= 0.72 * hbm)
-                bt_budget = 0.0
+                # NOTE: do NOT trade the f32 fine operator for bf16 to
+                # make room for a stronger coarse factor. Measured on
+                # the real 1M it-0 system: bf16 GMRES(24) passes DIVERGE
+                # (per-pass amplification 1.7-10x -- the true residual
+                # floor ||E d|| is rhs-dependent and exceeds 1 for the
+                # FEM rhs even though a random-rhs probe contracts
+                # 0.045/cycle), while sym-f32 + the two-grid factor
+                # refines to 1e-8 in 3 passes / 425 its.
+                bt_budget = bt_transient = 0.0
                 if not fine_bt_ok:
-                    bt_budget = min(0.8 * hbm,
-                                    2.0 * (0.8 * hbm - act_bytes))
+                    # steady budget: what can live NEXT TO the fine band
+                    # for the whole solve; transient budget: the factor
+                    # build (2x factor bytes) happens BEFORE the fine
+                    # band fills, so it only has to fit the bare device
+                    bt_budget = 0.8 * hbm - act_bytes
+                    bt_transient = 0.85 * hbm
                 with profiling.phase("band amg setup"):
                     session.band_amg, session.band_layout = \
                         band_mod.setup_band_amg(
                             Ap, sym=sym,
                             fine_dtype=(_jnp.bfloat16 if fine_dtype
                                         else None),
-                            bt_coarse_budget=bt_budget)
+                            bt_coarse_budget=bt_budget,
+                            bt_transient_budget=bt_transient)
                     if session.band_data_map is None:
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
@@ -1238,6 +1268,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             new_r = residual(x)
             new_metric = float(np.sqrt(abs(np.dot(invd * new_r, new_r))
                                        / res0))
+            _trace(f"band pass: it={int(it)} rr={float(rr):.3e} "
+                   f"metric {metric:.3e} -> {new_metric:.3e}")
             if new_metric >= metric * 0.9:
                 if new_metric < best[1]:
                     best = (x.copy(), new_metric)
@@ -1250,6 +1282,7 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     # pass measured). Tolerate the transient instead of
                     # latching the engine off.
                     band_stalls += 1
+                    _trace(f"band stall {band_stalls} tolerated")
                     continue
                 if session.bt is not None \
                         and new_metric > max(100.0 * tol, 1e-4):
@@ -1258,6 +1291,7 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     # degenerated): drop it and retry with the V-cycle
                     # before giving up on the band engine
                     session.bt = None
+                    _trace("dropping stale bt factor, retrying V-cycle")
                     if session.band_ckey is not None \
                             and session.band_ckey in _BAND_CACHE:
                         _BAND_CACHE[session.band_ckey]["bt"] = None
@@ -1271,13 +1305,48 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     # symmetry (same recovery the reference's SSOR-PCG
                     # relies on, spars.cpp:238)
                     use_band = False
+                    _trace(f"band engine latched off at "
+                           f"metric={new_metric:.3e}")
                     session.band_disabled = True
                     session.band_amg = None
                     if session.band_ckey is not None:
                         _BAND_CACHE.pop(session.band_ckey, None)
-                    dblocks = _to_device_blocks(blocks, dev_dtype)
-                    diag_d = jnp.asarray(diag64, dev_dtype)
-                    fixed_j = jnp.asarray(fixed)
+                    # diverged passes may have poisoned the iterate --
+                    # restart the refinement from the best one seen
+                    if best[1] < new_metric:
+                        x = best[0].copy()
+                    # prefer the gather-ELL AMG path as the fallback:
+                    # the raw element-block CG is only viable at small n
+                    # (at 1M its per-iteration gather/scatter cost makes
+                    # it useless as a recovery engine)
+                    if coords is not None and session.amg is None:
+                        with profiling.phase("amg setup"):
+                            host_levels = amg_mod.setup(At, coords, fixed)
+                            if host_levels is not None:
+                                session.amg = amg_mod.to_device(
+                                    host_levels, np_dtype)
+                    use_amg = coords is not None and session.amg is not None
+                    if use_amg and session.ell_map is None:
+                        ell = amg_mod.csr_to_ell(At, np_dtype)
+                        deg = np.diff(At.indptr)
+                        rows_map = np.repeat(np.arange(n), deg)
+                        pos_map = (np.arange(At.nnz)
+                                   - np.repeat(At.indptr[:-1], deg))
+                        session.ell_map = (rows_map, pos_map,
+                                           ell.vals.shape[1])
+                        session.ell_cols_dev = jnp.asarray(ell.cols)
+                        ell_vals = jnp.asarray(ell.vals)
+                        ell_cols = session.ell_cols_dev
+                    elif use_amg:
+                        rows_map, pos_map, D = session.ell_map
+                        vals = np.zeros((n, D), np_dtype)
+                        vals[rows_map, pos_map] = At.data.astype(np_dtype)
+                        ell_vals = jnp.asarray(vals)
+                        ell_cols = session.ell_cols_dev
+                    if not use_amg:
+                        dblocks = _to_device_blocks(blocks, dev_dtype)
+                        diag_d = jnp.asarray(diag64, dev_dtype)
+                        fixed_j = jnp.asarray(fixed)
                     continue
                 break
             continue
@@ -1298,6 +1367,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
         x = x + scale * np.asarray(d_d, np.float64)
         new_r = residual(x)
         new_metric = float(np.sqrt(abs(np.dot(invd * new_r, new_r)) / res0))
+        _trace(f"{'amg' if use_amg else 'jacobi'} pass: it={int(it)} "
+               f"metric {metric:.3e} -> {new_metric:.3e}")
         if new_metric >= metric * 0.9:    # dtype floor reached -- stop
             if new_metric < best[1]:
                 best = (x.copy(), new_metric)
