@@ -240,14 +240,14 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
                 amg_rest, dense, _abf = newton_dev.strip_fine_band(
                     sess.band_amg)
                 state = jnp.asarray([res], jnp.float32)
-                Vd, dense, dvec, stats = newton_dev.run_heat(
+                Vd, dense, dvec, oob_vals, stats = newton_dev.run_heat(
                     dev_heat, amg_rest, dense,
                     jnp.asarray(V, jnp.float32), state,
                     tol_floor=max(problem.Precision, 3e-7),
                     target_res=max(90.0 * problem.Precision, 3e-6),
                     bt=sess.bt)
                 sess.band_amg = newton_dev.rebuild_band_amg(
-                    amg_rest, dense, None, dvec)
+                    amg_rest, dense, None, dvec, oob_vals)
                 if sess.band_ckey is not None \
                         and sess.band_ckey in solver_mod._BAND_CACHE:
                     solver_mod._BAND_CACHE[sess.band_ckey]["band_amg"] = \

@@ -36,6 +36,23 @@ import scipy.sparse as sp
 
 from .amg import JACOBI_OMEGA, lambda_max_est
 
+
+class Sidecar(NamedTuple):
+    """Out-of-band COO entries accompanying a BandMatrix.
+
+    A partitioned ordering (``partition_order``) makes 99%+ of entries
+    tightly banded but leaves a few cross-part couplings at arbitrary
+    distance from the diagonal; storing those in the dense band would
+    blow the window up to the full matrix width. They live here instead
+    and are applied as one gather + scatter-add (~0.03 ms for 64k
+    entries on a v5e -- noise next to a multi-GB band read). For
+    symmetric (triu) band storage the mirror copies are materialized, so
+    one application covers both triangles."""
+
+    rows: "np.ndarray"       # (M,) int32 device
+    cols: "np.ndarray"       # (M,) int32 device
+    vals: "np.ndarray"       # (M,) f32 device
+
 AGG = 4                  # fine DOFs per aggregate (power of two). Small
                          # aggregates make a much stronger coarse space:
                          # at 254k DOFs, CG-AMG iterations fall 234 (AGG
@@ -206,6 +223,135 @@ def pack_band(A: sp.csr_matrix, row_tile: int, cchunk: int,
     return layout, dense
 
 
+def pick_parts(n: int, min_part: int = 48_000, max_parts: int = 16) -> int:
+    """Number of RCB parts for ``partition_order``: halve while parts
+    stay comfortably larger than ``min_part`` rows (below that the
+    in-part bandwidth stops shrinking ~sqrt(part) and the interface
+    outliers start to matter)."""
+    parts = 1
+    while parts < max_parts and n // (2 * parts) >= min_part:
+        parts *= 2
+    return parts
+
+
+def partition_order(At: sp.csr_matrix, coords: np.ndarray,
+                    parts: int) -> np.ndarray:
+    """Recursive-coordinate-bisection parts, reverse-Cuthill-McKee
+    WITHIN each part, concatenated. In-part bandwidth scales with the
+    part diameter (~sqrt(n/parts) for 2-D meshes) instead of the domain
+    diameter, shrinking the dense band by ~parts^0.5x; the cross-part
+    couplings (<1% of nnz for FEM meshes) overflow into the Sidecar.
+    This is the single-chip analogue of the mesh-partition domain
+    decomposition the multi-chip backend uses (parallel/partition.py)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    n = At.shape[0]
+    idxs = [np.arange(n)]
+    while len(idxs) < parts:
+        nxt = []
+        for idx in idxs:
+            if len(idx) < 4:
+                nxt.append(idx)
+                continue
+            xy = coords[idx]
+            ax = int(np.argmax(xy.max(axis=0) - xy.min(axis=0)))
+            order = np.argsort(xy[:, ax], kind="stable")
+            h = len(idx) // 2
+            nxt.append(idx[order[:h]])
+            nxt.append(idx[order[h:]])
+        idxs = nxt
+    out = []
+    for idx in idxs:
+        sub = At[idx][:, idx].tocsr()
+        p = np.asarray(reverse_cuthill_mckee(sub, symmetric_mode=True))
+        out.append(idx[p])
+    return np.concatenate(out)
+
+
+_ROW_TILES = (128, 256, 512)
+
+
+def pick_row_tile(cut: int, sym: bool) -> int:
+    """Row-tile size minimizing the band window W (the SpMV is HBM-bound
+    at ~755 GB/s measured on v5e, so bytes == time); ties prefer larger
+    tiles (fewer window concats)."""
+    span = cut if sym else 2 * cut
+    return min(_ROW_TILES, key=lambda R: ((span // R + 2) * R, -R))
+
+
+def _band_est(n: int, cut: int, R: int, sym: bool,
+              itemsize: int = 4) -> float:
+    NT = (n + R - 1) // R
+    W = ((cut if sym else 2 * cut) // R + 2) * R
+    return float(NT) * R * W * itemsize
+
+
+def plan_level(dist: np.ndarray, n: int, sym: bool,
+               tail_frac: float = 0.01, min_gain: float = 0.85,
+               tail_floor: int = 32768, tail_cap: int = 262144):
+    """Choose (R, cut) for a band level from its |row-col| distances.
+
+    ``cut`` is the largest in-band distance: the smallest value whose
+    strict tail (the future sidecar) fits the budget -- found by rank,
+    so a cluster of interface couplings (partitioned orderings) is
+    carved out exactly when it fits. The budget is a fraction of nnz
+    with an absolute floor/cap: the sidecar costs one gather +
+    scatter-add per apply (~0.03 ms per 64k entries on a v5e), so a few
+    hundred thousand entries stay noise next to a multi-GB band read.
+    The split only happens when it shrinks the band bytes by at least
+    ``min_gain``. Returns (R, cut, split); split=False keeps every
+    entry in the band."""
+    if dist.size == 0:
+        return _ROW_TILES[-1], 0, False
+    bw = int(dist.max())
+    R_full = pick_row_tile(bw, sym)
+    full_bytes = _band_est(n, bw, R_full, sym)
+    budget = int(min(max(tail_frac * dist.size, tail_floor), tail_cap,
+                     dist.size - 1))
+    if budget <= 0:
+        return R_full, bw, False
+    k = dist.size - 1 - budget
+    cut = int(np.partition(dist, k)[k])
+    if cut >= bw:
+        return R_full, bw, False
+    R = pick_row_tile(cut, sym)
+    est = _band_est(n, cut, R, sym)
+    if est <= min_gain * full_bytes:
+        return R, cut, True
+    return R_full, bw, False
+
+
+def _split_csr(A: sp.csr_matrix, keep: np.ndarray):
+    """(A_kept, dropped_sel): the CSR holding only ``keep`` entries plus
+    the positions of the dropped ones in A's data order."""
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    deg = np.bincount(rows[keep], minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(deg)]).astype(A.indptr.dtype)
+    Ak = sp.csr_matrix((A.data[keep], A.indices[keep], indptr),
+                       shape=A.shape)
+    return Ak, np.nonzero(~keep)[0]
+
+
+class FineLayout(NamedTuple):
+    """Slot map for value-only refreshes of the fine band level: the
+    dense-band position of every kept entry plus the selections that
+    carve the permuted CSR data into (triu ->) in-band + sidecar."""
+
+    tile: "np.ndarray"
+    rloc: "np.ndarray"
+    wloc: "np.ndarray"
+    shift0: int
+    NT: int
+    R: int
+    W: int
+    ncols: int
+    upper_sel: "np.ndarray | None"   # triu selection (sym storage)
+    diag_pos: "np.ndarray | None"    # diag slots in post-triu data
+    keep_sel: "np.ndarray | None"    # in-band slots in post-triu data
+    oob_src: "np.ndarray | None"     # post-triu slot per sidecar entry
+
+
 class BandLevel(NamedTuple):
     A: BandMatrix
     invd: "np.ndarray"       # (n,) device
@@ -228,15 +374,22 @@ class BandLevel(NamedTuple):
                                     # is U x + U^T x - diag x. Halves
                                     # HBM for the dominant levels; same
                                     # traffic per application
+    oob: "Sidecar | None" = None    # out-of-band COO entries of a
+                                    # partitioned ordering (shared by
+                                    # the f32 band and its bf16 copy)
+    P_oob: "Sidecar | None" = None  # ditto for the smoothed prolongator
 
 
-def band_apply(A: BandMatrix, dvec, x):
+def band_apply(A: BandMatrix, dvec, x, oob: "Sidecar | None" = None):
     """y = A x for square levels: plain band product, or the
-    upper-band symmetric form when ``dvec`` is present."""
+    upper-band symmetric form when ``dvec`` is present; ``oob`` adds
+    the out-of-band COO sidecar of a partitioned ordering."""
     n = x.shape[0]
     y = band_matvec(A, x)[:n]
     if dvec is not None:
         y = y + band_rmatvec(A, x)[:n] - dvec * x
+    if oob is not None:
+        y = y.at[oob.rows].add(oob.vals * x[oob.cols].astype(y.dtype))
     return y
 
 
@@ -369,23 +522,51 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                 P_extra_budget = bt_coarse_budget - fb
                 break
 
+        rowsA = np.repeat(np.arange(n), np.diff(A.indptr))
+        dist = np.abs(A.indices - rowsA)
+        R_f, cut_f, split_f = plan_level(dist, n, sym=False)
+        use_sym = sym and _band_est(n, cut_f, R_f, False) > SYM_MIN_BYTES
         Astore = A
         dvec = None
         upper_sel = diag_pos = None
-        lay_full = pack_band_layout(A, ROW_TILE, ROW_TILE)
-        use_sym = sym and (lay_full[4] * lay_full[5] * lay_full[6] * 4
-                           > SYM_MIN_BYTES)
         if use_sym:
-            rowsA = np.repeat(np.arange(n), np.diff(A.indptr))
             usel = np.nonzero(A.indices >= rowsA)[0]
             Astore = sp.triu(A, k=0, format="csr")
             dvec = jnp.asarray(np.asarray(A.diagonal()), np.float32)
             upper_sel = usel
             diag_pos = Astore.indptr[:-1].astype(np.int64)
-        layA = pack_band_layout(Astore, ROW_TILE, ROW_TILE)
+            dist_s = dist[usel]
+            R_l, cut_l, split_l = plan_level(dist_s, n, sym=True)
+        else:
+            dist_s = dist
+            R_l, cut_l, split_l = R_f, cut_f, split_f
+
+        # out-of-band split: a partitioned ordering leaves <1% of
+        # entries far off the diagonal; they go to a COO sidecar so the
+        # dense window W tracks the IN-PART bandwidth
+        keep_sel = oob_src = None
+        oob_dev = None
+        pack_target = Astore
+        if split_l:
+            keep = dist_s <= cut_l
+            pack_target, dropped = _split_csr(Astore, keep)
+            keep_sel = np.nonzero(keep)[0]
+            rows_store = np.repeat(np.arange(n), np.diff(Astore.indptr))
+            r_oob = rows_store[dropped]
+            c_oob = Astore.indices[dropped]
+            if use_sym:
+                # mirror the dropped triu entries (diag has dist 0 and
+                # is never dropped, so no double count)
+                rows_full = np.concatenate([r_oob, c_oob])
+                cols_full = np.concatenate([c_oob, r_oob])
+                oob_src = np.concatenate([dropped, dropped])
+            else:
+                rows_full, cols_full, oob_src = r_oob, c_oob, dropped
+        layA = pack_band_layout(pack_target, R_l, R_l)
         if first:
-            fine_layout = layA + ((upper_sel, diag_pos) if use_sym
-                                  else (None, None))
+            fine_layout = FineLayout(*layA, upper_sel=upper_sel,
+                                     diag_pos=diag_pos,
+                                     keep_sel=keep_sel, oob_src=oob_src)
 
         # storage policy: the FINE operator must stay f32 unless
         # explicitly overridden (refinement cannot converge past
@@ -398,17 +579,40 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             jnp.bfloat16 if layA[4] * layA[5] * layA[6] * 4 > 1e9
             else dtype)
         if first:
-            Adata = At.data[upper_sel] if use_sym else At.data
+            Adata_all = At.data[upper_sel] if use_sym else At.data
         else:
-            Adata = Astore.data
-        Adev = fill_band_device(layA, Adata, ROW_TILE, A_dtype)
-        cch_p = max(ROW_TILE // AGG, 8)
-        layP = pack_band_layout(P, ROW_TILE, cch_p)
+            Adata_all = Astore.data
+        Adata = Adata_all if keep_sel is None else Adata_all[keep_sel]
+        Adev = fill_band_device(layA, Adata, R_l, A_dtype)
+        if oob_src is not None:
+            oob_dev = Sidecar(
+                rows=jnp.asarray(rows_full.astype(np.int32)),
+                cols=jnp.asarray(cols_full.astype(np.int32)),
+                vals=jnp.asarray(Adata_all[oob_src].astype(np.float32)))
+        cch_p = max(R_l // AGG, 8)
+        # the smoothed prolongator inherits A's cross-part outliers
+        # (scaled diagonal distance |i - AGG j|); split them the same way
+        rowsP = np.repeat(np.arange(n), np.diff(P.indptr))
+        distP = np.abs(rowsP - P.indices.astype(np.int64) * AGG)
+        cutP = cut_l + 2 * AGG
+        P_oob_dev = None
+        Pstore = P
+        p_drop = distP > cutP
+        ndropP = int(p_drop.sum())
+        if ndropP and ndropP <= max(0.01 * P.nnz, 32768):
+            Pstore, pdropped = _split_csr(P, ~p_drop)
+            P_oob_dev = Sidecar(
+                rows=jnp.asarray(rowsP[pdropped].astype(np.int32)),
+                cols=jnp.asarray(P.indices[pdropped].astype(np.int32)),
+                vals=jnp.asarray(P.data[pdropped].astype(np.float32)))
+        layP = pack_band_layout(Pstore, R_l, cch_p)
         Pdev = None
         if (not force_agg_P
                 and layP[4] * layP[5] * layP[6] * 2
                 <= max(P_MAX_BYTES, P_extra_budget)):
-            Pdev = fill_band_device(layP, P.data, cch_p, jnp.bfloat16)
+            Pdev = fill_band_device(layP, Pstore.data, cch_p, jnp.bfloat16)
+        else:
+            P_oob_dev = None
         Abf = None
         if (Adev.dense.dtype != jnp.bfloat16
                 and BF16_SMOOTH_MIN < Adev.dense.size * 4
@@ -420,7 +624,7 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             A=Adev,
             invd=jnp.asarray(invd, dtype),
             omega=jnp.asarray(omega, dtype),
-            P=Pdev, Abf=Abf, dvec=dvec))
+            P=Pdev, Abf=Abf, dvec=dvec, oob=oob_dev, P_oob=P_oob_dev))
         A = Ac
         first = False
         if bt_coarse is not None:
@@ -467,39 +671,42 @@ def _device_band_update(dense, row_idx, col_idx, vals):
             .reshape(NT, R, W))
 
 
-def update_fine_values(amg: BandAMG, fine_layout, data,
+def update_fine_values(amg: BandAMG, fine_layout: FineLayout, data,
                        idx_dev=None) -> BandAMG:
     """New fine-level matrix values (same pattern), keeping the frozen
     coarse hierarchy. The (NT,R,W) band is rebuilt ON DEVICE from the
     CSR values (a few MB) -- shipping the multi-GB dense band through
     the interconnect every Newton iteration would dwarf the solve."""
     import jax.numpy as jnp
-    if len(fine_layout) == 10:
-        (tile, rloc, wloc, shift0, NT, R, W, ncols,
-         upper_sel, diag_pos) = fine_layout
-    else:
-        tile, rloc, wloc, shift0, NT, R, W, ncols = fine_layout
-        upper_sel = diag_pos = None
-    if upper_sel is not None:
-        data = np.ascontiguousarray(data[upper_sel])
+    lay = fine_layout
+    if lay.upper_sel is not None:
+        data = np.ascontiguousarray(data[lay.upper_sel])
+    band_data = data if lay.keep_sel is None else data[lay.keep_sel]
     if idx_dev is None:
-        idx_dev = (jnp.asarray((tile * R + rloc).astype(np.int32)),
-                   jnp.asarray(wloc.astype(np.int32)))
+        idx_dev = (jnp.asarray((lay.tile * lay.R + lay.rloc)
+                               .astype(np.int32)),
+                   jnp.asarray(lay.wloc.astype(np.int32)))
     lv0 = amg.levels[0]
     dense = _device_band_update(lv0.A.dense, idx_dev[0], idx_dev[1],
-                                jnp.asarray(data.astype(np.float32)))
-    newA = BandMatrix(dense=dense, shift0=shift0,
-                      cchunk=lv0.A.cchunk, ncols=ncols)
+                                jnp.asarray(band_data.astype(np.float32)))
+    newA = BandMatrix(dense=dense, shift0=lay.shift0,
+                      cchunk=lv0.A.cchunk, ncols=lay.ncols)
     newAbf = None
     if lv0.Abf is not None:
         newAbf = BandMatrix(dense=dense.astype(jnp.bfloat16),
-                            shift0=shift0, cchunk=lv0.A.cchunk,
-                            ncols=ncols)
+                            shift0=lay.shift0, cchunk=lv0.A.cchunk,
+                            ncols=lay.ncols)
     new_dvec = None
     if lv0.dvec is not None:
-        new_dvec = jnp.asarray(data[diag_pos].astype(np.float32))
+        new_dvec = jnp.asarray(data[lay.diag_pos].astype(np.float32))
+    new_oob = lv0.oob
+    if lv0.oob is not None:
+        new_oob = Sidecar(rows=lv0.oob.rows, cols=lv0.oob.cols,
+                          vals=jnp.asarray(
+                              data[lay.oob_src].astype(np.float32)))
     levels = (BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
-                        P=lv0.P, Abf=newAbf, dvec=new_dvec),) \
+                        P=lv0.P, Abf=newAbf, dvec=new_dvec,
+                        oob=new_oob, P_oob=lv0.P_oob),) \
         + amg.levels[1:]
     return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n,
                    bt_coarse=amg.bt_coarse)
@@ -533,7 +740,7 @@ def _cheby_smooth(lv: BandLevel, As, r):
     z = lv.invd * r / theta
     d = z
     for _ in range(CHEBY_DEGREE - 1):
-        rk = r - band_apply(As, lv.dvec, z)
+        rk = r - band_apply(As, lv.dvec, z, lv.oob)
         rho_new = 1.0 / (2.0 * sigma - rho)
         d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (lv.invd * rk)
         z = z + d
@@ -556,7 +763,7 @@ def band_vcycle(amg: BandAMG, r):
         lv = amg.levels[l]
         As = lv.Abf if lv.Abf is not None else lv.A
         z = _cheby_smooth(lv, As, r)
-        d = r - band_apply(As, lv.dvec, z)
+        d = r - band_apply(As, lv.dvec, z, lv.oob)
         rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
                   else (amg.coarse_inv.shape[0]
                         if amg.bt_coarse is None
@@ -565,6 +772,9 @@ def band_vcycle(amg: BandAMG, r):
             # smoothed-prolongator transfers (bf16): halves CG
             # iterations vs plain aggregation
             rc = band_rmatvec(lv.P, d)[:rc_len]
+            if lv.P_oob is not None:
+                rc = rc.at[lv.P_oob.cols].add(
+                    lv.P_oob.vals * d[lv.P_oob.rows])
         else:
             # aggregation transfers (adjoint pair: segment-sum/repeat)
             # for levels whose P band exceeds the HBM budget
@@ -573,12 +783,15 @@ def band_vcycle(amg: BandAMG, r):
         zc = cycle(l + 1, rc)
         if lv.P is not None:
             z = z + band_matvec(lv.P, zc)[:r.shape[0]]
+            if lv.P_oob is not None:
+                z = z.at[lv.P_oob.rows].add(
+                    lv.P_oob.vals * zc[lv.P_oob.cols])
         else:
             z = z + jnp.repeat(zc, AGG)[:r.shape[0]]
         # post-smooth the residual with the same polynomial (keeps the
         # preconditioner symmetric for CG)
         z = z + _cheby_smooth(lv, As,
-                              r - band_apply(As, lv.dvec, z))
+                              r - band_apply(As, lv.dvec, z, lv.oob))
         return z
 
     return cycle(0, r)
@@ -596,7 +809,7 @@ def band_pcg(amg: BandAMG, b, tol, x0, max_iter, stall_window: int = 120):
     lv0 = amg.levels[0]
 
     def op(x):
-        return band_apply(lv0.A, lv0.dvec, x)
+        return band_apply(lv0.A, lv0.dvec, x, lv0.oob)
 
     def prec(r):
         return band_vcycle(amg, r)
@@ -663,7 +876,7 @@ def band_fgmres(amg: BandAMG, b, m: int = 16):
     n = b.shape[0]
 
     def op(x):
-        return band_apply(lv0.A, lv0.dvec, x)
+        return band_apply(lv0.A, lv0.dvec, x, lv0.oob)
 
     beta = jnp.linalg.norm(b)
     bsafe = jnp.maximum(beta, 1e-30)

@@ -271,15 +271,17 @@ def bt_apply(bt: BTFactor, r):
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "stall_window"))
 def bt_pcg(Aop: BandMatrix, dvec, invd, bt: BTFactor, rhs, tol, x0,
-           max_iter, stall_window: int = 40):
+           max_iter, stall_window: int = 40, oob=None):
     """CG on the dense-band operator preconditioned by the (possibly
     frozen) block-tridiagonal factor. Stopping metric: Jacobi-weighted
     residual norm relative to ``rhs`` -- identical to band.band_pcg and
-    the host refinement driver, so tolerances compose unchanged."""
+    the host refinement driver, so tolerances compose unchanged.
+    ``oob`` is the out-of-band COO sidecar of a partitioned ordering
+    (band.Sidecar), part of the operator but not the factor."""
     n = rhs.shape[0]
 
     def op(x):
-        return band_apply(Aop, dvec, x)
+        return band_apply(Aop, dvec, x, oob)
 
     res0 = jnp.dot(invd * rhs, rhs)
     res0 = jnp.where(res0 == 0.0, 1.0, res0)

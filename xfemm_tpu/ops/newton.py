@@ -85,6 +85,13 @@ class DeviceNewton(NamedTuple):
     dvec_rows: jnp.ndarray | None = None    # (Jd,) changed diag rows
     dvec_rank: jnp.ndarray | None = None
     dvec_static: jnp.ndarray | None = None
+    # out-of-band sidecar refresh (partitioned orderings, band.Sidecar):
+    # sidecar slots touched by changed elements
+    oob_upd_pos: jnp.ndarray | None = None   # (Jo,) sidecar position
+    oob_upd_rank: jnp.ndarray | None = None  # (Jo,) rank into contrib
+    oob_static: jnp.ndarray | None = None    # (Jo,) frozen part
+    keep_sel_dev: jnp.ndarray | None = None  # full-path in-band select
+    oob_src_dev: jnp.ndarray | None = None   # full-path sidecar select
 
 
 def setup(pk, geom, Mx, My, session, b_base, c: float, axi: bool = False):
@@ -192,20 +199,21 @@ def _band_refresh_maps(session, fixed):
     ns = np.nonzero(ch_masks[0])[0]
     if ns.size == 0:
         return None
-    if len(session.band_layout) == 10:
-        upper_sel, diag_pos = session.band_layout[8:10]
-    else:
-        upper_sel = diag_pos = None
-    tile, rloc, wloc, shift0, NT, R, W, ncols = session.band_layout[:8]
+    lay = session.band_layout
+    upper_sel, diag_pos = lay.upper_sel, lay.diag_pos
+    tile, rloc, wloc, R = lay.tile, lay.rloc, lay.wloc, lay.R
     f32 = np.float32
     slot, indptr, indices, nnz, diag_slots = session.pattern
     perm, iperm = session.perm
 
-    # subset-only refresh maps: which band positions can ever change
+    # subset-only refresh maps: which band positions can ever change.
+    # ``src_t`` maps post-triu data order -> At CSR slot; ``final_src``
+    # further restricts to the in-band (kept) entries the band holds.
     sub_pos = np.unique(slot_s)
     sub_rank = np.searchsorted(sub_pos, slot_s).astype(np.int32)
-    final_src = session.band_data_map if upper_sel is None \
+    src_t = session.band_data_map if upper_sel is None \
         else session.band_data_map[upper_sel]
+    final_src = src_t if lay.keep_sel is None else src_t[lay.keep_sel]
     fixed_diag = diag_slots[fixed]
     in_sub = np.isin(final_src, sub_pos)
     if fixed_diag.size:
@@ -219,7 +227,7 @@ def _band_refresh_maps(session, fixed):
     band_sub_rank = np.searchsorted(sub_pos, j_src).astype(np.int32)
     dvec_rows = dvec_rank = dvec_static = None
     if diag_pos is not None:
-        diag_src = final_src[diag_pos]
+        diag_src = src_t[diag_pos]
         dsel = np.isin(diag_src, sub_pos)
         if fixed_diag.size:
             dsel &= ~np.isin(diag_src, fixed_diag)
@@ -227,6 +235,16 @@ def _band_refresh_maps(session, fixed):
         dvec_static = session.vals_static[diag_src[dvec_rows]].astype(f32)
         dvec_rank = np.searchsorted(
             sub_pos, diag_src[dvec_rows]).astype(np.int32)
+    # sidecar slots whose values the changed elements can move
+    oob_upd_pos = oob_upd_rank = oob_static = None
+    if lay.oob_src is not None:
+        oob_slot = src_t[lay.oob_src]
+        osel = np.isin(oob_slot, sub_pos)
+        oob_upd_pos = np.nonzero(osel)[0].astype(np.int32)
+        oob_static = session.vals_static[
+            oob_slot[oob_upd_pos]].astype(f32)
+        oob_upd_rank = np.searchsorted(
+            sub_pos, oob_slot[oob_upd_pos]).astype(np.int32)
     fields = dict(
         souter=jnp.asarray(souter_s[0].astype(f32)),
         kmask=None if kmask_s is None else jnp.asarray(kmask_s.astype(f32)),
@@ -251,7 +269,17 @@ def _band_refresh_maps(session, fixed):
         dvec_rows=None if dvec_rows is None else jnp.asarray(dvec_rows),
         dvec_rank=None if dvec_rank is None else jnp.asarray(dvec_rank),
         dvec_static=None if dvec_static is None
-        else jnp.asarray(dvec_static))
+        else jnp.asarray(dvec_static),
+        oob_upd_pos=None if oob_upd_pos is None
+        else jnp.asarray(oob_upd_pos),
+        oob_upd_rank=None if oob_upd_rank is None
+        else jnp.asarray(oob_upd_rank),
+        oob_static=None if oob_static is None
+        else jnp.asarray(oob_static),
+        keep_sel_dev=None if lay.keep_sel is None
+        else jnp.asarray(lay.keep_sel.astype(np.int32)),
+        oob_src_dev=None if lay.oob_src is None
+        else jnp.asarray(lay.oob_src.astype(np.int32)))
     return {"ns": ns, "fields": fields}
 
 
@@ -276,16 +304,19 @@ def strip_fine_band(amg: BandAMG):
                             ncols=lv0.Abf.ncols)
     rest = BandAMG(
         levels=(BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
-                          P=lv0.P, Abf=newAbf, dvec=lv0.dvec),)
+                          P=lv0.P, Abf=newAbf, dvec=lv0.dvec,
+                          oob=lv0.oob, P_oob=lv0.P_oob),)
         + amg.levels[1:],
         coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
     return rest, dense, abf
 
 
-def rebuild_band_amg(amg_rest: BandAMG, dense, abf, dvec) -> BandAMG:
+def rebuild_band_amg(amg_rest: BandAMG, dense, abf, dvec,
+                     oob_vals=None) -> BandAMG:
     """Inverse of ``strip_fine_band`` with refreshed buffers: wrap the
     step's returned fine-band values back into a full BandAMG (for the
     session and the solver's pattern cache)."""
+    from .band import Sidecar
     lv0 = amg_rest.levels[0]
     newA = BandMatrix(dense=dense, shift0=lv0.A.shift0,
                       cchunk=lv0.A.cchunk, ncols=lv0.A.ncols)
@@ -293,8 +324,11 @@ def rebuild_band_amg(amg_rest: BandAMG, dense, abf, dvec) -> BandAMG:
     if lv0.Abf is not None and abf is not None:
         newAbf = BandMatrix(dense=abf, shift0=lv0.Abf.shift0,
                             cchunk=lv0.Abf.cchunk, ncols=lv0.Abf.ncols)
+    oob = lv0.oob
+    if oob is not None and oob_vals is not None:
+        oob = Sidecar(rows=oob.rows, cols=oob.cols, vals=oob_vals)
     lv = BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega, P=lv0.P,
-                   Abf=newAbf, dvec=dvec)
+                   Abf=newAbf, dvec=dvec, oob=oob, P_oob=lv0.P_oob)
     return BandAMG(levels=(lv,) + amg_rest.levels[1:],
                    coarse_inv=amg_rest.coarse_inv, n=amg_rest.n,
                    bt_coarse=amg_rest.bt_coarse)
@@ -364,12 +398,16 @@ def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
 
     When the subset maps are present, only the band positions touched
     by nonlinear elements are rewritten (a few % of the band on typical
-    problems); the full 16M-entry gather/scatter is the fallback."""
+    problems); the full 16M-entry gather/scatter is the fallback. The
+    out-of-band sidecar (partitioned orderings) refreshes the same way:
+    only its touched slots on the subset path, wholesale otherwise."""
+    from .band import Sidecar
     data_s = (dn.souter * (-Me)).reshape(-1)
     if dn.kmask is not None:
         data_s = data_s * dn.kmask
     lv0 = amg.levels[0]
     NT, R, W = lv0.A.dense.shape
+    new_oob = lv0.oob
     if dn.band_sub_rows is not None:
         contrib = dn.sub_zero.at[dn.sub_rank].add(data_s)
         band_vals = dn.band_sub_static + contrib[dn.band_sub_rank]
@@ -381,17 +419,27 @@ def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
         if dn.dvec_rows is not None and new_dvec is not None:
             new_dvec = new_dvec.at[dn.dvec_rows].set(
                 dn.dvec_static + contrib[dn.dvec_rank])
+        if new_oob is not None and dn.oob_upd_pos is not None:
+            new_oob = Sidecar(
+                rows=new_oob.rows, cols=new_oob.cols,
+                vals=new_oob.vals.at[dn.oob_upd_pos].set(
+                    dn.oob_static + contrib[dn.oob_upd_rank]))
     else:
         vals = dn.vals_static.at[dn.slot].add(data_s)
         vals = vals.at[dn.diag_fixed].set(1.0)
         data_p = vals[dn.data_map]
         if dn.upper_sel is not None:
             data_p = data_p[dn.upper_sel]
+        band_vals = data_p if dn.keep_sel_dev is None \
+            else data_p[dn.keep_sel_dev]
         dense = (lv0.A.dense.reshape(NT * R, W)
                  .at[dn.band_rows, dn.band_cols]
-                 .set(data_p.astype(lv0.A.dense.dtype))
+                 .set(band_vals.astype(lv0.A.dense.dtype))
                  .reshape(NT, R, W))
         new_dvec = None if dn.diag_pos is None else data_p[dn.diag_pos]
+        if new_oob is not None and dn.oob_src_dev is not None:
+            new_oob = Sidecar(rows=new_oob.rows, cols=new_oob.cols,
+                              vals=data_p[dn.oob_src_dev])
     newA = BandMatrix(dense=dense, shift0=lv0.A.shift0,
                       cchunk=lv0.A.cchunk, ncols=lv0.A.ncols)
     newAbf = None
@@ -400,7 +448,8 @@ def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
                             shift0=lv0.A.shift0, cchunk=lv0.A.cchunk,
                             ncols=lv0.A.ncols)
     lv = BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega, P=lv0.P,
-                   Abf=newAbf, dvec=new_dvec)
+                   Abf=newAbf, dvec=new_dvec, oob=new_oob,
+                   P_oob=lv0.P_oob)
     return BandAMG(levels=(lv,) + amg.levels[1:],
                    coarse_inv=amg.coarse_inv, n=amg.n,
                    bt_coarse=amg.bt_coarse)
@@ -425,10 +474,12 @@ def _inner_solve(amg_new, r_scaled, tol_eff, inner_iter, bt, n):
 
         def fg_body(st):
             x, _rn, j, tot = st
-            rc = r_scaled - band_mod.band_apply(lvn.A, lvn.dvec, x)
+            rc = r_scaled - band_mod.band_apply(lvn.A, lvn.dvec, x,
+                                                lvn.oob)
             d, _rr, fits = band_mod.band_fgmres(amg_new, rc, 24)
             x = x + d
-            rc2 = r_scaled - band_mod.band_apply(lvn.A, lvn.dvec, x)
+            rc2 = r_scaled - band_mod.band_apply(lvn.A, lvn.dvec, x,
+                                                 lvn.oob)
             rn2 = jnp.sqrt(jnp.dot(invd * rc2, rc2) / res0_pass)
             return x, rn2, j + 1, tot + fits
 
@@ -444,7 +495,8 @@ def _inner_solve(amg_new, r_scaled, tol_eff, inner_iter, bt, n):
         from . import blocktri as bt_mod
         d_p, _rel, its = bt_mod.bt_pcg(
             lvn.A, lvn.dvec, lvn.invd, bt, r_scaled,
-            tol_eff.astype(f32), jnp.zeros(n, f32), inner_iter)
+            tol_eff.astype(f32), jnp.zeros(n, f32), inner_iter,
+            oob=lvn.oob)
     return d_p, its
 
 
@@ -478,6 +530,7 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
 
     Returns ``(V, dense, dvec, stats)``.
     """
+    from .band import Sidecar
     n = V.shape[0]
     lv0 = amg.levels[0]
     f32 = jnp.float32
@@ -485,15 +538,19 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
     res_in = state[1]
     lastres_in = state[2]
     base_it = state[3]
+    has_oob = lv0.oob is not None
 
     def body(carry):
-        (V, dense, dvec, relax, res, lastres, k, cg_tot, best,
+        (V, dense, dvec, oob_vals, relax, res, lastres, k, cg_tot, best,
          since) = carry
+        oob_cur = Sidecar(lv0.oob.rows, lv0.oob.cols, oob_vals) \
+            if has_oob else None
         amg_cur = BandAMG(
             levels=(BandLevel(A=BandMatrix(dense, lv0.A.shift0,
                                            lv0.A.cchunk, lv0.A.ncols),
                               invd=lv0.invd, omega=lv0.omega, P=lv0.P,
-                              Abf=None, dvec=dvec),)
+                              Abf=None, dvec=dvec, oob=oob_cur,
+                              P_oob=lv0.P_oob),)
             + amg.levels[1:],
             coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
         Vl, Me, Mn = _newton_elements(dn, V, has_lam, axi)
@@ -502,7 +559,8 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
         b = dn.rhs_base.at[dn.scat_idx].add(dn.scat_w * dbe.reshape(-1))
         lvn = amg_new.levels[0]
         bp = b[dn.perm]
-        r = bp - band_mod.band_apply(lvn.A, lvn.dvec, V[dn.perm])
+        r = bp - band_mod.band_apply(lvn.A, lvn.dvec, V[dn.perm],
+                                     lvn.oob)
         # per-step inexact forcing (the host schedule's 0.03*res), then
         # the same current-residual-relative conversion as ``step``
         tol_k = jnp.clip(0.03 * res, tol_floor, 1e-4)
@@ -541,24 +599,26 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
         improved = res_new < 0.95 * best
         best_new = jnp.minimum(best, res_new)
         since_new = jnp.where(improved, 0, since + 1)
-        return (V_out, lvn.A.dense, lvn.dvec, relax_new, res_new, res,
-                k + 1, cg_tot + its, best_new, since_new)
+        oob_out = lvn.oob.vals if has_oob else oob_vals
+        return (V_out, lvn.A.dense, lvn.dvec, oob_out, relax_new,
+                res_new, res, k + 1, cg_tot + its, best_new, since_new)
 
     def cond(carry):
-        (_, _, _, _, res, _, k, _, _, since) = carry
+        (_, _, _, _, _, res, _, k, _, _, since) = carry
         return jnp.logical_and(
             res > target_res,
             jnp.logical_and(k < max_steps, since < 3))
 
-    carry0 = (V, dense, lv0.dvec, relax_in.astype(f32),
+    oob0 = lv0.oob.vals if has_oob else jnp.zeros((0,), f32)
+    carry0 = (V, dense, lv0.dvec, oob0, relax_in.astype(f32),
               res_in.astype(f32), lastres_in.astype(f32),
               jnp.array(0, jnp.int32), jnp.array(0, jnp.int32),
               res_in.astype(f32), jnp.array(0, jnp.int32))
-    (V, dense, dvec, relax, res, lastres, k, cg_tot, _, _) = \
+    (V, dense, dvec, oob_vals, relax, res, lastres, k, cg_tot, _, _) = \
         jax.lax.while_loop(cond, body, carry0)
     stats = jnp.stack([relax, res, lastres, k.astype(f32),
                        cg_tot.astype(f32)])
-    return V, dense, dvec, stats
+    return V, dense, dvec, oob_vals, stats
 
 
 class DeviceHeat(NamedTuple):
@@ -599,6 +659,11 @@ class DeviceHeat(NamedTuple):
     dvec_rows: jnp.ndarray | None = None
     dvec_rank: jnp.ndarray | None = None
     dvec_static: jnp.ndarray | None = None
+    oob_upd_pos: jnp.ndarray | None = None
+    oob_upd_rank: jnp.ndarray | None = None
+    oob_static: jnp.ndarray | None = None
+    keep_sel_dev: jnp.ndarray | None = None
+    oob_src_dev: jnp.ndarray | None = None
 
 
 def setup_heat(session, ridx, rsign, tris, fixed, fixed_vals, mats_T,
@@ -700,20 +765,25 @@ def run_heat(dn: DeviceHeat, amg: BandAMG, dense, V, state,
     substitution is undamped (hsolver.cpp:458), so there is no
     relaxation state. The accepting pass at the full contract Precision
     runs on host afterwards. ``state`` is a (1,) f32 array holding the
-    incoming outer residual; returns ``(V, dense, dvec, stats)`` with
-    stats = (res, steps, cg_total)."""
+    incoming outer residual; returns ``(V, dense, dvec, oob_vals,
+    stats)`` with stats = (res, steps, cg_total)."""
+    from .band import Sidecar
     n = V.shape[0]
     lv0 = amg.levels[0]
     f32 = jnp.float32
     res_in = state[0]
+    has_oob = lv0.oob is not None
 
     def body(carry):
-        V, dense, dvec, res, k, cg_tot, best, since = carry
+        V, dense, dvec, oob_vals, res, k, cg_tot, best, since = carry
+        oob_cur = Sidecar(lv0.oob.rows, lv0.oob.cols, oob_vals) \
+            if has_oob else None
         amg_cur = BandAMG(
             levels=(BandLevel(A=BandMatrix(dense, lv0.A.shift0,
                                            lv0.A.cchunk, lv0.A.ncols),
                               invd=lv0.invd, omega=lv0.omega, P=lv0.P,
-                              Abf=None, dvec=dvec),)
+                              Abf=None, dvec=dvec, oob=oob_cur,
+                              P_oob=lv0.P_oob),)
             + amg.levels[1:],
             coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
         kav, mat = _heat_elements(dn, V)
@@ -724,7 +794,8 @@ def run_heat(dn: DeviceHeat, amg: BandAMG, dense, V, state,
         b = dn.rhs_pre.at[dn.scat_idx].add(dn.scat_w * dbe.reshape(-1))
         lvn = amg_new.levels[0]
         bp = b[dn.perm]
-        r = bp - band_mod.band_apply(lvn.A, lvn.dvec, V[dn.perm])
+        r = bp - band_mod.band_apply(lvn.A, lvn.dvec, V[dn.perm],
+                                     lvn.oob)
         tol_k = jnp.clip(0.03 * res, tol_floor, 1e-4)
         invd = lvn.invd
         res0_sys = jnp.dot(invd * bp, bp)
@@ -742,19 +813,21 @@ def run_heat(dn: DeviceHeat, amg: BandAMG, dense, V, state,
         improved = res_new < 0.95 * best
         best_new = jnp.minimum(best, res_new)
         since_new = jnp.where(improved, 0, since + 1)
-        return (V_new, lvn.A.dense, lvn.dvec, res_new, k + 1,
+        oob_out = lvn.oob.vals if has_oob else oob_vals
+        return (V_new, lvn.A.dense, lvn.dvec, oob_out, res_new, k + 1,
                 cg_tot + its, best_new, since_new)
 
     def cond(carry):
-        (_, _, _, res, k, _, _, since) = carry
+        (_, _, _, _, res, k, _, _, since) = carry
         return jnp.logical_and(
             res > target_res,
             jnp.logical_and(k < max_steps, since < 3))
 
-    carry0 = (V, dense, lv0.dvec, res_in.astype(f32),
+    oob0 = lv0.oob.vals if has_oob else jnp.zeros((0,), f32)
+    carry0 = (V, dense, lv0.dvec, oob0, res_in.astype(f32),
               jnp.array(0, jnp.int32), jnp.array(0, jnp.int32),
               res_in.astype(f32), jnp.array(0, jnp.int32))
-    (V, dense, dvec, res, k, cg_tot, _, _) = \
+    (V, dense, dvec, oob_vals, res, k, cg_tot, _, _) = \
         jax.lax.while_loop(cond, body, carry0)
     stats = jnp.stack([res, k.astype(f32), cg_tot.astype(f32)])
-    return V, dense, dvec, stats
+    return V, dense, dvec, oob_vals, stats

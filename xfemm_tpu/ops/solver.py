@@ -267,13 +267,20 @@ def _band_cache_key(At, fixed) -> bytes:
 
 def _band_bytes_estimate(Ap, row_tile: int, sym: bool = False,
                          itemsize: int = 4) -> float:
+    """Bytes the dense band of ``Ap`` would hold, net of the sidecar
+    split band.plan_level would apply (a partitioned ordering's
+    cross-part outliers must not inflate the tier decision)."""
     n = Ap.shape[0]
+    if Ap.nnz == 0:
+        return 0.0
+    from . import band as band_mod
     deg = np.diff(Ap.indptr)
     rows = np.repeat(np.arange(n), deg)
-    bw = int(np.abs(rows - Ap.indices).max()) if Ap.nnz else 0
-    NT = (n + row_tile - 1) // row_tile
-    K = ((bw if sym else 2 * bw)) // row_tile + 2
-    return float(NT) * row_tile * (K * row_tile) * float(itemsize)
+    dist = np.abs(rows - Ap.indices)
+    if sym:
+        dist = dist[Ap.indices >= rows]
+    R, cut, _split = band_mod.plan_level(dist, n, sym=sym)
+    return band_mod._band_est(n, cut, R, sym, itemsize)
 
 
 def _csr_perm_map(At, Ap, perm, iperm):
@@ -1013,7 +1020,39 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             ckey = None
         if session.perm is None:
             from scipy.sparse.csgraph import reverse_cuthill_mckee
-            perm = np.asarray(reverse_cuthill_mckee(At, symmetric_mode=True))
+            with profiling.phase("ordering"):
+                perm = np.asarray(reverse_cuthill_mckee(
+                    At, symmetric_mode=True))
+                # partitioned ordering for the 1M class: once the fine
+                # block-tridiagonal factor cannot fit next to the RCM
+                # band anyway, RCB parts with in-part RCM shrink the
+                # dense band ~sqrt(parts)x (the in-part bandwidth
+                # tracks the part diameter); the <1% cross-part
+                # couplings overflow into the COO sidecar
+                # (band.plan_level / band.Sidecar). Mid-size problems
+                # keep global RCM so the exact fine factor -- their
+                # strongest preconditioner -- stays available.
+                if np.shape(coords)[0] == n:
+                    parts = band_mod.pick_parts(n)
+                    if parts > 1:
+                        from . import blocktri as bt_mod
+                        ip = np.empty_like(perm)
+                        ip[perm] = np.arange(n)
+                        rows_all = np.repeat(np.arange(n),
+                                             np.diff(At.indptr))
+                        bw_rcm = int(np.abs(
+                            ip[rows_all] - ip[At.indices]).max()) \
+                            if At.nnz else 0
+                        bs = bt_mod.pick_block(bw_rcm)
+                        R0 = band_mod.pick_row_tile(bw_rcm, False)
+                        est0 = band_mod._band_est(n, bw_rcm, R0, False)
+                        fine_bt_fits = (
+                            bs is not None
+                            and est0 + 2 * bt_mod.factor_bytes(n, bs)
+                            <= 0.72 * device_hbm_bytes())
+                        if not fine_bt_fits:
+                            perm = band_mod.partition_order(
+                                At, np.asarray(coords), parts)
             iperm = np.empty_like(perm)
             iperm[perm] = np.arange(n)
             session.perm = (perm, iperm)
@@ -1253,7 +1292,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                         d_d, rr, it = bt_mod.bt_pcg(
                             lv0.A, lv0.dvec, lv0.invd, session.bt, r_d,
                             jnp.asarray(tol_pass, dev_dtype),
-                            jnp.zeros(n, dev_dtype), int(inner_iter))
+                            jnp.zeros(n, dev_dtype), int(inner_iter),
+                            oob=lv0.oob)
                     else:
                         d_d, rr, it = band_mod.band_pcg(
                             session.band_amg, r_d,
