@@ -98,6 +98,46 @@ def test_sidecar_value_refresh_parity():
     assert np.allclose(y, ref, rtol=0, atol=2e-4 * np.abs(ref).max())
 
 
+def test_partitioned_hierarchy_coarse_reorder_pcg():
+    """A partition-ordered fine level must not leak interface outliers
+    into the coarse Galerkin levels: the next level is rebuilt in its
+    own RCM order (BandLevel.cperm) and the V-cycle bridges the
+    orderings. PCG through that hierarchy must still solve."""
+    m = 160
+    n = m * m
+    ii, jj = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    coords = np.stack([ii.ravel(), jj.ravel()], axis=1).astype(np.float64)
+    idx = np.arange(n).reshape(m, m)
+    rows = np.concatenate([idx[:-1].ravel(), idx[:, :-1].ravel()])
+    cols = np.concatenate([idx[1:].ravel(), idx[:, 1:].ravel()])
+    A = sp.coo_matrix((-np.ones(rows.size), (rows, cols)), shape=(n, n))
+    A = (A + A.T + sp.diags(4.05 * np.ones(n))).tocsr()
+    p = band_mod.partition_order(A, coords,
+                                 band_mod.pick_parts(n, min_part=3000))
+    Ap = A[p][:, p].tocsr()
+    Ap.sum_duplicates()
+    amg, lay = band_mod.setup_band_amg(Ap.astype(np.float64))
+    lv0 = amg.levels[0]
+    assert lv0.oob is not None, "partitioned fine level must split"
+    assert lv0.cperm is not None, "coarse level must be re-RCM'd"
+    # every level below the fine must be tightly banded
+    for lv in amg.levels[1:]:
+        NT, R, W = lv.A.dense.shape
+        assert W < lv.A.ncols // 2, (W, lv.A.ncols)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    xref = rng.standard_normal(n)
+    b = Ap @ xref
+    scale = np.abs(b).max()
+    x, rel, it = band_mod.band_pcg(
+        amg, jnp.asarray((b / scale).astype(np.float32)),
+        jnp.asarray(1e-6, jnp.float32), jnp.zeros(n, jnp.float32), 900)
+    err = np.linalg.norm(np.asarray(x, np.float64) * scale - xref) \
+        / np.linalg.norm(xref)
+    assert float(rel) <= 1e-6, float(rel)
+    assert err < 1e-3, err
+
+
 def test_partition_order_shrinks_band():
     """RCB + in-part RCM: the in-band width after the sidecar split
     must shrink vs global RCM on a 2-D grid Laplacian."""

@@ -286,39 +286,50 @@ def _band_est(n: int, cut: int, R: int, sym: bool,
     return float(NT) * R * W * itemsize
 
 
+#: byte-equivalent cost of one sidecar entry per operator application:
+#: a random gather plus a scatter-add run ~360x slower per element than
+#: the streaming band read on a v5e (~0.03 ms per 64k entries vs
+#: 755 GB/s), so one COO entry trades against ~384 band bytes.
+SIDECAR_EQ_BYTES = 384
+SIDECAR_MAX = 4_000_000          # hard cap (memory + refresh maps)
+
+
 def plan_level(dist: np.ndarray, n: int, sym: bool,
-               tail_frac: float = 0.01, min_gain: float = 0.85,
-               tail_floor: int = 32768, tail_cap: int = 262144):
+               sidecar_eq: int = SIDECAR_EQ_BYTES,
+               tail_cap: int = SIDECAR_MAX):
     """Choose (R, cut) for a band level from its |row-col| distances.
 
-    ``cut`` is the largest in-band distance: the smallest value whose
-    strict tail (the future sidecar) fits the budget -- found by rank,
-    so a cluster of interface couplings (partitioned orderings) is
-    carved out exactly when it fits. The budget is a fraction of nnz
-    with an absolute floor/cap: the sidecar costs one gather +
-    scatter-add per apply (~0.03 ms per 64k entries on a v5e), so a few
-    hundred thousand entries stay noise next to a multi-GB band read.
-    The split only happens when it shrinks the band bytes by at least
-    ``min_gain``. Returns (R, cut, split); split=False keeps every
-    entry in the band."""
+    Minimizes the modeled per-apply cost over candidate cuts: dense
+    band bytes at the cut plus the sidecar's gather/scatter equivalent
+    for the strict tail. Interface clusters of partitioned orderings
+    (which can be ~1% of nnz at coarse Galerkin levels -- hundreds of
+    thousands of entries) are carved out exactly when the byte model
+    says they pay for themselves; a tight banded matrix keeps its full
+    band because no cut beats it. Returns (R, cut, split); split=False
+    keeps every entry in the band."""
     if dist.size == 0:
         return _ROW_TILES[-1], 0, False
-    bw = int(dist.max())
-    R_full = pick_row_tile(bw, sym)
-    full_bytes = _band_est(n, bw, R_full, sym)
-    budget = int(min(max(tail_frac * dist.size, tail_floor), tail_cap,
-                     dist.size - 1))
-    if budget <= 0:
-        return R_full, bw, False
-    k = dist.size - 1 - budget
-    cut = int(np.partition(dist, k)[k])
-    if cut >= bw:
-        return R_full, bw, False
-    R = pick_row_tile(cut, sym)
-    est = _band_est(n, cut, R, sym)
-    if est <= min_gain * full_bytes:
-        return R, cut, True
-    return R_full, bw, False
+    qs = np.sort(dist)
+    bw = int(qs[-1])
+    mirror = 2 if sym else 1     # triu sidecars materialize mirrors
+    max_tail = int(min(tail_cap // mirror, dist.size - 1))
+    # log-spaced tail-size candidates (the distance histogram is dense
+    # in the band bulk and sparse in the tail)
+    tails = np.unique(np.geomspace(1, max(max_tail, 1),
+                                   num=48).astype(np.int64))
+    cands = {bw} | {int(qs[dist.size - 1 - t]) for t in tails
+                    if t < dist.size}
+    best = (np.inf, _ROW_TILES[-1], bw, False)
+    for cut in sorted(cands):
+        tail = int(dist.size - np.searchsorted(qs, cut, side="right"))
+        if tail > max_tail:
+            continue
+        R = pick_row_tile(cut, sym)
+        cost = _band_est(n, cut, R, sym) \
+            + float(tail) * mirror * sidecar_eq
+        if cost < best[0]:
+            best = (cost, R, cut, tail > 0)
+    return best[1], best[2], best[3]
 
 
 def _split_csr(A: sp.csr_matrix, keep: np.ndarray):
@@ -378,6 +389,18 @@ class BandLevel(NamedTuple):
                                     # partitioned ordering (shared by
                                     # the f32 band and its bf16 copy)
     P_oob: "Sidecar | None" = None  # ditto for the smoothed prolongator
+    cperm: "np.ndarray | None" = None   # when this level's ordering is
+                                    # partitioned (sidecar split), the
+                                    # NEXT level is rebuilt in its own
+                                    # global RCM order; restriction
+                                    # gathers rc[cperm] on the way down
+                                    # and zc[ciperm] on the way up. One
+                                    # 250k-gather per V-cycle visit --
+                                    # noise -- and every coarse level
+                                    # stays tightly banded instead of
+                                    # inheriting interface outliers that
+                                    # overwhelm the sidecar budget.
+    ciperm: "np.ndarray | None" = None
 
 
 def band_apply(A: BandMatrix, dvec, x, oob: "Sidecar | None" = None):
@@ -412,7 +435,8 @@ SYM_MIN_BYTES = 256 * 2 ** 20    # store levels above this as triu
 
 def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                    fine_dtype=None, bt_coarse_budget: float = 0.0,
-                   bt_transient_budget: float | None = None):
+                   bt_transient_budget: float | None = None,
+                   coords: "np.ndarray | None" = None):
     """Build the band hierarchy (host, f64 -> device dtype). ``At`` must
     already be RCM-ordered with Dirichlet identity rows. Returns
     (BandAMG, fine_layout) -- the fine layout supports value-only
@@ -425,6 +449,15 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
     refinement driver then needs a couple more outer passes (each pass
     still contracts the true f64 residual by ~1/|dA| ~ 250x), trading
     a little convergence for another 2x of memory.
+
+    ``coords`` (optional (n, 2), aligned with ``At``'s ordering): node
+    coordinates. When a level's ordering is partitioned (sidecar
+    split), the next Galerkin level is rebuilt in its own partitioned
+    order (RCB on the aggregate centroids + in-part RCM) -- a global
+    RCM of the real coarse matrix still carries the smoothing-widened
+    frontal bandwidth (~10k at 250k coarse nodes, a 10 GB band), while
+    recursive partitioning keeps every level's in-band width at the
+    part scale. Without coords the fallback is the global RCM.
 
     ``bt_coarse_budget`` (bytes, > 0 enables): try to block-tridiagonal
     factor the FIRST Galerkin coarse matrix and stop the hierarchy there
@@ -464,6 +497,56 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             Ac = (P.T @ A @ P).tocsr()
             Ac.sum_duplicates()
 
+        rowsA = np.repeat(np.arange(n), np.diff(A.indptr))
+        dist = np.abs(A.indices - rowsA)
+        R_f, cut_f, split_f = plan_level(dist, n, sym=False)
+        use_sym = sym and _band_est(n, cut_f, R_f, False) > SYM_MIN_BYTES
+        Astore = A
+        dvec = None
+        upper_sel = diag_pos = None
+        if use_sym:
+            usel = np.nonzero(A.indices >= rowsA)[0]
+            Astore = sp.triu(A, k=0, format="csr")
+            dvec = jnp.asarray(np.asarray(A.diagonal()), np.float32)
+            upper_sel = usel
+            diag_pos = Astore.indptr[:-1].astype(np.int64)
+            dist_s = dist[usel]
+            R_l, cut_l, split_l = plan_level(dist_s, n, sym=True)
+        else:
+            dist_s = dist
+            R_l, cut_l, split_l = R_f, cut_f, split_f
+
+        # a split level's ordering is partitioned: its Galerkin coarse
+        # matrix would inherit interface couplings far beyond any
+        # sidecar budget (measured 29.6 GB for the 994k L1 band).
+        # Rebuild the NEXT level in its own global RCM order instead;
+        # the V-cycle bridges the orderings with one gather each way
+        # (band_vcycle, lv.cperm/ciperm).
+        # P keeps its PRE-perm column space (the banded-P trick needs
+        # aggregate j near row AGG*j); band_vcycle applies the gather
+        # AFTER restriction, so both transfer paths stay consistent.
+        cperm_dev = ciperm_dev = None
+        p1 = None
+        ccoords = None
+        if coords is not None:
+            pad = nc * AGG - n
+            ccoords = np.pad(coords, ((0, pad), (0, 0)), mode="edge") \
+                .reshape(nc, AGG, -1).mean(axis=1)
+        if split_l:
+            parts_c = pick_parts(nc, min_part=12_000)
+            if ccoords is not None and parts_c > 1:
+                p1 = partition_order(Ac, ccoords, parts_c)
+            else:
+                from scipy.sparse.csgraph import reverse_cuthill_mckee
+                p1 = np.asarray(reverse_cuthill_mckee(
+                    Ac, symmetric_mode=True))
+            Ac = Ac[p1][:, p1].tocsr()
+            Ac.sum_duplicates()
+            if ccoords is not None:
+                ccoords = ccoords[p1]
+            cperm_dev = jnp.asarray(p1.astype(np.int32))
+            ciperm_dev = jnp.asarray(np.argsort(p1).astype(np.int32))
+
         force_agg_P = False
         P_extra_budget = 0.0
         if first and bt_coarse_budget > 0.0:
@@ -488,6 +571,10 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             cands.append((Acp, pc, False))
             cands.append((Ac, None, False))
             A0c = (P0.T @ A @ P0).tocsr()
+            if p1 is not None:
+                # the hierarchy's coarse vectors arrive in the re-RCM'd
+                # order (cperm gather above); view A0c in it too
+                A0c = A0c[p1][:, p1].tocsr()
             p0c = np.asarray(reverse_cuthill_mckee(A0c,
                                                    symmetric_mode=True))
             cands.append((A0c[p0c][:, p0c].tocsr(), p0c, True))
@@ -521,25 +608,6 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                 # aggregation 68 vs 121 its on the 1M benchmark
                 P_extra_budget = bt_coarse_budget - fb
                 break
-
-        rowsA = np.repeat(np.arange(n), np.diff(A.indptr))
-        dist = np.abs(A.indices - rowsA)
-        R_f, cut_f, split_f = plan_level(dist, n, sym=False)
-        use_sym = sym and _band_est(n, cut_f, R_f, False) > SYM_MIN_BYTES
-        Astore = A
-        dvec = None
-        upper_sel = diag_pos = None
-        if use_sym:
-            usel = np.nonzero(A.indices >= rowsA)[0]
-            Astore = sp.triu(A, k=0, format="csr")
-            dvec = jnp.asarray(np.asarray(A.diagonal()), np.float32)
-            upper_sel = usel
-            diag_pos = Astore.indptr[:-1].astype(np.int64)
-            dist_s = dist[usel]
-            R_l, cut_l, split_l = plan_level(dist_s, n, sym=True)
-        else:
-            dist_s = dist
-            R_l, cut_l, split_l = R_f, cut_f, split_f
 
         # out-of-band split: a partitioned ordering leaves <1% of
         # entries far off the diagonal; they go to a COO sidecar so the
@@ -624,8 +692,10 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             A=Adev,
             invd=jnp.asarray(invd, dtype),
             omega=jnp.asarray(omega, dtype),
-            P=Pdev, Abf=Abf, dvec=dvec, oob=oob_dev, P_oob=P_oob_dev))
+            P=Pdev, Abf=Abf, dvec=dvec, oob=oob_dev, P_oob=P_oob_dev,
+            cperm=cperm_dev, ciperm=ciperm_dev))
         A = Ac
+        coords = ccoords
         first = False
         if bt_coarse is not None:
             break
@@ -638,6 +708,28 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
     amg = BandAMG(levels=tuple(levels),
                   coarse_inv=jnp.asarray(cinv.astype(dtype)),
                   n=At.shape[0], bt_coarse=bt_coarse)
+    import os
+    if os.environ.get("XFEMM_TPU_BAND_DEBUG"):
+        tot = 0.0
+        for i, lv in enumerate(amg.levels):
+            ab = lv.A.dense.size * lv.A.dense.dtype.itemsize
+            pb = 0 if lv.P is None else lv.P.dense.size * 2
+            xb = 0 if lv.Abf is None else lv.Abf.dense.size * 2
+            ob = 0 if lv.oob is None else lv.oob.rows.size * 12
+            tot += ab + pb + xb + ob
+            print(f"[band] L{i}: A{tuple(lv.A.dense.shape)} "
+                  f"{lv.A.dense.dtype} {ab / 1e9:.2f}GB P={pb / 1e9:.2f}GB"
+                  f" Abf={xb / 1e9:.2f}GB oob="
+                  f"{0 if lv.oob is None else lv.oob.rows.size}"
+                  f" sym={'y' if lv.dvec is not None else 'n'}",
+                  flush=True)
+        btb = 0.0
+        if bt_coarse is not None:
+            f = bt_coarse.factor
+            btb = (f.Sinv.size + f.G.size) * 4
+        print(f"[band] coarse_inv {amg.coarse_inv.size * 4 / 1e9:.3f}GB "
+              f"bt_coarse {btb / 1e9:.2f}GB total "
+              f"{(tot + btb) / 1e9:.2f}GB", flush=True)
     return amg, fine_layout
 
 
@@ -704,10 +796,8 @@ def update_fine_values(amg: BandAMG, fine_layout: FineLayout, data,
         new_oob = Sidecar(rows=lv0.oob.rows, cols=lv0.oob.cols,
                           vals=jnp.asarray(
                               data[lay.oob_src].astype(np.float32)))
-    levels = (BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
-                        P=lv0.P, Abf=newAbf, dvec=new_dvec,
-                        oob=new_oob, P_oob=lv0.P_oob),) \
-        + amg.levels[1:]
+    levels = (lv0._replace(A=newA, Abf=newAbf, dvec=new_dvec,
+                           oob=new_oob),) + amg.levels[1:]
     return BandAMG(levels=levels, coarse_inv=amg.coarse_inv, n=amg.n,
                    bt_coarse=amg.bt_coarse)
 
@@ -780,7 +870,14 @@ def band_vcycle(amg: BandAMG, r):
             # for levels whose P band exceeds the HBM budget
             pad = rc_len * AGG - d.shape[0]
             rc = jnp.pad(d, (0, pad)).reshape(rc_len, AGG).sum(axis=1)
+        if lv.cperm is not None:
+            # the next level lives in its own RCM order (partitioned
+            # fine orderings would otherwise leak interface outliers
+            # into every coarse band)
+            rc = rc[lv.cperm]
         zc = cycle(l + 1, rc)
+        if lv.cperm is not None:
+            zc = zc[lv.ciperm]
         if lv.P is not None:
             z = z + band_matvec(lv.P, zc)[:r.shape[0]]
             if lv.P_oob is not None:

@@ -303,10 +303,7 @@ def strip_fine_band(amg: BandAMG):
                             shift0=lv0.Abf.shift0, cchunk=lv0.Abf.cchunk,
                             ncols=lv0.Abf.ncols)
     rest = BandAMG(
-        levels=(BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega,
-                          P=lv0.P, Abf=newAbf, dvec=lv0.dvec,
-                          oob=lv0.oob, P_oob=lv0.P_oob),)
-        + amg.levels[1:],
+        levels=(lv0._replace(A=newA, Abf=newAbf),) + amg.levels[1:],
         coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
     return rest, dense, abf
 
@@ -327,8 +324,7 @@ def rebuild_band_amg(amg_rest: BandAMG, dense, abf, dvec,
     oob = lv0.oob
     if oob is not None and oob_vals is not None:
         oob = Sidecar(rows=oob.rows, cols=oob.cols, vals=oob_vals)
-    lv = BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega, P=lv0.P,
-                   Abf=newAbf, dvec=dvec, oob=oob, P_oob=lv0.P_oob)
+    lv = lv0._replace(A=newA, Abf=newAbf, dvec=dvec, oob=oob)
     return BandAMG(levels=(lv,) + amg_rest.levels[1:],
                    coarse_inv=amg_rest.coarse_inv, n=amg_rest.n,
                    bt_coarse=amg_rest.bt_coarse)
@@ -447,9 +443,7 @@ def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
         newAbf = BandMatrix(dense=dense.astype(jnp.bfloat16),
                             shift0=lv0.A.shift0, cchunk=lv0.A.cchunk,
                             ncols=lv0.A.ncols)
-    lv = BandLevel(A=newA, invd=lv0.invd, omega=lv0.omega, P=lv0.P,
-                   Abf=newAbf, dvec=new_dvec, oob=new_oob,
-                   P_oob=lv0.P_oob)
+    lv = lv0._replace(A=newA, Abf=newAbf, dvec=new_dvec, oob=new_oob)
     return BandAMG(levels=(lv,) + amg.levels[1:],
                    coarse_inv=amg.coarse_inv, n=amg.n,
                    bt_coarse=amg.bt_coarse)
@@ -546,11 +540,10 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
         oob_cur = Sidecar(lv0.oob.rows, lv0.oob.cols, oob_vals) \
             if has_oob else None
         amg_cur = BandAMG(
-            levels=(BandLevel(A=BandMatrix(dense, lv0.A.shift0,
-                                           lv0.A.cchunk, lv0.A.ncols),
-                              invd=lv0.invd, omega=lv0.omega, P=lv0.P,
-                              Abf=None, dvec=dvec, oob=oob_cur,
-                              P_oob=lv0.P_oob),)
+            levels=(lv0._replace(
+                A=BandMatrix(dense, lv0.A.shift0, lv0.A.cchunk,
+                             lv0.A.ncols),
+                Abf=None, dvec=dvec, oob=oob_cur),)
             + amg.levels[1:],
             coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
         Vl, Me, Mn = _newton_elements(dn, V, has_lam, axi)
@@ -779,11 +772,10 @@ def run_heat(dn: DeviceHeat, amg: BandAMG, dense, V, state,
         oob_cur = Sidecar(lv0.oob.rows, lv0.oob.cols, oob_vals) \
             if has_oob else None
         amg_cur = BandAMG(
-            levels=(BandLevel(A=BandMatrix(dense, lv0.A.shift0,
-                                           lv0.A.cchunk, lv0.A.ncols),
-                              invd=lv0.invd, omega=lv0.omega, P=lv0.P,
-                              Abf=None, dvec=dvec, oob=oob_cur,
-                              P_oob=lv0.P_oob),)
+            levels=(lv0._replace(
+                A=BandMatrix(dense, lv0.A.shift0, lv0.A.cchunk,
+                             lv0.A.ncols),
+                Abf=None, dvec=dvec, oob=oob_cur),)
             + amg.levels[1:],
             coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
         kav, mat = _heat_elements(dn, V)

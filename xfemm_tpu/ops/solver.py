@@ -1157,13 +1157,17 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     bt_budget = 0.8 * hbm - act_bytes
                     bt_transient = 0.85 * hbm
                 with profiling.phase("band amg setup"):
+                    coords_p = None
+                    if np.shape(coords)[0] == n:
+                        coords_p = np.asarray(coords)[perm]
                     session.band_amg, session.band_layout = \
                         band_mod.setup_band_amg(
                             Ap, sym=sym,
                             fine_dtype=(_jnp.bfloat16 if fine_dtype
                                         else None),
                             bt_coarse_budget=bt_budget,
-                            bt_transient_budget=bt_transient)
+                            bt_transient_budget=bt_transient,
+                            coords=coords_p)
                     if session.band_data_map is None:
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
