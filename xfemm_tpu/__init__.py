@@ -18,6 +18,12 @@ def _honor_platform_env() -> None:
     plat = _os.environ.get("JAX_PLATFORMS")
     if not plat:
         return
+    # Only canonical names: a site plugin's own platform string (e.g.
+    # "axon") is honored by the plugin itself, and pushing it through
+    # jax.config poisons backend init ("not in the list of known
+    # backends") because the config path validates against built-ins.
+    if not set(plat.split(",")) <= {"cpu", "tpu", "gpu", "cuda", "rocm"}:
+        return
     try:
         import jax
         jax.config.update("jax_platforms", plat)
