@@ -7,12 +7,13 @@ path) and reports wall time for a warm solve (compiles cached; the first
 solve pays one-time XLA compilation).
 
 Baseline: the unmodified reference fsolver (single-threaded C++, built
-from /root/reference at -O2) solves the identical premeshed 251,100-node
-problem in 14.0 s on this machine (AMD EPYC-class host, single core) --
-measured 2026-08-18 (best of 2: 13.98/14.87 s) on the mesh produced by
-the current refinement kernel (generation-stamped queue, AREA_TIGHTEN
-0.55). ``vs_baseline`` is the speedup factor baseline_time / our_time
-(>1 means faster than the reference).
+from /root/reference at -O2) solves the identical premeshed 249,469-node
+problem in 15.3 s on this machine (AMD EPYC-class host, single core) --
+measured 2026-08-18 (best of 2: 15.31/15.45 s) on the mesh produced by
+the current refinement kernel (generation-stamped queue, magnetics
+area_tighten 1.0, benchprob factor 0.857). ``vs_baseline`` is the
+speedup factor baseline_time / our_time (>1 means faster than the
+reference).
 
 Prints exactly one JSON line.
 """
@@ -22,7 +23,7 @@ import os
 import sys
 import time
 
-REF_FSOLVER_SECONDS = 14.0        # reference fsolver on the same mesh
+REF_FSOLVER_SECONDS = 15.3        # reference fsolver on the same mesh
 TARGET_NODES = 250_000
 
 

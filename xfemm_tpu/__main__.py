@@ -77,12 +77,12 @@ def cmd_solve(args) -> int:
     elif problem.filetype == FileType.HEATFLOW:
         out = base + ".anh"
         ansfile.write_scalar_solution(
-            problem, mesh, sol.T, sol.node_conductor,
+            problem, mesh, sol.T, sol.node_Q,
             list(zip(sol.conductor_V, sol.conductor_q)), out)
     else:
         out = base + ".res"
         ansfile.write_scalar_solution(
-            problem, mesh, sol.V, sol.node_conductor,
+            problem, mesh, sol.V, sol.node_Q,
             list(zip(sol.conductor_V, sol.conductor_q)), out)
     print(f"solved in {elapsed:.2f}s (residual {sol.residual:.2e}, "
           f"{sol.iterations} CG iterations) -> {out}")

@@ -239,16 +239,16 @@ class Solution:
                                          sol.label_case)
         elif ft == FileType.HEATFLOW:
             from .post.scalarproc import HeatPostProcessor
-            nbc = getattr(sol, "node_conductor", None)
+            nbc = getattr(sol, "node_Q", None)
             self.post = HeatPostProcessor(
                 doc.problem, mesh, sol.T,
-                node_bc=(nbc >= 0) if nbc is not None else None)
+                node_bc=(nbc != -2) if nbc is not None else None)
         else:
             from .post.scalarproc import ElecPostProcessor
-            nbc = getattr(sol, "node_conductor", None)
+            nbc = getattr(sol, "node_Q", None)
             self.post = ElecPostProcessor(
                 doc.problem, mesh, sol.V,
-                node_bc=(nbc >= 0) if nbc is not None else None)
+                node_bc=(nbc != -2) if nbc is not None else None)
 
     # ------------------------------------------------------------------ #
     def point_values(self, x: float, y: float) -> dict:
@@ -293,12 +293,12 @@ class Solution:
             ansfile.write_ans(sf, path)
         elif p.filetype == FileType.HEATFLOW:
             ansfile.write_scalar_solution(
-                p, self.mesh, self.raw.T, self.raw.node_conductor,
+                p, self.mesh, self.raw.T, self.raw.node_Q,
                 list(zip(self.raw.conductor_V, self.raw.conductor_q)),
                 path)
         else:
             ansfile.write_scalar_solution(
-                p, self.mesh, self.raw.V, self.raw.node_conductor,
+                p, self.mesh, self.raw.V, self.raw.node_Q,
                 list(zip(self.raw.conductor_V, self.raw.conductor_q)),
                 path)
 

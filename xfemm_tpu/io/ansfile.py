@@ -265,7 +265,7 @@ def solution_mesh_from_solver(mesh: MeshData, units: float) -> MeshData:
 
 
 def write_scalar_solution(problem: Problem, mesh: MeshData, values,
-                          node_conductor, conductor_results, path: str,
+                          node_Q, conductor_results, path: str,
                           problem_text: str | None = None) -> None:
     """Write a heat-flow .anh / electrostatics .res: problem echo +
     [Solution] with nodes 'x y V Q', 4-col elements and per-conductor
@@ -279,7 +279,7 @@ def write_scalar_solution(problem: Problem, mesh: MeshData, values,
     for i in range(mesh.num_nodes):
         x, y = mesh.nodes[i]
         w(f"{_fmt(x)}\t{_fmt(y)}\t{_fmt(float(values[i]))}\t"
-          f"{int(node_conductor[i])}")
+          f"{int(node_Q[i])}")
     w(str(mesh.num_elements))
     for tri, lbl in zip(mesh.elements, mesh.element_labels):
         w(f"{tri[0]}\t{tri[1]}\t{tri[2]}\t{lbl}")

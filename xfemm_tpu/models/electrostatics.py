@@ -21,7 +21,8 @@ from ..geometry.problem import Problem
 from ..mesh.meshdata import EdgeMultiplicity, MeshData
 from ..ops import assembly, solver
 from ..ops.solver import ElementBlock
-from .heatflow import conductor_prolongation, decode_markers
+from .heatflow import compute_node_Q, conductor_prolongation, \
+    decode_markers
 
 EPS0 = 8.85418781762e-12
 #: length-unit -> mm (esolver.cpp:65)
@@ -33,7 +34,8 @@ class ElecSolution:
     problem: Problem
     mesh: MeshData
     V: np.ndarray                 # (N,) nodal voltage
-    node_conductor: np.ndarray    # (N,) conductor index or -1
+    node_Q: np.ndarray            # (N,) .res Q col: -2 free, -1 fixed/
+                                  # point-prop node, else conductor index
     conductor_V: np.ndarray
     conductor_q: np.ndarray
     iterations: int = 0
@@ -193,8 +195,9 @@ def solve(problem: Problem, mesh: MeshData, devices: int | None = None,
             cond_q[ci] = _charge_on_conductor(
                 ci, node_cond, xy, tris, blk, mats, Vn, axi, depth)
 
+    node_Q = compute_node_Q(problem, mesh, node_pp, node_cond, edge_bdry)
     return ElecSolution(problem=problem, mesh=mesh, V=Vn,
-                        node_conductor=node_cond, conductor_V=cond_V,
+                        node_Q=node_Q, conductor_V=cond_V,
                         conductor_q=cond_q, iterations=int(cg_iters),
                         residual=float(rel_resid))
 

@@ -38,7 +38,8 @@ class HeatSolution:
     problem: Problem
     mesh: MeshData
     T: np.ndarray                 # (N,) nodal temperature
-    node_conductor: np.ndarray    # (N,) conductor index or -1 (.anh Q col)
+    node_Q: np.ndarray            # (N,) .anh Q col: -2 free, -1 fixed/
+                                  # point-prop node, else conductor index
     conductor_V: np.ndarray       # (C,) solved conductor temperature
     conductor_q: np.ndarray       # (C,) solved conductor total flux
     iterations: int = 0
@@ -65,6 +66,29 @@ def decode_markers(mesh: MeshData):
             node_cond[a] = ccond
             node_cond[b] = ccond
     return node_pp, node_cond, edge_bdry, edge_cond
+
+
+def compute_node_Q(problem: Problem, mesh: MeshData, node_pp, node_cond,
+                   edge_bdry) -> np.ndarray:
+    """The reference's per-node Q bookkeeping, written to the solution
+    file and consumed by the postprocessor's nodal smoothing
+    (hsolver.cpp:495-533 + :764-775, esolver.cpp:410-440 + :590-600):
+    -2 free, -1 for any point-property node or fixed-potential segment
+    endpoint, conductor index for any conductor node (last wins).
+    getNodalD treats Q != -2 as 'do not smooth across this node'."""
+    Q = np.full(len(mesh.nodes), -2, np.int64)
+    npp = len(problem.nodeproplist)
+    Q[(node_pp >= 0) & (node_pp < npp)] = -1
+    eb = np.asarray(edge_bdry)
+    nlp = len(problem.lineproplist)
+    for ei in np.nonzero((eb >= 0) & (eb < nlp))[0]:
+        if problem.lineproplist[eb[ei]].BdryFormat == 0:
+            a, b = mesh.edges[ei]
+            Q[a] = -1
+            Q[b] = -1
+    cond = np.asarray(node_cond)
+    Q[cond >= 0] = cond[cond >= 0]
+    return Q
 
 
 def conductor_prolongation(n, pbc_pairs, node_cond, conductors):
@@ -425,8 +449,9 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
             cond_q[ci] = _charge_on_conductor(
                 ci, node_cond, xy, tris, blk, mats, Tn, axi, depth)
 
+    node_Q = compute_node_Q(problem, mesh, node_pp, node_cond, edge_bdry)
     return HeatSolution(problem=problem, mesh=mesh, T=Tn,
-                        node_conductor=node_cond, conductor_V=cond_V,
+                        node_Q=node_Q, conductor_V=cond_V,
                         conductor_q=cond_q, iterations=iters_total,
                         residual=float(rel_resid))
 

@@ -22,6 +22,8 @@ points per segment like the reference (``d_LineIntegralPoints``).
 
 from __future__ import annotations
 
+import cmath as _cmath
+
 import numpy as np
 
 from ..constants import LENGTH_TO_METERS, PI, ProblemType
@@ -59,6 +61,7 @@ class ScalarPostProcessor:
         self._geom()
         self._element_fields()
         self._conlist = None      # node -> adjacent elements (lazy)
+        self._matcls = None       # block -> material-equivalence class
         self._nodal_cache: dict = {}
 
     # ------------------------------------------------------------------ #
@@ -140,60 +143,158 @@ class ScalarPostProcessor:
         return int(idx[0]) if len(idx) else -1
 
     def _node_elements(self):
+        """ConList: adjacent elements per node, sorted ccw by element
+        centroid angle around the node (hpproc.cpp:218-236) -- the
+        nodal-recovery patch walk depends on this ordering."""
         if self._conlist is None:
             tris = self.mesh.elements
             T = tris.shape[0]
             flat = tris.ravel()
-            order = np.argsort(flat, kind="stable")
-            elems = np.repeat(np.arange(T), 3)[order]
-            starts = np.searchsorted(flat[order],
+            nodes_rep = flat
+            elems_rep = np.repeat(np.arange(T), 3)
+            ang = np.arctan2(self.ctr[elems_rep, 1] - self.mesh.nodes[nodes_rep, 1],
+                             self.ctr[elems_rep, 0] - self.mesh.nodes[nodes_rep, 0])
+            order = np.lexsort((ang, nodes_rep))
+            elems = elems_rep[order]
+            starts = np.searchsorted(nodes_rep[order],
                                      np.arange(len(self.mesh.nodes) + 1))
             self._conlist = (elems, starts)
         return self._conlist
 
+    def _mat_class(self):
+        """Per-block material-equivalence ids implementing the
+        reference's isSameMaterialAs (CMaterialProp.cpp:1490 heat /
+        :1611 electro): two DIFFERENT block labels with identical
+        material parameters count as the same material for the nodal
+        patch walk."""
+        if self._matcls is None:
+            keys = {}
+            cls = np.empty(len(self.mats), np.int64)
+            for bi, mat in enumerate(self.mats):
+                if self.mode == "electro":
+                    key = (mat.ex, mat.ey)
+                elif mat.npts == 0:
+                    key = (mat.Kx, mat.Ky)
+                else:
+                    key = (tuple(mat.Tdata), tuple(mat.Kdata))
+                cls[bi] = keys.setdefault(key, len(keys))
+            self._matcls = cls
+        return self._matcls
+
     def _nodal_D(self, t: int) -> np.ndarray:
-        """Smoothed flux density at element t's nodes: weighted plane
-        fit of the potential over the same-material node patch
-        (PostProcessor.cpp:894 getNodalD), then D = K E / AECF."""
+        """Smoothed flux density at element t's nodes: the reference's
+        exact patch recovery (PostProcessor.cpp:894 getNodalD) -- a
+        ccw/cw walk from element t around each node collecting ring
+        nodes WITH duplicates, breaking at material changes and at
+        fixed-BC edges, the reference's punt cases for fixed nodes
+        (including the 10-degree corner-angle test), then a plane fit of
+        the potential over the collected patch and D = K E."""
         if t in self._nodal_cache:
             return self._nodal_cache[t]
         elems, starts = self._node_elements()
-        tri = self.mesh.elements[t]
+        tris = self.mesh.elements
+        matcls = self._mat_class()
+        cls_t = matcls[self.blk[t]]
+        tri = tris[t]
         xy = self.mesh.nodes
+        fixed = self.node_bc
         out = np.zeros((3, 2))
         for i, j in enumerate(tri):
-            if self.node_bc is not None and self.node_bc[j]:
-                # node on a fixed conductor: the patch straddles the BC,
-                # use the element value (PostProcessor.cpp:975-1005)
+            con = elems[starts[j]:starts[j + 1]]
+            nlist = len(con)
+            eos = int(np.nonzero(con == t)[0][0])
+            j_fixed = fixed is not None and bool(fixed[j])
+            q = []
+            lf = rt = -1
+            # scan ccw: each element contributes the node after j in ccw
+            # orientation; stop at a material change or a fixed-BC edge
+            # (PostProcessor.cpp:914-945)
+            m = eos
+            for _ in range(nlist):
+                n = con[m]
+                if matcls[self.blk[n]] != cls_t:
+                    break
+                nos = int(np.nonzero(tris[n] == j)[0][0])
+                p = int(tris[n][nos - 1])
+                if len(q) < 20:
+                    q.append(p)
+                if j_fixed and fixed[p]:
+                    rt = p
+                    break
+                m += 1
+                if m == nlist:
+                    m = 0
+            # scan cw (PostProcessor.cpp:946-977)
+            m = eos
+            for _ in range(nlist):
+                n = con[m]
+                if matcls[self.blk[n]] != cls_t:
+                    break
+                nos = int(np.nonzero(tris[n] == j)[0][0])
+                p = int(tris[n][(nos + 1) % 3])
+                if len(q) < 20:
+                    q.append(p)
+                if j_fixed and fixed[p]:
+                    lf = p
+                    break
+                m -= 1
+                if m < 0:
+                    m = nlist - 1
+            # fixed-node punt cases (PostProcessor.cpp:980-1024): a node
+            # at a conductor end or an isolated charge uses the element
+            # value; a fixed-boundary node only fits when the boundary
+            # bends by less than 10 degrees
+            punt = False
+            if j_fixed:
+                if rt != -1 and (lf == rt or lf == -1):
+                    punt = True
+                elif lf != -1 and rt == -1:
+                    punt = True
+                elif lf == -1 and rt == -1:
+                    punt = True
+                else:
+                    ux = complex(xy[lf, 0] - xy[j, 0], xy[lf, 1] - xy[j, 1])
+                    uy = complex(xy[j, 0] - xy[rt, 0], xy[j, 1] - xy[rt, 1])
+                    ux /= abs(ux)
+                    uy /= abs(uy)
+                    if abs(_cmath.phase(ux / uy)) > 10.0001 * PI / 180.0:
+                        punt = True
+            if punt:
                 out[i] = (self.Dx[t], self.Dy[t])
                 continue
-            adj = elems[starts[j]:starts[j + 1]]
-            same = adj[self.blk[adj] == self.blk[t]]
-            if len(same) == 0:
+            # plane fit over q (duplicates included) + the node itself
+            # (PostProcessor.cpp:1028-1094); dv = V_j - V_k makes the
+            # fitted slope E = -grad V directly
+            qa = np.array(q + [j], np.int64)
+            dx = xy[qa, 0] - xy[j, 0]
+            dy = xy[qa, 1] - xy[j, 1]
+            dv = self.V[j] - self.V[qa]
+            ii = float(len(qa))
+            xi, yi = dx.sum(), dy.sum()
+            xx, xy_s, yy = (dx * dx).sum(), (dx * dy).sum(), (dy * dy).sum()
+            iv, xv, yv = dv.sum(), (dx * dv).sum(), (dy * dv).sum()
+            det = (-(ii * xy_s * xy_s) + 2 * xi * xy_s * yi - xx * yi * yi
+                   - xi * xi * yy + ii * xx * yy) * self.lc
+            if det == 0:
                 out[i] = (self.Dx[t], self.Dy[t])
                 continue
-            patch = np.unique(self.mesh.elements[same].ravel())
-            dx = xy[patch, 0] - xy[j, 0]
-            dy = xy[patch, 1] - xy[j, 1]
-            dv = self.V[j] - self.V[patch]
-            ii = float(len(patch))
-            A = np.array([[ii, dx.sum(), dy.sum()],
-                          [dx.sum(), (dx * dx).sum(), (dx * dy).sum()],
-                          [dy.sum(), (dx * dy).sum(), (dy * dy).sum()]])
-            rhs = np.array([dv.sum(), (dx * dv).sum(), (dy * dv).sum()])
-            try:
-                sol = np.linalg.solve(A, rhs)
-                Ex, Ey = sol[1] / self.lc, sol[2] / self.lc
-            except np.linalg.LinAlgError:
-                out[i] = (self.Dx[t], self.Dy[t])
-                continue
+            Ex = (iv * xy_s * yi - xv * yi * yi - ii * xy_s * yv
+                  + xi * yi * yv - iv * xi * yy + ii * xv * yy) / det
+            Ey = (iv * xi * xy_s - ii * xv * xy_s + xi * xv * yi
+                  - iv * xx * yi - xi * xi * yv + ii * xx * yv) / det
             if self.mode == "heat":
                 # K evaluated at the NODE temperature, no AECF here
                 # (PostProcessor.cpp:1079-1083)
                 knx, kny = self.mats[self.blk[t]].get_k(self.V[j])
                 out[i] = (knx * Ex, kny * Ey)
             else:
-                aecf = self._aecf()[t]
+                # AECF at the NODE's position (PostProcessor.cpp:1071)
+                aecf = 1.0
+                if self.axi and self.labels[
+                        self.mesh.element_labels[t]].IsExternal:
+                    aecf = (xy[j, 0] ** 2
+                            + (xy[j, 1] - self.problem.extZo) ** 2) \
+                        / (self.problem.extRo * self.problem.extRi)
                 out[i] = (self.kx[t] * Ex / aecf, self.ky[t] * Ey / aecf)
         self._nodal_cache[t] = out
         return out
