@@ -286,11 +286,20 @@ def _band_est(n: int, cut: int, R: int, sym: bool,
     return float(NT) * R * W * itemsize
 
 
-#: byte-equivalent cost of one sidecar entry per operator application:
-#: a random gather plus a scatter-add run ~360x slower per element than
-#: the streaming band read on a v5e (~0.03 ms per 64k entries vs
-#: 755 GB/s), so one COO entry trades against ~384 band bytes.
-SIDECAR_EQ_BYTES = 384
+#: byte-equivalent cost of one sidecar entry per operator application,
+#: measured on the real v5e (2026-08-18, synchronous-execution mode of
+#: the tunneled device -- the only mode a solve ever runs in after its
+#: first host readback): a fused random-gather + scatter-add costs
+#: ~17 ns/entry asymptotically while the dense band streams at
+#: ~130 GB/s, so one COO entry trades against ~2200 band bytes.  The
+#: scatter also pays a size-independent launch/serialization overhead
+#: of ~1.5-2.5 ms per apply (~2e8 band-byte-equivalents), modeled as
+#: SIDECAR_FIXED_BYTES: a split must save more than that to pay at all.
+#: Net effect: tight global-RCM bands (250k-class) keep their full
+#: band; partitioned orderings (1M-class, where the interface tail
+#: inflates the dense width several GB) still split.
+SIDECAR_EQ_BYTES = 2200
+SIDECAR_FIXED_BYTES = 2.0e8
 SIDECAR_MAX = 4_000_000          # hard cap (memory + refresh maps)
 
 
@@ -326,7 +335,8 @@ def plan_level(dist: np.ndarray, n: int, sym: bool,
             continue
         R = pick_row_tile(cut, sym)
         cost = _band_est(n, cut, R, sym) \
-            + float(tail) * mirror * sidecar_eq
+            + float(tail) * mirror * sidecar_eq \
+            + (SIDECAR_FIXED_BYTES if tail > 0 else 0.0)
         if cost < best[0]:
             best = (cost, R, cut, tail > 0)
     return best[1], best[2], best[3]

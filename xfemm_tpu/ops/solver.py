@@ -351,6 +351,12 @@ class Session:
         self.bt = None           # BTFactor
         self.bt_maps = None      # BTDeviceMaps
         self.bt_shape = None     # (b, NB)
+        self.bt_data_sel = None  # kept-band slots in Ap.data feeding
+                                 # the factor (global orderings whose
+                                 # plan still splits a far tail)
+        self.partitioned = False  # ordering is RCB-partitioned (fine
+                                 # bt factor disabled: measured 33x
+                                 # iteration blowup without interfaces)
         # nonlinear-subset incremental assembly (csr_values(changed=...))
         self.vals_static = None
         self.sub_cache = None
@@ -1015,6 +1021,7 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 session.bt = cached.get("bt")
                 session.bt_maps = cached.get("bt_maps")
                 session.bt_shape = cached.get("bt_shape")
+                session.bt_data_sel = cached.get("bt_data_sel")
                 session.first_iters = None
         else:
             ckey = None
@@ -1029,23 +1036,29 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 # dense band ~sqrt(parts)x (the in-part bandwidth
                 # tracks the part diameter); the <1% cross-part
                 # couplings overflow into the COO sidecar
-                # (band.plan_level / band.Sidecar). Mid-size problems
+                # (band.plan_level / band.Sidecar).  Mid-size problems
                 # keep global RCM so the exact fine factor -- their
-                # strongest preconditioner -- stays available.
-                if np.shape(coords)[0] == n:
+                # strongest preconditioner -- stays available: a factor
+                # of the in-part band only (interfaces in the sidecar)
+                # was measured 33x WORSE in CG iterations (817 vs 25 on
+                # the 250k bench) -- non-overlapping block-Jacobi
+                # without a coarse correction degrades like 1/h, so
+                # cheap bytes do not pay for the lost interfaces.
+                if np.shape(coords)[0] == n and At.nnz:
                     parts = band_mod.pick_parts(n)
                     if parts > 1:
                         from . import blocktri as bt_mod
-                        ip = np.empty_like(perm)
-                        ip[perm] = np.arange(n)
                         rows_all = np.repeat(np.arange(n),
                                              np.diff(At.indptr))
-                        bw_rcm = int(np.abs(
-                            ip[rows_all] - ip[At.indices]).max()) \
-                            if At.nnz else 0
-                        bs = bt_mod.pick_block(bw_rcm)
-                        R0 = band_mod.pick_row_tile(bw_rcm, False)
-                        est0 = band_mod._band_est(n, bw_rcm, R0, False)
+                        ip = np.empty_like(perm)
+                        ip[perm] = np.arange(n)
+                        dist = np.abs(
+                            ip[rows_all].astype(np.int64)
+                            - ip[At.indices].astype(np.int64))
+                        R0, cut0, _sp0 = band_mod.plan_level(
+                            dist, n, sym=False)
+                        est0 = band_mod._band_est(n, cut0, R0, False)
+                        bs = bt_mod.pick_block(cut0)
                         fine_bt_fits = (
                             bs is not None
                             and est0 + 2 * bt_mod.factor_bytes(n, bs)
@@ -1053,6 +1066,7 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                         if not fine_bt_fits:
                             perm = band_mod.partition_order(
                                 At, np.asarray(coords), parts)
+                            session.partitioned = True
             iperm = np.empty_like(perm)
             iperm[perm] = np.arange(n)
             session.perm = (perm, iperm)
@@ -1083,8 +1097,10 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     session.band_flat_idx)
             with profiling.phase("bt refactor"):
                 bsize, NB = session.bt_shape
+                vals = (Ap_data if session.bt_data_sel is None
+                        else Ap_data[session.bt_data_sel])
                 session.bt = bt_mod.build_factor(
-                    session.bt_maps, Ap_data, b=bsize, NB=NB)
+                    session.bt_maps, vals, b=bsize, NB=NB)
             session.first_iters = None
             if session.band_ckey is not None \
                     and session.band_ckey in _BAND_CACHE:
@@ -1122,8 +1138,15 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 # (blocktri on the first Galerkin level, ~1/16 the size)
                 from . import blocktri as bt_mod
                 session.bt = None
-                bw = bt_mod.bandwidth(Ap)
-                bsize = bt_mod.pick_block(bw)
+                # block size from the PLANNED band cut, not the raw
+                # bandwidth: a partitioned ordering's cross-part
+                # couplings go to the sidecar (outside the factor), so
+                # the factor only needs to cover the kept band
+                rowsA_ = np.repeat(np.arange(n), np.diff(Ap.indptr))
+                dist_ = np.abs(rowsA_ - Ap.indices.astype(np.int64))
+                _Rf, cut_f, _split_f = band_mod.plan_level(
+                    dist_, n, sym=False)
+                bsize = bt_mod.pick_block(cut_f)
                 # ``est_bytes`` above is the FULL-f32 estimate used only
                 # to pick the storage tier; the memory actually held by
                 # the chosen fine band is what the factor must coexist
@@ -1138,6 +1161,7 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     return est_bytes
                 act_bytes = _act(fine_dtype)
                 fine_bt_ok = (bsize is not None
+                              and not session.partitioned
                               and act_bytes + 2 * bt_mod.factor_bytes(
                                   n, bsize) <= 0.72 * hbm)
                 # NOTE: do NOT trade the f32 fine operator for bf16 to
@@ -1174,12 +1198,37 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     session.first_iters = None
                 if fine_bt_ok:
                     with profiling.phase("bt factor"):
-                        lay = bt_mod.pack_layout(Ap, bsize)
-                        session.bt_maps = bt_mod.device_maps(lay)
-                        session.bt_shape = (bsize, lay.NB)
-                        session.bt = bt_mod.build_factor(
-                            session.bt_maps, Ap.data, b=bsize,
-                            NB=lay.NB)
+                        lay_f = session.band_layout
+                        session.bt_data_sel = None
+                        Ap_f = Ap
+                        if lay_f.keep_sel is not None:
+                            if lay_f.upper_sel is not None:
+                                # sym storage + split: the data mapping
+                                # composes triu and band selections --
+                                # not worth the bookkeeping, the AMG
+                                # V-cycle serves this tier
+                                Ap_f = None
+                            else:
+                                # partitioned ordering: factor the KEPT
+                                # band only; the sidecar stays in the
+                                # operator (blocktri.bt_pcg oob=...)
+                                keepm = np.zeros(Ap.nnz, bool)
+                                keepm[lay_f.keep_sel] = True
+                                Ap_f, _dropped = band_mod._split_csr(
+                                    Ap, keepm)
+                                session.bt_data_sel = lay_f.keep_sel
+                        if Ap_f is None:
+                            session.bt = None
+                        else:
+                            lay = bt_mod.pack_layout(Ap_f, bsize)
+                            session.bt_maps = bt_mod.device_maps(lay)
+                            session.bt_shape = (bsize, lay.NB)
+                            vals = (Ap.data
+                                    if session.bt_data_sel is None
+                                    else Ap.data[session.bt_data_sel])
+                            session.bt = bt_mod.build_factor(
+                                session.bt_maps, vals, b=bsize,
+                                NB=lay.NB)
                 if ckey is None:
                     ckey = _band_cache_key(At, fixed)
                 session.band_ckey = ckey
@@ -1192,6 +1241,7 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     "bt": session.bt,
                     "bt_maps": session.bt_maps,
                     "bt_shape": session.bt_shape,
+                    "bt_data_sel": session.bt_data_sel,
                 }
                 _BAND_CACHE.move_to_end(ckey)
                 while len(_BAND_CACHE) > _BAND_CACHE_MAX:
