@@ -736,7 +736,8 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         btb = 0.0
         if bt_coarse is not None:
             f = bt_coarse.factor
-            btb = (f.Sinv.size + f.G.size) * 4
+            btb = (f.Sinv.size * f.Sinv.dtype.itemsize
+                   + f.G.size * f.G.dtype.itemsize)
         print(f"[band] coarse_inv {amg.coarse_inv.size * 4 / 1e9:.3f}GB "
               f"bt_coarse {btb / 1e9:.2f}GB total "
               f"{(tot + btb) / 1e9:.2f}GB", flush=True)

@@ -188,15 +188,22 @@ def device_maps(lay: BTLayout) -> BTDeviceMaps:
         pad_diag=jnp.asarray(pad_diag))
 
 
-@functools.partial(jax.jit, static_argnames=("b", "NB"))
-def _fill_and_factor(maps: BTDeviceMaps, data, b: int, NB: int):
+@functools.partial(jax.jit,
+                   static_argnames=("b", "NB", "store_dtype"))
+def _fill_and_factor(maps: BTDeviceMaps, data, b: int, NB: int,
+                     store_dtype=jnp.float32):
     """Scatter the permuted CSR values into (D, L), symmetric-Jacobi
     scale, and run the block-Thomas factorization -- one dispatch.
 
     The matmul chain runs at float32 precision (3-pass bf16): the
     factor must resolve the small eigenvalues of an ill-conditioned FEM
     operator, and single-pass bf16 matmuls lose exactly that part of
-    the spectrum."""
+    the spectrum.  ``store_dtype=bfloat16`` halves the bytes every
+    bt_apply streams afterwards, but measured on the 250k bench
+    (b=1024, NB=244) it DOUBLES the preconditioned-CG iteration count
+    (25 -> 48 its): rounding injected at every one of the ~2*NB
+    sequential scan steps compounds, so the cheap bytes lose.  Kept as
+    an option for shallow factors; production stores f32."""
     n = maps.diag_pos.shape[0]
     npad = NB * b
     diag = data[maps.diag_pos]
@@ -229,14 +236,15 @@ def _fill_and_factor(maps: BTDeviceMaps, data, b: int, NB: int):
         Slast, (Sinv, G) = jax.lax.scan(step, D[0], (D[1:], L[:NB - 1]))
         Sinv_last = jnp.linalg.inv(Slast)
     Sinv = jnp.concatenate([Sinv, Sinv_last[None]], 0)
-    return BTFactor(Sinv=Sinv, G=G, s=s)
+    return BTFactor(Sinv=Sinv.astype(store_dtype),
+                    G=G.astype(store_dtype), s=s)
 
 
 def build_factor(maps: BTDeviceMaps, data_p: np.ndarray, b: int,
-                 NB: int) -> BTFactor:
+                 NB: int, store_dtype=jnp.float32) -> BTFactor:
     """Factor from the permuted CSR values (host array, any dtype)."""
     return _fill_and_factor(maps, jnp.asarray(data_p, jnp.float32),
-                            b=b, NB=NB)
+                            b=b, NB=NB, store_dtype=store_dtype)
 
 
 def bt_apply(bt: BTFactor, r):
