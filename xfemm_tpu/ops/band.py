@@ -301,6 +301,15 @@ def _band_est(n: int, cut: int, R: int, sym: bool,
 SIDECAR_EQ_BYTES = 2200
 SIDECAR_FIXED_BYTES = 2.0e8
 SIDECAR_MAX = 4_000_000          # hard cap (memory + refresh maps)
+#: cap the sidecar as a FRACTION of nnz as well: the linear byte model
+#: would happily shove over half of a global-RCM 1M matrix into COO
+#: (994k: cut=15 with a 4.0M tail "beat" the 14 GB full band), but a
+#: sidecar that large destroys the band's meaning -- the kept band no
+#: longer approximates the operator, so every consumer built on it
+#: (smoothers, the fine blocktri factor) collapses.  2% keeps the split
+#: in its designed role: carving a partitioned ordering's thin
+#: interface tail.
+SIDECAR_FRAC_MAX = 0.02
 
 
 def plan_level(dist: np.ndarray, n: int, sym: bool,
@@ -321,7 +330,9 @@ def plan_level(dist: np.ndarray, n: int, sym: bool,
     qs = np.sort(dist)
     bw = int(qs[-1])
     mirror = 2 if sym else 1     # triu sidecars materialize mirrors
-    max_tail = int(min(tail_cap // mirror, dist.size - 1))
+    max_tail = int(min(tail_cap // mirror,
+                       SIDECAR_FRAC_MAX * dist.size,
+                       dist.size - 1))
     # log-spaced tail-size candidates (the distance histogram is dense
     # in the band bulk and sparse in the tail)
     tails = np.unique(np.geomspace(1, max(max_tail, 1),

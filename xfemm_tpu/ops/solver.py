@@ -1055,12 +1055,18 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                         dist = np.abs(
                             ip[rows_all].astype(np.int64)
                             - ip[At.indices].astype(np.int64))
-                        R0, cut0, _sp0 = band_mod.plan_level(
+                        R0, cut0, sp0 = band_mod.plan_level(
                             dist, n, sym=False)
                         est0 = band_mod._band_est(n, cut0, R0, False)
                         bs = bt_mod.pick_block(cut0)
+                        # the factor covers the KEPT band only: if the
+                        # plan sheds more than a sliver into the
+                        # sidecar, the factor no longer approximates
+                        # the operator (the 33x lesson above applies)
+                        tail0 = int((dist > cut0).sum()) if sp0 else 0
                         fine_bt_fits = (
                             bs is not None
+                            and tail0 <= 0.002 * dist.size
                             and est0 + 2 * bt_mod.factor_bytes(n, bs)
                             <= 0.72 * device_hbm_bytes())
                         if not fine_bt_fits:
@@ -1144,9 +1150,11 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 # the factor only needs to cover the kept band
                 rowsA_ = np.repeat(np.arange(n), np.diff(Ap.indptr))
                 dist_ = np.abs(rowsA_ - Ap.indices.astype(np.int64))
-                _Rf, cut_f, _split_f = band_mod.plan_level(
+                _Rf, cut_f, split_f = band_mod.plan_level(
                     dist_, n, sym=False)
-                bsize = bt_mod.pick_block(cut_f)
+                tail_f = int((dist_ > cut_f).sum()) if split_f else 0
+                bsize = (bt_mod.pick_block(cut_f)
+                         if tail_f <= 0.002 * dist_.size else None)
                 # ``est_bytes`` above is the FULL-f32 estimate used only
                 # to pick the storage tier; the memory actually held by
                 # the chosen fine band is what the factor must coexist
