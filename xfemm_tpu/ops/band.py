@@ -454,10 +454,32 @@ class BandAMG(NamedTuple):
 SYM_MIN_BYTES = 256 * 2 ** 20    # store levels above this as triu
 
 
+def _cut_for_budget(qs: np.ndarray, n: int, bytes_allow: float,
+                    sym: bool) -> tuple[int, int]:
+    """Largest (R, cut) whose dense band fits ``bytes_allow``, scanning
+    the level's sorted |row-col| distance quantiles. The dtype rule of
+    ``setup_band_amg`` (bf16 above 1 GB f32) participates, so a cut
+    whose f32 band misses the budget but whose bf16 band fits is kept.
+    Returns (R, cut); cut may be 0 (diagonal-only band always fits)."""
+    best = (_ROW_TILES[-1], 0)
+    # distance quantiles as candidates, coarsened to ~64 probes
+    probe = np.unique(qs[np.linspace(0, qs.size - 1, 64).astype(np.int64)])
+    for cut in probe:
+        cut = int(cut)
+        R = pick_row_tile(cut, sym)
+        est = _band_est(n, cut, R, sym)
+        itemsize = 2 if est > 1e9 else 4
+        if est * itemsize / 4 <= bytes_allow and cut > best[1]:
+            best = (R, cut)
+    return best
+
+
 def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                    fine_dtype=None, bt_coarse_budget: float = 0.0,
                    bt_transient_budget: float | None = None,
-                   coords: "np.ndarray | None" = None):
+                   coords: "np.ndarray | None" = None,
+                   budget_bytes: float | None = None,
+                   plan_only: bool = False):
     """Build the band hierarchy (host, f64 -> device dtype). ``At`` must
     already be RCM-ordered with Dirichlet identity rows. Returns
     (BandAMG, fine_layout) -- the fine layout supports value-only
@@ -486,7 +508,24 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
     BEFORE the fine band is filled on device, so the transient peak is
     ``2 * factor_bytes`` rather than ``fine_band + 2 * factor_bytes``;
     ``bt_transient_budget`` bounds that build-time peak separately
-    (defaults to the steady budget)."""
+    (defaults to the steady budget).
+
+    ``budget_bytes`` (bytes, optional): HARD cap on the hierarchy's
+    total device residency. The fine (operator) level is exact and is
+    only ACCOUNTED; every coarse level is preconditioner-internal, so
+    when its planned band exceeds the remaining budget it is truncated
+    to fit -- the widest cut whose band fits is kept, the largest
+    dropped couplings (by magnitude) go to a capped COO sidecar, and
+    the remainder is discarded. A truncated level only weakens the
+    V-cycle; it can never RESOURCE_EXHAUST the device (the round-2
+    994k failure mode: a 55,424-wide re-RCM'd L2 coarse band -- 6.9 GB
+    bf16 for a 62k matrix -- because plan_level's 2% sidecar fraction
+    rejected every split candidate).
+
+    ``plan_only=True`` skips all device work and returns
+    ``(report, None)`` where report is a list of per-level dicts
+    (n, R, cut, W, bytes, dtype, sidecar/dropped counts) plus a final
+    totals entry -- the CPU-only regression surface for the planner."""
     import jax.numpy as jnp
 
     from ..utils import profiling
@@ -499,6 +538,8 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
     A = At.astype(np.float32)
     fine_layout = None
     first = True
+    used = 0.0                  # device bytes committed so far
+    report: list[dict] = []     # plan_only output
     while A.shape[0] > COARSE_MAX and len(levels) < 6:
         n = A.shape[0]
         d = np.asarray(A.diagonal(), np.float64)
@@ -528,7 +569,8 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         if use_sym:
             usel = np.nonzero(A.indices >= rowsA)[0]
             Astore = sp.triu(A, k=0, format="csr")
-            dvec = jnp.asarray(np.asarray(A.diagonal()), np.float32)
+            if not plan_only:
+                dvec = jnp.asarray(np.asarray(A.diagonal()), np.float32)
             upper_sel = usel
             diag_pos = Astore.indptr[:-1].astype(np.int64)
             dist_s = dist[usel]
@@ -536,6 +578,27 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         else:
             dist_s = dist
             R_l, cut_l, split_l = R_f, cut_f, split_f
+
+        # HARD budget enforcement for coarse levels (preconditioner-
+        # internal): when the planned band exceeds the remaining device
+        # budget, truncate to the widest cut that fits. plan_level's
+        # sidecar-fraction cap can reject every split candidate on a
+        # partitioned ordering's coarse Galerkin matrix, leaving the
+        # FULL bandwidth in the plan -- at 994k that was a 55,424-wide
+        # 6.9 GB L2 band and a RESOURCE_EXHAUSTED device.
+        truncated = False
+        if budget_bytes is not None and not first:
+            remaining = max(budget_bytes - used, 0.0)
+
+            def _lvl_bytes(cut, R):
+                est = _band_est(n, cut, R, use_sym)
+                return est * (0.5 if est > 1e9 else 1.0)  # bf16 rule
+
+            if _lvl_bytes(cut_l, R_l) > remaining:
+                R_l, cut_l = _cut_for_budget(np.sort(dist_s), n,
+                                             remaining, use_sym)
+                split_l = True
+                truncated = True
 
         # a split level's ordering is partitioned: its Galerkin coarse
         # matrix would inherit interface couplings far beyond any
@@ -565,8 +628,9 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             Ac.sum_duplicates()
             if ccoords is not None:
                 ccoords = ccoords[p1]
-            cperm_dev = jnp.asarray(p1.astype(np.int32))
-            ciperm_dev = jnp.asarray(np.argsort(p1).astype(np.int32))
+            if not plan_only:
+                cperm_dev = jnp.asarray(p1.astype(np.int32))
+                ciperm_dev = jnp.asarray(np.argsort(p1).astype(np.int32))
 
         force_agg_P = False
         P_extra_budget = 0.0
@@ -611,12 +675,20 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                 if fb > bt_coarse_budget or 2.0 * fb > transient:
                     continue
                 cand.sum_duplicates()
+                if plan_only:
+                    bt_coarse = {"plan_bt_bytes": fb, "n": cand.shape[0],
+                                 "block": bsize}
+                    used += fb
+                    force_agg_P = needs_agg
+                    P_extra_budget = bt_coarse_budget - fb
+                    break
                 with profiling.phase("bt coarse factor"):
                     lay_c = bt_mod.pack_layout(cand, bsize)
                     maps_c = bt_mod.device_maps(lay_c)
                     factor = bt_mod.build_factor(
                         maps_c, cand.data, b=bsize, NB=lay_c.NB)
                     factor.Sinv.block_until_ready()
+                used += fb
                 bt_coarse = bt_mod.BTCoarse(
                     factor, n=cand.shape[0],
                     perm=None if cperm is None
@@ -636,10 +708,23 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         keep_sel = oob_src = None
         oob_dev = None
         pack_target = Astore
+        n_discard = 0
         if split_l:
             keep = dist_s <= cut_l
             pack_target, dropped = _split_csr(Astore, keep)
             keep_sel = np.nonzero(keep)[0]
+            if truncated:
+                # budget truncation: only the largest dropped couplings
+                # (by magnitude) ride the capped sidecar; the rest are
+                # DISCARDED -- legal because this level is strictly a
+                # preconditioner component (never the CG operator)
+                cap = SIDECAR_MAX // (2 if use_sym else 1)
+                if dropped.size > cap:
+                    mag = np.abs(np.asarray(Astore.data)[dropped])
+                    sel = np.argpartition(mag, dropped.size - cap
+                                          )[dropped.size - cap:]
+                    n_discard = int(dropped.size - cap)
+                    dropped = dropped[np.sort(sel)]
             rows_store = np.repeat(np.arange(n), np.diff(Astore.indptr))
             r_oob = rows_store[dropped]
             c_oob = Astore.indices[dropped]
@@ -672,40 +757,77 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         else:
             Adata_all = Astore.data
         Adata = Adata_all if keep_sel is None else Adata_all[keep_sel]
-        Adev = fill_band_device(layA, Adata, R_l, A_dtype)
+        NT_l, R_b, W_l = layA[4], layA[5], layA[6]
+        bytes_A = float(NT_l) * R_b * W_l \
+            * (2 if A_dtype == jnp.bfloat16 else 4)
+        used += bytes_A
         if oob_src is not None:
-            oob_dev = Sidecar(
-                rows=jnp.asarray(rows_full.astype(np.int32)),
-                cols=jnp.asarray(cols_full.astype(np.int32)),
-                vals=jnp.asarray(Adata_all[oob_src].astype(np.float32)))
+            used += oob_src.size * 12.0
         cch_p = max(R_l // AGG, 8)
         # the smoothed prolongator inherits A's cross-part outliers
         # (scaled diagonal distance |i - AGG j|); split them the same way
         rowsP = np.repeat(np.arange(n), np.diff(P.indptr))
         distP = np.abs(rowsP - P.indices.astype(np.int64) * AGG)
         cutP = cut_l + 2 * AGG
-        P_oob_dev = None
         Pstore = P
+        pdropped = None
         p_drop = distP > cutP
         ndropP = int(p_drop.sum())
         if ndropP and ndropP <= max(0.01 * P.nnz, 32768):
             Pstore, pdropped = _split_csr(P, ~p_drop)
-            P_oob_dev = Sidecar(
-                rows=jnp.asarray(rowsP[pdropped].astype(np.int32)),
-                cols=jnp.asarray(P.indices[pdropped].astype(np.int32)),
-                vals=jnp.asarray(P.data[pdropped].astype(np.float32)))
         layP = pack_band_layout(Pstore, R_l, cch_p)
+        bytes_P = float(layP[4]) * layP[5] * layP[6] * 2
+        use_P = (not force_agg_P
+                 and bytes_P <= max(P_MAX_BYTES, P_extra_budget)
+                 and (budget_bytes is None
+                      or used + bytes_P <= budget_bytes))
+        if use_P:
+            used += bytes_P
+            if pdropped is not None:
+                used += pdropped.size * 12.0
+        abf_bytes = 0.0
+        use_abf = (A_dtype != jnp.bfloat16
+                   and BF16_SMOOTH_MIN < bytes_A <= BF16_SMOOTH_MAX)
+        if use_abf:
+            abf_bytes = bytes_A / 2.0
+            use_abf = (budget_bytes is None
+                       or used + abf_bytes <= budget_bytes)
+        if use_abf:
+            used += abf_bytes
+        if plan_only:
+            report.append({
+                "level": len(report), "n": n, "R": R_l, "cut": int(cut_l),
+                "NT": NT_l, "W": W_l, "sym": bool(use_sym),
+                "dtype": ("bf16" if A_dtype == jnp.bfloat16 else "f32"),
+                "bytes_A": bytes_A,
+                "bytes_P": bytes_P if use_P else 0.0,
+                "bytes_Abf": abf_bytes if use_abf else 0.0,
+                "split": bool(split_l),
+                "truncated": bool(truncated), "discarded": n_discard,
+                "sidecar": 0 if oob_src is None else int(oob_src.size)})
+            A = Ac
+            coords = ccoords
+            first = False
+            if bt_coarse is not None:
+                break
+            continue
+        Adev = fill_band_device(layA, Adata, R_l, A_dtype)
+        if oob_src is not None:
+            oob_dev = Sidecar(
+                rows=jnp.asarray(rows_full.astype(np.int32)),
+                cols=jnp.asarray(cols_full.astype(np.int32)),
+                vals=jnp.asarray(Adata_all[oob_src].astype(np.float32)))
+        P_oob_dev = None
         Pdev = None
-        if (not force_agg_P
-                and layP[4] * layP[5] * layP[6] * 2
-                <= max(P_MAX_BYTES, P_extra_budget)):
+        if use_P:
             Pdev = fill_band_device(layP, Pstore.data, cch_p, jnp.bfloat16)
-        else:
-            P_oob_dev = None
+            if pdropped is not None:
+                P_oob_dev = Sidecar(
+                    rows=jnp.asarray(rowsP[pdropped].astype(np.int32)),
+                    cols=jnp.asarray(P.indices[pdropped].astype(np.int32)),
+                    vals=jnp.asarray(P.data[pdropped].astype(np.float32)))
         Abf = None
-        if (Adev.dense.dtype != jnp.bfloat16
-                and BF16_SMOOTH_MIN < Adev.dense.size * 4
-                <= BF16_SMOOTH_MAX):
+        if use_abf:
             Abf = BandMatrix(dense=Adev.dense.astype(jnp.bfloat16),
                              shift0=Adev.shift0, cchunk=Adev.cchunk,
                              ncols=Adev.ncols)
@@ -721,6 +843,11 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         if bt_coarse is not None:
             break
 
+    if plan_only:
+        report.append({"total_bytes": used,
+                       "bt_coarse": (bt_coarse or {}),
+                       "budget": budget_bytes})
+        return report, None
     from .amg import scaled_inv
     if bt_coarse is not None:
         cinv = np.zeros((1, 1))       # placeholder; bottom solve is bt

@@ -773,7 +773,8 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
             est_ac = _band_bytes_estimate(Ash, band_mod.ROW_TILE)
             if est_ac <= 0.31 * device_hbm_bytes():
                 with profiling.phase("band amg setup (ac)"):
-                    amg, lay = band_mod.setup_band_amg(Ash)
+                    amg, lay = band_mod.setup_band_amg(
+                        Ash, budget_bytes=0.8 * device_hbm_bytes())
                 opl = band_mod.pack_band_layout(
                     Ar, band_mod.ROW_TILE, band_mod.ROW_TILE)
                 band_ent = {"perm": perm, "iperm": iperm, "amg": amg,
@@ -1181,6 +1182,12 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 # 0.045/cycle), while sym-f32 + the two-grid factor
                 # refines to 1e-8 in 3 passes / 425 its.
                 bt_budget = bt_transient = 0.0
+                # the hierarchy's own hard cap: leave room for the fine
+                # blocktri factor (incl. its build transient) when one
+                # will be built next
+                hier_budget = 0.8 * hbm
+                if fine_bt_ok:
+                    hier_budget -= 2 * bt_mod.factor_bytes(n, bsize)
                 if not fine_bt_ok:
                     # steady budget: what can live NEXT TO the fine band
                     # for the whole solve; transient budget: the factor
@@ -1199,7 +1206,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                                         else None),
                             bt_coarse_budget=bt_budget,
                             bt_transient_budget=bt_transient,
-                            coords=coords_p)
+                            coords=coords_p,
+                            budget_bytes=hier_budget)
                     if session.band_data_map is None:
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
