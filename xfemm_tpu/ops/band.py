@@ -271,19 +271,30 @@ def partition_order(At: sp.csr_matrix, coords: np.ndarray,
 _ROW_TILES = (128, 256, 512)
 
 
+def _band_W(cut: int, R: int, sym: bool) -> int:
+    """Exact worst-case window width of ``pack_band_layout`` for a band
+    of half-width ``cut`` at row tile/chunk R: a tile's rows span
+    columns [tR - cut, tR + R - 1 + cut] (triu: [tR, tR + R - 1 + cut]),
+    so K = 2*ceil(cut/R) + 1 chunks (sym: ceil(cut/R) + 1). The old
+    ``2*cut//R + 2`` formula under-counted by one chunk for most cuts
+    (measured: planned 655 MB vs 737 MB packed at 160k/cut=400), which
+    let budget-truncated levels overshoot their allowance."""
+    kc = (cut + R - 1) // R
+    K = (kc + 1) if sym else (2 * kc + 1)
+    return K * R
+
+
 def pick_row_tile(cut: int, sym: bool) -> int:
     """Row-tile size minimizing the band window W (the SpMV is HBM-bound
     at ~755 GB/s measured on v5e, so bytes == time); ties prefer larger
     tiles (fewer window concats)."""
-    span = cut if sym else 2 * cut
-    return min(_ROW_TILES, key=lambda R: ((span // R + 2) * R, -R))
+    return min(_ROW_TILES, key=lambda R: (_band_W(cut, R, sym), -R))
 
 
 def _band_est(n: int, cut: int, R: int, sym: bool,
               itemsize: int = 4) -> float:
     NT = (n + R - 1) // R
-    W = ((cut if sym else 2 * cut) // R + 2) * R
-    return float(NT) * R * W * itemsize
+    return float(NT) * R * _band_W(cut, R, sym) * itemsize
 
 
 #: byte-equivalent cost of one sidecar entry per operator application,
@@ -351,6 +362,37 @@ def plan_level(dist: np.ndarray, n: int, sym: bool,
         if cost < best[0]:
             best = (cost, R, cut, tail > 0)
     return best[1], best[2], best[3]
+
+
+#: relative drop tolerance for coarse Galerkin matrices. Smoothed
+#: aggregation over 1-D contiguous (RCM-run) aggregates DENSIFIES the
+#: coarse operators: each Galerkin product multiplies the row degree
+#: ~9x (measured on the 994k bench: 7 -> 63 -> ~450 entries/row by L2),
+#: which simultaneously explodes the coarse bandwidth (a 46k-wide band
+#: for a 62k matrix) and the host setup time (418 s of Galerkin
+#: products). Dropping entries below eps * sqrt(|a_ii a_jj|) keeps
+#: every coarse level sparse AND banded; the levels are preconditioner-
+#: internal, so the only cost is a slightly weaker V-cycle. The dropped
+#: mass is NOT lumped onto the diagonal: the off-diagonals of these
+#: near-M-matrices are negative, so lumping REDUCES diagonal dominance
+#: and was measured to destroy the preconditioner's positivity (the
+#: bf16 GMRES path stalled at 0.03%/cycle); pure dropping only
+#: increases dominance and stays SPD.
+FILTER_EPS = 0.02
+
+
+def _filter_galerkin(Ac: sp.csr_matrix, eps: float) -> sp.csr_matrix:
+    """Drop |a_ij| < eps*sqrt(|a_ii a_jj|) off-diagonal entries."""
+    n = Ac.shape[0]
+    d = np.abs(np.asarray(Ac.diagonal(), np.float64))
+    d[d == 0] = 1.0
+    rows = np.repeat(np.arange(n), np.diff(Ac.indptr))
+    scale = np.sqrt(d[rows] * d[Ac.indices])
+    keep = (np.abs(Ac.data) >= eps * scale) | (rows == Ac.indices)
+    if bool(keep.all()):
+        return Ac
+    Af, _dropped = _split_csr(Ac, keep)
+    return Af
 
 
 def _split_csr(A: sp.csr_matrix, keep: np.ndarray):
@@ -460,8 +502,9 @@ def _cut_for_budget(qs: np.ndarray, n: int, bytes_allow: float,
     the level's sorted |row-col| distance quantiles. The dtype rule of
     ``setup_band_amg`` (bf16 above 1 GB f32) participates, so a cut
     whose f32 band misses the budget but whose bf16 band fits is kept.
-    Returns (R, cut); cut may be 0 (diagonal-only band always fits)."""
-    best = (_ROW_TILES[-1], 0)
+    Returns (R, cut); cut may be 0 (the floor is the diagonal-only band
+    at the SMALLEST row tile -- n*128*itemsize bytes)."""
+    best = (pick_row_tile(0, sym), 0)
     # distance quantiles as candidates, coarsened to ~64 probes
     probe = np.unique(qs[np.linspace(0, qs.size - 1, 64).astype(np.int64)])
     for cut in probe:
@@ -558,6 +601,8 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                  @ (A @ P0)).tocsr()
             Ac = (P.T @ A @ P).tocsr()
             Ac.sum_duplicates()
+            if FILTER_EPS > 0.0:
+                Ac = _filter_galerkin(Ac, FILTER_EPS)
 
         rowsA = np.repeat(np.arange(n), np.diff(A.indptr))
         dist = np.abs(A.indices - rowsA)
@@ -587,6 +632,7 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         # FULL bandwidth in the plan -- at 994k that was a 55,424-wide
         # 6.9 GB L2 band and a RESOURCE_EXHAUSTED device.
         truncated = False
+        trunc_cap = 0
         if budget_bytes is not None and not first:
             remaining = max(budget_bytes - used, 0.0)
 
@@ -594,11 +640,24 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                 est = _band_est(n, cut, R, use_sym)
                 return est * (0.5 if est > 1e9 else 1.0)  # bf16 rule
 
-            if _lvl_bytes(cut_l, R_l) > remaining:
-                R_l, cut_l = _cut_for_budget(np.sort(dist_s), n,
-                                             remaining, use_sym)
+            tail_b = 0.0
+            if split_l:          # the planned sidecar's bytes count too
+                tail_b = 12.0 * (2 if use_sym else 1) \
+                    * int((dist_s > cut_l).sum())
+            if _lvl_bytes(cut_l, R_l) + tail_b > remaining:
+                # reserve the capped sidecar's worst-case bytes so the
+                # truncated band + its COO tail still fit together
+                R_l, cut_l = _cut_for_budget(
+                    np.sort(dist_s), n,
+                    max(remaining - SIDECAR_MAX * 12.0, 0.0), use_sym)
                 split_l = True
                 truncated = True
+                # whatever budget the truncated band leaves decides how
+                # many dropped couplings may ride the sidecar at all
+                mirror = 2 if use_sym else 1
+                spare = remaining - _lvl_bytes(cut_l, R_l)
+                trunc_cap = min(SIDECAR_MAX // mirror,
+                                int(max(spare, 0.0) // (12 * mirror)))
 
         # a split level's ordering is partitioned: its Galerkin coarse
         # matrix would inherit interface couplings far beyond any
@@ -715,16 +774,20 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             keep_sel = np.nonzero(keep)[0]
             if truncated:
                 # budget truncation: only the largest dropped couplings
-                # (by magnitude) ride the capped sidecar; the rest are
-                # DISCARDED -- legal because this level is strictly a
-                # preconditioner component (never the CG operator)
-                cap = SIDECAR_MAX // (2 if use_sym else 1)
-                if dropped.size > cap:
-                    mag = np.abs(np.asarray(Astore.data)[dropped])
-                    sel = np.argpartition(mag, dropped.size - cap
-                                          )[dropped.size - cap:]
-                    n_discard = int(dropped.size - cap)
-                    dropped = dropped[np.sort(sel)]
+                # (by magnitude) ride the budget-bounded sidecar; the
+                # rest are DISCARDED -- legal because this level is
+                # strictly a preconditioner component (never the CG
+                # operator)
+                if dropped.size > trunc_cap:
+                    n_discard = int(dropped.size - trunc_cap)
+                    if trunc_cap == 0:
+                        dropped = dropped[:0]
+                    else:
+                        mag = np.abs(np.asarray(Astore.data)[dropped])
+                        sel = np.argpartition(
+                            mag, dropped.size - trunc_cap
+                        )[dropped.size - trunc_cap:]
+                        dropped = dropped[np.sort(sel)]
             rows_store = np.repeat(np.arange(n), np.diff(Astore.indptr))
             r_oob = rows_store[dropped]
             c_oob = Astore.indices[dropped]
@@ -777,14 +840,13 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             Pstore, pdropped = _split_csr(P, ~p_drop)
         layP = pack_band_layout(Pstore, R_l, cch_p)
         bytes_P = float(layP[4]) * layP[5] * layP[6] * 2
+        p_side = 0.0 if pdropped is None else pdropped.size * 12.0
         use_P = (not force_agg_P
                  and bytes_P <= max(P_MAX_BYTES, P_extra_budget)
                  and (budget_bytes is None
-                      or used + bytes_P <= budget_bytes))
+                      or used + bytes_P + p_side <= budget_bytes))
         if use_P:
-            used += bytes_P
-            if pdropped is not None:
-                used += pdropped.size * 12.0
+            used += bytes_P + p_side
         abf_bytes = 0.0
         use_abf = (A_dtype != jnp.bfloat16
                    and BF16_SMOOTH_MIN < bytes_A <= BF16_SMOOTH_MAX)

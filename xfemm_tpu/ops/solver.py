@@ -313,6 +313,133 @@ def blocks_to_csr(blocks, n: int):
     return sp.coo_matrix((data, (rows, cols)), shape=(n, n)).tocsr()
 
 
+def pick_band_order(At, coords, hbm: float | None = None):
+    """The band engine's ordering decision (``solve``'s "ordering"
+    phase): global RCM when the fine block-tridiagonal factor can fit
+    next to the RCM band (mid-size problems keep their strongest
+    preconditioner), else RCB parts with in-part RCM (1M class: the
+    dense band shrinks ~sqrt(parts)x and the <1% cross-part couplings
+    overflow into the COO sidecar). A factor of the in-part band only
+    was measured 33x WORSE in CG iterations (817 vs 25 on the 250k
+    bench) -- non-overlapping block-Jacobi without a coarse correction
+    degrades like 1/h -- so partitioning is a last resort.
+    Returns ``(perm, partitioned)``."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from . import band as band_mod
+    from . import blocktri as bt_mod
+
+    n = At.shape[0]
+    if hbm is None:
+        hbm = device_hbm_bytes()
+    perm = np.asarray(reverse_cuthill_mckee(At, symmetric_mode=True))
+    partitioned = False
+    if coords is not None and np.shape(coords)[0] == n and At.nnz:
+        parts = band_mod.pick_parts(n)
+        if parts > 1:
+            rows_all = np.repeat(np.arange(n), np.diff(At.indptr))
+            ip = np.empty_like(perm)
+            ip[perm] = np.arange(n)
+            dist = np.abs(ip[rows_all].astype(np.int64)
+                          - ip[At.indices].astype(np.int64))
+            R0, cut0, sp0 = band_mod.plan_level(dist, n, sym=False)
+            est0 = band_mod._band_est(n, cut0, R0, False)
+            bs = bt_mod.pick_block(cut0)
+            # the factor covers the KEPT band only: if the plan sheds
+            # more than a sliver into the sidecar, the factor no longer
+            # approximates the operator
+            tail0 = int((dist > cut0).sum()) if sp0 else 0
+            fine_bt_fits = (
+                bs is not None
+                and tail0 <= 0.002 * dist.size
+                and est0 + 2 * bt_mod.factor_bytes(n, bs) <= 0.72 * hbm)
+            if not fine_bt_fits:
+                perm = band_mod.partition_order(
+                    At, np.asarray(coords), parts)
+                partitioned = True
+    return perm, partitioned
+
+
+def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
+    """Storage-tier and budget decisions for the band hierarchy of an
+    (already RCM/RCB-ordered) Dirichlet-eliminated CSR -- the exact
+    policy ``solve`` applies before calling ``band.setup_band_amg``,
+    exposed so a CPU-only planner test can assert the full hierarchy
+    plan fits the device (tests/test_band_plan.py). Returns ``None``
+    when no storage tier fits the device, else a dict with ``sym``,
+    ``fine_dtype`` ("bf16" or None), ``act_bytes`` (bytes the chosen
+    fine band actually holds), ``bsize``, ``fine_bt_ok``,
+    ``bt_budget``, ``bt_transient`` and ``hier_budget`` (the hard cap
+    handed to ``setup_band_amg(budget_bytes=...)``)."""
+    from . import band as band_mod
+    from . import blocktri as bt_mod
+
+    if hbm is None:
+        hbm = device_hbm_bytes()
+    n = Ap.shape[0]
+    est_bytes = _band_bytes_estimate(Ap, band_mod.ROW_TILE)
+    sym = fine_dtype = None
+    if est_bytes <= 0.375 * hbm:
+        sym = False
+    elif _band_bytes_estimate(Ap, band_mod.ROW_TILE,
+                              sym=True) <= 0.69 * hbm:
+        sym = True              # triu storage halves the footprint;
+                                # smoothing shares the f32 band (no
+                                # bf16 copy above BF16_SMOOTH_MAX)
+    elif _band_bytes_estimate(Ap, band_mod.ROW_TILE, sym=True,
+                              itemsize=2) <= 0.5 * hbm:
+        sym = True              # 1M-class: bf16 fine operator; the
+        fine_dtype = "bf16"     # refinement driver absorbs the
+                                # reduced operator precision
+    if sym is None:
+        return None
+    # fine-level block-tridiagonal eligibility: block size from the
+    # PLANNED band cut, not the raw bandwidth -- a partitioned
+    # ordering's cross-part couplings go to the sidecar (outside the
+    # factor), so the factor only needs to cover the kept band
+    rowsA_ = np.repeat(np.arange(n), np.diff(Ap.indptr))
+    dist_ = np.abs(rowsA_ - Ap.indices.astype(np.int64))
+    _Rf, cut_f, split_f = band_mod.plan_level(dist_, n, sym=False)
+    tail_f = int((dist_ > cut_f).sum()) if split_f else 0
+    bsize = (bt_mod.pick_block(cut_f)
+             if tail_f <= 0.002 * dist_.size else None)
+    # ``est_bytes`` is the FULL-f32 estimate used only to pick the
+    # storage tier; the memory actually held by the chosen fine band is
+    # what the factor must coexist with (at 1M the bf16-sym band is ~4x
+    # smaller than the f32 full estimate -- gating on the latter
+    # starved the coarse factor of its budget entirely)
+    if sym:
+        act_bytes = _band_bytes_estimate(
+            Ap, band_mod.ROW_TILE, sym=True,
+            itemsize=(2 if fine_dtype else 4))
+    else:
+        act_bytes = est_bytes
+    fine_bt_ok = (bsize is not None and not partitioned
+                  and act_bytes + 2 * bt_mod.factor_bytes(n, bsize)
+                  <= 0.72 * hbm)
+    # NOTE: do NOT trade the f32 fine operator for bf16 to make room
+    # for a stronger coarse factor. Measured on the real 1M it-0
+    # system: bf16 GMRES(24) passes DIVERGE (per-pass amplification
+    # 1.7-10x), while sym-f32 + the two-grid factor refines to 1e-8 in
+    # 3 passes / 425 its.
+    bt_budget = bt_transient = 0.0
+    # the hierarchy's own hard cap: leave room for the fine blocktri
+    # factor (incl. its build transient) when one will be built next
+    hier_budget = 0.8 * hbm
+    if fine_bt_ok:
+        hier_budget -= 2 * bt_mod.factor_bytes(n, bsize)
+    else:
+        # steady budget: what can live NEXT TO the fine band for the
+        # whole solve; transient budget: the factor build (2x factor
+        # bytes) happens BEFORE the fine band fills, so it only has to
+        # fit the bare device
+        bt_budget = 0.8 * hbm - act_bytes
+        bt_transient = 0.85 * hbm
+    return dict(sym=sym, fine_dtype=fine_dtype, act_bytes=act_bytes,
+                bsize=bsize, fine_bt_ok=fine_bt_ok, bt_budget=bt_budget,
+                bt_transient=bt_transient, hier_budget=hier_budget)
+
+
 class Session:
     """Per-(problem, mesh) solver state reused across Newton iterations.
 
@@ -1027,53 +1154,9 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
         else:
             ckey = None
         if session.perm is None:
-            from scipy.sparse.csgraph import reverse_cuthill_mckee
             with profiling.phase("ordering"):
-                perm = np.asarray(reverse_cuthill_mckee(
-                    At, symmetric_mode=True))
-                # partitioned ordering for the 1M class: once the fine
-                # block-tridiagonal factor cannot fit next to the RCM
-                # band anyway, RCB parts with in-part RCM shrink the
-                # dense band ~sqrt(parts)x (the in-part bandwidth
-                # tracks the part diameter); the <1% cross-part
-                # couplings overflow into the COO sidecar
-                # (band.plan_level / band.Sidecar).  Mid-size problems
-                # keep global RCM so the exact fine factor -- their
-                # strongest preconditioner -- stays available: a factor
-                # of the in-part band only (interfaces in the sidecar)
-                # was measured 33x WORSE in CG iterations (817 vs 25 on
-                # the 250k bench) -- non-overlapping block-Jacobi
-                # without a coarse correction degrades like 1/h, so
-                # cheap bytes do not pay for the lost interfaces.
-                if np.shape(coords)[0] == n and At.nnz:
-                    parts = band_mod.pick_parts(n)
-                    if parts > 1:
-                        from . import blocktri as bt_mod
-                        rows_all = np.repeat(np.arange(n),
-                                             np.diff(At.indptr))
-                        ip = np.empty_like(perm)
-                        ip[perm] = np.arange(n)
-                        dist = np.abs(
-                            ip[rows_all].astype(np.int64)
-                            - ip[At.indices].astype(np.int64))
-                        R0, cut0, sp0 = band_mod.plan_level(
-                            dist, n, sym=False)
-                        est0 = band_mod._band_est(n, cut0, R0, False)
-                        bs = bt_mod.pick_block(cut0)
-                        # the factor covers the KEPT band only: if the
-                        # plan sheds more than a sliver into the
-                        # sidecar, the factor no longer approximates
-                        # the operator (the 33x lesson above applies)
-                        tail0 = int((dist > cut0).sum()) if sp0 else 0
-                        fine_bt_fits = (
-                            bs is not None
-                            and tail0 <= 0.002 * dist.size
-                            and est0 + 2 * bt_mod.factor_bytes(n, bs)
-                            <= 0.72 * device_hbm_bytes())
-                        if not fine_bt_fits:
-                            perm = band_mod.partition_order(
-                                At, np.asarray(coords), parts)
-                            session.partitioned = True
+                perm, session.partitioned = pick_band_order(
+                    At, coords if np.shape(coords)[0] == n else None)
             iperm = np.empty_like(perm)
             iperm[perm] = np.arange(n)
             session.perm = (perm, iperm)
@@ -1121,80 +1204,15 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             # (same staleness rule as the ELL path below)
             Ap = At[perm][:, perm].tocsr()
             Ap.sum_duplicates()
-            est_bytes = _band_bytes_estimate(Ap, band_mod.ROW_TILE)
-            sym = fine_dtype = None
-            hbm = device_hbm_bytes()
-            if est_bytes <= 0.375 * hbm:
-                sym = False
-            elif _band_bytes_estimate(Ap, band_mod.ROW_TILE,
-                                      sym=True) <= 0.69 * hbm:
-                sym = True          # triu storage halves the footprint;
-                                    # smoothing shares the f32 band (no
-                                    # bf16 copy above BF16_SMOOTH_MAX)
-            elif _band_bytes_estimate(Ap, band_mod.ROW_TILE, sym=True,
-                                      itemsize=2) <= 0.5 * hbm:
-                sym = True          # 1M-class: bf16 fine operator; the
-                fine_dtype = "bf16"  # refinement driver absorbs the
-                                     # reduced operator precision
-            if sym is not None:
+            plan = plan_band_hierarchy(Ap, session.partitioned)
+            if plan is not None:
                 import jax.numpy as _jnp
-                # fine-level block-tridiagonal eligibility first: when
-                # the factor fits next to the band it is the strongest
-                # preconditioner; when it does NOT (1M-class), ask the
-                # hierarchy builder for a two-grid coarse factor instead
-                # (blocktri on the first Galerkin level, ~1/16 the size)
                 from . import blocktri as bt_mod
                 session.bt = None
-                # block size from the PLANNED band cut, not the raw
-                # bandwidth: a partitioned ordering's cross-part
-                # couplings go to the sidecar (outside the factor), so
-                # the factor only needs to cover the kept band
-                rowsA_ = np.repeat(np.arange(n), np.diff(Ap.indptr))
-                dist_ = np.abs(rowsA_ - Ap.indices.astype(np.int64))
-                _Rf, cut_f, split_f = band_mod.plan_level(
-                    dist_, n, sym=False)
-                tail_f = int((dist_ > cut_f).sum()) if split_f else 0
-                bsize = (bt_mod.pick_block(cut_f)
-                         if tail_f <= 0.002 * dist_.size else None)
-                # ``est_bytes`` above is the FULL-f32 estimate used only
-                # to pick the storage tier; the memory actually held by
-                # the chosen fine band is what the factor must coexist
-                # with (at 1M the bf16-sym band is ~4x smaller than the
-                # f32 full estimate -- gating on the latter starved the
-                # coarse factor of its budget entirely)
-                def _act(fd):
-                    if sym:
-                        return _band_bytes_estimate(
-                            Ap, band_mod.ROW_TILE, sym=True,
-                            itemsize=(2 if fd else 4))
-                    return est_bytes
-                act_bytes = _act(fine_dtype)
-                fine_bt_ok = (bsize is not None
-                              and not session.partitioned
-                              and act_bytes + 2 * bt_mod.factor_bytes(
-                                  n, bsize) <= 0.72 * hbm)
-                # NOTE: do NOT trade the f32 fine operator for bf16 to
-                # make room for a stronger coarse factor. Measured on
-                # the real 1M it-0 system: bf16 GMRES(24) passes DIVERGE
-                # (per-pass amplification 1.7-10x -- the true residual
-                # floor ||E d|| is rhs-dependent and exceeds 1 for the
-                # FEM rhs even though a random-rhs probe contracts
-                # 0.045/cycle), while sym-f32 + the two-grid factor
-                # refines to 1e-8 in 3 passes / 425 its.
-                bt_budget = bt_transient = 0.0
-                # the hierarchy's own hard cap: leave room for the fine
-                # blocktri factor (incl. its build transient) when one
-                # will be built next
-                hier_budget = 0.8 * hbm
-                if fine_bt_ok:
-                    hier_budget -= 2 * bt_mod.factor_bytes(n, bsize)
-                if not fine_bt_ok:
-                    # steady budget: what can live NEXT TO the fine band
-                    # for the whole solve; transient budget: the factor
-                    # build (2x factor bytes) happens BEFORE the fine
-                    # band fills, so it only has to fit the bare device
-                    bt_budget = 0.8 * hbm - act_bytes
-                    bt_transient = 0.85 * hbm
+                sym = plan["sym"]
+                fine_dtype = plan["fine_dtype"]
+                bsize = plan["bsize"]
+                fine_bt_ok = plan["fine_bt_ok"]
                 with profiling.phase("band amg setup"):
                     coords_p = None
                     if np.shape(coords)[0] == n:
@@ -1204,10 +1222,10 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                             Ap, sym=sym,
                             fine_dtype=(_jnp.bfloat16 if fine_dtype
                                         else None),
-                            bt_coarse_budget=bt_budget,
-                            bt_transient_budget=bt_transient,
+                            bt_coarse_budget=plan["bt_budget"],
+                            bt_transient_budget=plan["bt_transient"],
                             coords=coords_p,
-                            budget_bytes=hier_budget)
+                            budget_bytes=plan["hier_budget"])
                     if session.band_data_map is None:
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
