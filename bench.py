@@ -1,4 +1,4 @@
-"""Headline benchmark: 254k-DOF nonlinear magnetostatic solve on TPU.
+"""Headline benchmark: 250k-DOF nonlinear magnetostatic solve on TPU.
 
 Solves the scalable benchmark problem (xfemm_tpu/models/benchprob.py: a
 saturated-steel cylinder between two coils, nonlinear B-H Newton loop,
@@ -15,7 +15,14 @@ area_tighten 1.0, benchprob factor 0.857). ``vs_baseline`` is the
 speedup factor baseline_time / our_time (>1 means faster than the
 reference).
 
-Prints exactly one JSON line.
+Budget-resilient by construction (the round-2 artifact was rc=124/null
+because the JSON only printed after warmup + 3 timed solves + reports):
+the mesh loads from a checked-in/cached npz instead of re-meshing, the
+backend probe makes ONE attempt with no retry sleep, and the JSON line
+prints IMMEDIATELY after the first valid timed solve -- every further
+repeat only improves the already-emitted evidence on stderr.
+
+Prints exactly one JSON line on stdout.
 """
 
 import json
@@ -25,9 +32,12 @@ import time
 
 REF_FSOLVER_SECONDS = 15.3        # reference fsolver on the same mesh
 TARGET_NODES = 250_000
+_HERE = os.path.dirname(os.path.abspath(__file__))
+MESH_CACHE = os.path.join(_HERE, ".bench_cache",
+                          f"mesh_{TARGET_NODES}.npz")
 
 
-def _probe_accelerator(timeout_s: float = 180.0) -> bool:
+def _probe_accelerator(timeout_s: float = 150.0) -> bool:
     """Check (in a subprocess, so a wedged tunnel RPC can't hang the
     benchmark) whether the accelerator backend initializes."""
     import subprocess
@@ -36,7 +46,7 @@ def _probe_accelerator(timeout_s: float = 180.0) -> bool:
             [sys.executable, "-c",
              "import jax; print(jax.devices()[0].platform)"],
             capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)))
+            cwd=_HERE)
     except subprocess.TimeoutExpired:
         print(f"backend probe hung >{timeout_s:.0f}s", file=sys.stderr)
         return False
@@ -48,57 +58,97 @@ def _probe_accelerator(timeout_s: float = 180.0) -> bool:
 
 
 def _backend_platform() -> str:
-    """Initialize the JAX backend, retrying once if the remote TPU
-    tunnel is briefly unavailable; fall back to CPU (explicitly labeled
+    """Initialize the JAX backend; fall back to CPU (explicitly labeled
     in the metric) rather than failing the benchmark artifact when the
-    accelerator is unreachable or its init hangs."""
+    accelerator is unreachable or its init hangs. ONE attempt -- the
+    old retry slept 60 s, which cost the whole artifact under a tight
+    driver budget (BENCH_r02 was rc=124)."""
     import jax
-    for attempt in (1, 2):
-        if _probe_accelerator():
-            return jax.devices()[0].platform
-        if attempt == 1:
-            time.sleep(60)
+    if _probe_accelerator():
+        return jax.devices()[0].platform
     os.environ["JAX_PLATFORMS"] = "cpu"
     jax.config.update("jax_platforms", "cpu")
     return jax.devices()[0].platform
+
+
+def _get_mesh(prob):
+    """Premeshed-fixture strategy (the reference's own:
+    cfemm/fsolver/test/CMakeLists.txt:15-27): the bench mesh persists
+    as an npz keyed by target size, so repeat runs skip the mesher and,
+    more importantly, are guaranteed to time the SAME 249,469-node mesh
+    the 15.3 s fsolver baseline was measured on."""
+    from xfemm_tpu.mesh import mesher, meshdata
+
+    if os.path.exists(MESH_CACHE):
+        try:
+            return meshdata.load_npz(MESH_CACHE)
+        except Exception as exc:
+            print(f"mesh cache unreadable ({exc}); remeshing",
+                  file=sys.stderr)
+    t0 = time.time()
+    mesh = mesher.mesh_problem(prob)
+    print(f"meshed {mesh.num_nodes} nodes in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    try:
+        os.makedirs(os.path.dirname(MESH_CACHE), exist_ok=True)
+        meshdata.save_npz(mesh, MESH_CACHE)
+    except Exception as exc:
+        print(f"mesh cache write failed ({exc})", file=sys.stderr)
+    return mesh
 
 
 def main() -> None:
     t_start = time.time()
     import numpy as np
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, _HERE)
     import xfemm_tpu  # noqa: F401  (enables the persistent compile cache)
     platform = _backend_platform()
     suffix = "" if platform in ("tpu", "axon") \
         else f" [{platform} FALLBACK -- accelerator unreachable]"
-    from xfemm_tpu.mesh import mesher
     from xfemm_tpu.models import benchprob, magnetostatics
 
     prob = benchprob.build(TARGET_NODES)
-    mesh = mesher.mesh_problem(prob)
+    mesh = _get_mesh(prob)
 
     # warm-up: pays XLA compilation (cached across runs where possible)
+    t0 = time.time()
     sol = magnetostatics.solve(prob, mesh)
     assert sol.residual <= prob.Precision, sol.residual
+    print(f"cold solve {time.time() - t0:.1f}s "
+          f"({time.time() - t_start:.1f}s since start)", file=sys.stderr)
 
-    # best of 3: the remote-TPU tunnel adds multi-second RPC jitter per
-    # run, and min is the standard estimator for dispatch-bound repeats
     from xfemm_tpu.utils import profiling
     profiling.ENABLED = True
-    elapsed = float("inf")
-    its_total = 0
-    for _ in range(3):
+
+    # first timed solve -> the artifact, emitted IMMEDIATELY
+    t0 = time.time()
+    sol = magnetostatics.solve(prob, mesh)
+    elapsed = time.time() - t0
+    assert sol.residual <= prob.Precision, sol.residual
+    assert np.isfinite(sol.A).all()
+    print(json.dumps({
+        "metric": f"nonlinear magnetostatic solve, {mesh.num_nodes} nodes, "
+                  f"1e-8 tol (warm){suffix}",
+        "value": round(elapsed, 2),
+        "unit": "s",
+        "vs_baseline": round(REF_FSOLVER_SECONDS / elapsed, 3),
+    }), flush=True)
+
+    # best-of-3 evidence + observability (stderr only from here on; the
+    # remote-TPU tunnel adds multi-second RPC jitter per run, so the
+    # min over repeats is the honest dispatch-bound estimate)
+    its_total = int(sol.iterations)
+    best = elapsed
+    for _ in range(2):
         t0 = time.time()
         sol = magnetostatics.solve(prob, mesh)
-        elapsed = min(elapsed, time.time() - t0)
+        best = min(best, time.time() - t0)
         its_total += int(sol.iterations)
         assert sol.residual <= prob.Precision, sol.residual
-    assert np.isfinite(sol.A).all()
-
-    # observability (stderr; stdout stays one JSON line): phase split of
-    # the three timed solves plus a fine-level SpMV throughput/MFU
-    # estimate from the band dims and the CG iteration count
+    print(f"best of 3 warm solves: {best:.2f}s "
+          f"({REF_FSOLVER_SECONDS / best:.2f}x vs fsolver)",
+          file=sys.stderr)
     print(profiling.report(), file=sys.stderr)
     try:
         from xfemm_tpu.ops import solver as solver_mod
@@ -118,7 +168,7 @@ def main() -> None:
             if cg_s > 0 and its_total:
                 # ~2 fine applies per preconditioned CG iteration
                 # (operator + V-cycle smoothing at the fine level);
-                # its_total and cg_s both cover all three timed solves
+                # its_total and cg_s cover the three timed solves
                 bw = 2 * its_total * bytes_apply / cg_s / 1e9
                 print(f"fine band {NT}x{R}x{W} "
                       f"({bytes_apply / 1e9:.2f} GB/apply, {oob} oob), "
@@ -128,14 +178,6 @@ def main() -> None:
                       file=sys.stderr)
     except Exception as exc:  # observability must never fail the bench
         print(f"(bandwidth estimate unavailable: {exc})", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": f"nonlinear magnetostatic solve, {mesh.num_nodes} nodes, "
-                  f"1e-8 tol (warm){suffix}",
-        "value": round(elapsed, 2),
-        "unit": "s",
-        "vs_baseline": round(REF_FSOLVER_SECONDS / elapsed, 3),
-    }))
 
 
 if __name__ == "__main__":

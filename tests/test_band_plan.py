@@ -63,6 +63,7 @@ def _plan(nx: int, ny: int):
         bt_transient_budget=plan["bt_transient"],
         coords=coords[perm],
         budget_bytes=plan["hier_budget"],
+        fine_full=plan["fine_full"],
         plan_only=True)
     assert none is None
     return plan, report, partitioned

@@ -113,6 +113,49 @@ def write_mesh_files(mesh: MeshData, pathbase: str) -> None:
                         f"{qn[2]} {qw[2]:g} {qn[3]} {qw[3]:g}\n")
 
 
+def save_npz(mesh: MeshData, path: str) -> None:
+    """Binary snapshot of a mesh (fast: one compressed npz instead of
+    four text files). Air-gap elements serialize as flat per-gap arrays."""
+    payload = dict(nodes=mesh.nodes, node_markers=mesh.node_markers,
+                   elements=mesh.elements,
+                   element_labels=mesh.element_labels,
+                   edges=mesh.edges, edge_markers=mesh.edge_markers,
+                   pbc_pairs=mesh.pbc_pairs,
+                   n_airgaps=np.int64(len(mesh.airgaps)))
+    for k, age in enumerate(mesh.airgaps):
+        payload[f"age{k}_name"] = np.frombuffer(
+            age.name.encode(), np.uint8)
+        payload[f"age{k}_scal"] = np.asarray(
+            [age.BdryFormat, age.InnerAngle, age.OuterAngle, age.ri,
+             age.ro, age.totalArcLength, age.agc.real, age.agc.imag,
+             age.totalArcElements, age.InnerShift, age.OuterShift],
+            np.float64)
+        payload[f"age{k}_qn"] = age.quad_nodes
+        payload[f"age{k}_qw"] = age.quad_weights
+    np.savez(path, **payload)
+
+
+def load_npz(path: str) -> MeshData:
+    """Inverse of ``save_npz``."""
+    z = np.load(path)
+    airgaps = []
+    for k in range(int(z["n_airgaps"])):
+        s = z[f"age{k}_scal"]
+        airgaps.append(AirGapElement(
+            name=bytes(z[f"age{k}_name"]).decode(),
+            BdryFormat=int(s[0]), InnerAngle=float(s[1]),
+            OuterAngle=float(s[2]), ri=float(s[3]), ro=float(s[4]),
+            totalArcLength=float(s[5]), agc=complex(s[6], s[7]),
+            totalArcElements=int(s[8]), InnerShift=float(s[9]),
+            OuterShift=float(s[10]),
+            quad_nodes=z[f"age{k}_qn"], quad_weights=z[f"age{k}_qw"]))
+    return MeshData(nodes=z["nodes"], node_markers=z["node_markers"],
+                    elements=z["elements"],
+                    element_labels=z["element_labels"],
+                    edges=z["edges"], edge_markers=z["edge_markers"],
+                    pbc_pairs=z["pbc_pairs"], airgaps=airgaps)
+
+
 def read_mesh_files(pathbase: str) -> MeshData:
     """Load a mesh from triangle-format files (as written by either this
     package or the reference fmesher)."""

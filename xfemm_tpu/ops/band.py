@@ -377,8 +377,9 @@ def plan_level(dist: np.ndarray, n: int, sym: bool,
 #: near-M-matrices are negative, so lumping REDUCES diagonal dominance
 #: and was measured to destroy the preconditioner's positivity (the
 #: bf16 GMRES path stalled at 0.03%/cycle); pure dropping only
-#: increases dominance and stays SPD.
-FILTER_EPS = 0.02
+#: increases dominance and stays SPD. Env-overridable for A/B runs.
+FILTER_EPS = float(__import__("os").environ.get(
+    "XFEMM_TPU_FILTER_EPS", "0.02"))
 
 
 def _filter_galerkin(Ac: sp.csr_matrix, eps: float) -> sp.csr_matrix:
@@ -522,7 +523,8 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                    bt_transient_budget: float | None = None,
                    coords: "np.ndarray | None" = None,
                    budget_bytes: float | None = None,
-                   plan_only: bool = False):
+                   plan_only: bool = False,
+                   fine_full: bool = False):
     """Build the band hierarchy (host, f64 -> device dtype). ``At`` must
     already be RCM-ordered with Dirichlet identity rows. Returns
     (BandAMG, fine_layout) -- the fine layout supports value-only
@@ -568,7 +570,15 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
     ``plan_only=True`` skips all device work and returns
     ``(report, None)`` where report is a list of per-level dicts
     (n, R, cut, W, bytes, dtype, sidecar/dropped counts) plus a final
-    totals entry -- the CPU-only regression surface for the planner."""
+    totals entry -- the CPU-only regression surface for the planner.
+
+    ``fine_full=True`` forces the FINE level to keep its complete band
+    (no sidecar split), whatever the byte model prefers. The caller
+    sets it when a fine block-tridiagonal factor will be built: the
+    factor only covers the kept band, and shedding even a 0.1% tail of
+    genuinely long-range couplings out of the factor was measured to
+    cost 27x the CG iterations on the 250k bench (673 vs 25 per solve)
+    -- the byte model cannot see preconditioner quality."""
     import jax.numpy as jnp
 
     from ..utils import profiling
@@ -607,6 +617,9 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         rowsA = np.repeat(np.arange(n), np.diff(A.indptr))
         dist = np.abs(A.indices - rowsA)
         R_f, cut_f, split_f = plan_level(dist, n, sym=False)
+        if first and fine_full:
+            cut_f = int(dist.max()) if dist.size else 0
+            R_f, split_f = pick_row_tile(cut_f, False), False
         use_sym = sym and _band_est(n, cut_f, R_f, False) > SYM_MIN_BYTES
         Astore = A
         dvec = None
@@ -620,6 +633,9 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             diag_pos = Astore.indptr[:-1].astype(np.int64)
             dist_s = dist[usel]
             R_l, cut_l, split_l = plan_level(dist_s, n, sym=True)
+            if first and fine_full:
+                cut_l = int(dist_s.max()) if dist_s.size else 0
+                R_l, split_l = pick_row_tile(cut_l, True), False
         else:
             dist_s = dist
             R_l, cut_l, split_l = R_f, cut_f, split_f

@@ -342,16 +342,16 @@ def pick_band_order(At, coords, hbm: float | None = None):
             ip[perm] = np.arange(n)
             dist = np.abs(ip[rows_all].astype(np.int64)
                           - ip[At.indices].astype(np.int64))
-            R0, cut0, sp0 = band_mod.plan_level(dist, n, sym=False)
-            est0 = band_mod._band_est(n, cut0, R0, False)
-            bs = bt_mod.pick_block(cut0)
-            # the factor covers the KEPT band only: if the plan sheds
-            # more than a sliver into the sidecar, the factor no longer
-            # approximates the operator
-            tail0 = int((dist > cut0).sum()) if sp0 else 0
+            # eligibility on the FULL bandwidth: the factor must cover
+            # the complete operator band (plan_band_hierarchy's
+            # fine_full rule -- a factor missing even a 0.1% tail of
+            # long-range couplings cost 27x the CG iterations)
+            bw0 = int(dist.max()) if dist.size else 0
+            bs = bt_mod.pick_block(bw0)
+            est0 = band_mod._band_est(
+                n, bw0, band_mod.pick_row_tile(bw0, False), False)
             fine_bt_fits = (
                 bs is not None
-                and tail0 <= 0.002 * dist.size
                 and est0 + 2 * bt_mod.factor_bytes(n, bs) <= 0.72 * hbm)
             if not fine_bt_fits:
                 perm = band_mod.partition_order(
@@ -393,16 +393,20 @@ def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
                                 # reduced operator precision
     if sym is None:
         return None
-    # fine-level block-tridiagonal eligibility: block size from the
-    # PLANNED band cut, not the raw bandwidth -- a partitioned
-    # ordering's cross-part couplings go to the sidecar (outside the
-    # factor), so the factor only needs to cover the kept band
+    # fine-level block-tridiagonal eligibility. The factor is only
+    # worth building when it covers the COMPLETE operator band: carving
+    # even a 0.1% tail of long-range couplings out of the factor was
+    # measured to cost 27x the CG iterations on the 250k bench (673 vs
+    # 25 per solve) -- so eligibility is judged on the full bandwidth,
+    # and when it holds, setup_band_amg is told to keep the fine level
+    # unsplit (``fine_full``).
     rowsA_ = np.repeat(np.arange(n), np.diff(Ap.indptr))
     dist_ = np.abs(rowsA_ - Ap.indices.astype(np.int64))
-    _Rf, cut_f, split_f = band_mod.plan_level(dist_, n, sym=False)
-    tail_f = int((dist_ > cut_f).sum()) if split_f else 0
-    bsize = (bt_mod.pick_block(cut_f)
-             if tail_f <= 0.002 * dist_.size else None)
+    bw_f = int(dist_.max()) if dist_.size else 0
+    bsize = bt_mod.pick_block(bw_f)
+    it_f = 2 if (sym and fine_dtype) else 4
+    act_full = band_mod._band_est(
+        n, bw_f, band_mod.pick_row_tile(bw_f, sym), sym, it_f)
     # ``est_bytes`` is the FULL-f32 estimate used only to pick the
     # storage tier; the memory actually held by the chosen fine band is
     # what the factor must coexist with (at 1M the bf16-sym band is ~4x
@@ -415,8 +419,10 @@ def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
     else:
         act_bytes = est_bytes
     fine_bt_ok = (bsize is not None and not partitioned
-                  and act_bytes + 2 * bt_mod.factor_bytes(n, bsize)
+                  and act_full + 2 * bt_mod.factor_bytes(n, bsize)
                   <= 0.72 * hbm)
+    if fine_bt_ok:
+        act_bytes = act_full
     # NOTE: do NOT trade the f32 fine operator for bf16 to make room
     # for a stronger coarse factor. Measured on the real 1M it-0
     # system: bf16 GMRES(24) passes DIVERGE (per-pass amplification
@@ -437,7 +443,8 @@ def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
         bt_transient = 0.85 * hbm
     return dict(sym=sym, fine_dtype=fine_dtype, act_bytes=act_bytes,
                 bsize=bsize, fine_bt_ok=fine_bt_ok, bt_budget=bt_budget,
-                bt_transient=bt_transient, hier_budget=hier_budget)
+                bt_transient=bt_transient, hier_budget=hier_budget,
+                fine_full=fine_bt_ok)
 
 
 class Session:
@@ -1225,7 +1232,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                             bt_coarse_budget=plan["bt_budget"],
                             bt_transient_budget=plan["bt_transient"],
                             coords=coords_p,
-                            budget_bytes=plan["hier_budget"])
+                            budget_bytes=plan["hier_budget"],
+                            fine_full=plan["fine_full"])
                     if session.band_data_map is None:
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
