@@ -51,7 +51,7 @@ def _grid_fem(nx: int, ny: int):
 def _plan(nx: int, ny: int):
     """Run the solver's full planning pipeline, return (plan, report)."""
     At, coords = _grid_fem(nx, ny)
-    perm, partitioned = solver_mod.pick_band_order(At, coords, hbm=HBM)
+    perm, partitioned, gpos = solver_mod.pick_band_order(At, coords, hbm=HBM)
     Ap = At[perm][:, perm].tocsr()
     Ap.sum_duplicates()
     plan = solver_mod.plan_band_hierarchy(Ap, partitioned, hbm=HBM)
@@ -64,6 +64,7 @@ def _plan(nx: int, ny: int):
         coords=coords[perm],
         budget_bytes=plan["hier_budget"],
         fine_full=plan["fine_full"],
+        band_key=gpos[perm],
         plan_only=True)
     assert none is None
     return plan, report, partitioned
@@ -116,7 +117,7 @@ def test_plan_respects_tiny_budget():
     """A deliberately starved budget still yields a legal plan: coarse
     levels truncate rather than blow past the cap."""
     At, coords = _grid_fem(400, 400)
-    perm, _part = solver_mod.pick_band_order(At, coords, hbm=HBM)
+    perm, _part, _g = solver_mod.pick_band_order(At, coords, hbm=HBM)
     Ap = At[perm][:, perm].tocsr()
     Ap.sum_duplicates()
     # budget barely above the fine band: every coarse level must shrink

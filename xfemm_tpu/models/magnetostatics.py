@@ -952,8 +952,7 @@ def solve(problem: Problem, mesh: MeshData,
                 it0_cacheable = Aprev is None and not (warm and nonlinear)
                 it0_hit = extra.get("it0") if it0_cacheable else None
                 if it0_hit is not None:
-                    Me0, blocks, b_base = it0_hit
-                    Me = Me0.copy()
+                    Me, blocks, b_base = it0_hit
                 else:
                     Me = (Mx / mu2[:, None, None] + My / mu1[:, None, None]
                           + Mn + Mxy_v12)
@@ -963,20 +962,26 @@ def solve(problem: Problem, mesh: MeshData,
                     # mu/Mn, so the subset refresh below is redundant
                     fresh_full = it > 0
                     if it0_cacheable and it == 0:
-                        extra["it0"] = (Me.copy(), blocks, b_base)
+                        extra["it0"] = (Me, blocks, b_base)
             if it == 0:
                 # warm start: the Newton source corrections from the
                 # initial field state belong in the very first RHS
                 b = b_base if not (warm and nonlinear) \
                     else _rhs(pk, geom, be)
             else:
-                # only the nonlinear subset's matrices/sources changed
+                # only the nonlinear subset's matrices/sources changed:
+                # write them straight into the LIVE volume block's mat
+                # buffer (blocks[0].mat is -Me; only nonlinear slots
+                # ever change, so the linear part stays valid across
+                # iterations AND across cached warm solves) -- the full
+                # (T,3,3) negate-and-copy of _element_blocks was ~0.2 s
+                # per pass at 250k, pure waste for a <30% subset
                 if not fresh_full:
-                    Me[ns] = (Mx[ns] / mu2[ns, None, None]
-                              + My[ns] / mu1[ns, None, None] + Mn[ns])
+                    neg_ns = -(Mx[ns] / mu2[ns, None, None]
+                               + My[ns] / mu1[ns, None, None] + Mn[ns])
                     if isinstance(Mxy_v12, np.ndarray):
-                        Me[ns] += Mxy_v12[ns]
-                blocks = _element_blocks(pk, Me)
+                        neg_ns -= Mxy_v12[ns]
+                    blocks[0].mat[ns] = neg_ns
                 b = b_base.copy()
                 dbe = be[ns] - be_static[ns]
                 flat_i = pk.ridx[pk.tris[ns]].reshape(-1)

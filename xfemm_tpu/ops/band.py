@@ -91,11 +91,25 @@ class BandMatrix:
         return cls(children[0], *aux)
 
 
+@functools.lru_cache(maxsize=1)
+def _pallas_enabled() -> bool:
+    """Pallas streaming kernels for the band products. OPT-IN via
+    ``XFEMM_TPU_PALLAS=1`` while the Mosaic lowering of the unaligned
+    window slice is being worked out (dynamic 1-D slices must start at
+    multiples of the 1024-element register tile)."""
+    import os
+    return os.environ.get("XFEMM_TPU_PALLAS", "") not in ("", "0")
+
+
 def band_matvec(bm: BandMatrix, x):
     """y = A x; x is the logical (ncols,) device vector. The product is
     accumulated in f32 regardless of the band's storage dtype, so a
     bf16 band (the smoothing fast path) still returns f32."""
     import jax.numpy as jnp
+    if _pallas_enabled():
+        from . import pallas_band
+        if pallas_band.band_pallas_ok(bm):
+            return pallas_band.band_matvec_pallas(bm, x)
     NT, R, W = bm.dense.shape
     cchunk = bm.cchunk
     K = W // cchunk
@@ -472,9 +486,20 @@ def band_apply(A: BandMatrix, dvec, x, oob: "Sidecar | None" = None):
     upper-band symmetric form when ``dvec`` is present; ``oob`` adds
     the out-of-band COO sidecar of a partitioned ordering."""
     n = x.shape[0]
-    y = band_matvec(A, x)[:n]
     if dvec is not None:
-        y = y + band_rmatvec(A, x)[:n] - dvec * x
+        if _pallas_enabled():
+            from . import pallas_band
+            if pallas_band.band_pallas_ok(A):
+                # fused U x + U^T x - d x: ONE stream of the triu band
+                # instead of two (matvec + rmatvec)
+                y = pallas_band.band_apply_sym_pallas(A, dvec, x)
+                if oob is not None:
+                    y = y.at[oob.rows].add(
+                        oob.vals * x[oob.cols].astype(y.dtype))
+                return y
+        y = band_matvec(A, x)[:n] + band_rmatvec(A, x)[:n] - dvec * x
+    else:
+        y = band_matvec(A, x)[:n]
     if oob is not None:
         y = y.at[oob.rows].add(oob.vals * x[oob.cols].astype(y.dtype))
     return y
@@ -524,7 +549,8 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                    coords: "np.ndarray | None" = None,
                    budget_bytes: float | None = None,
                    plan_only: bool = False,
-                   fine_full: bool = False):
+                   fine_full: bool = False,
+                   band_key: "np.ndarray | None" = None):
     """Build the band hierarchy (host, f64 -> device dtype). ``At`` must
     already be RCM-ordered with Dirichlet identity rows. Returns
     (BandAMG, fine_layout) -- the fine layout supports value-only
@@ -578,7 +604,17 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
     factor only covers the kept band, and shedding even a 0.1% tail of
     genuinely long-range couplings out of the factor was measured to
     cost 27x the CG iterations on the 250k bench (673 vs 25 per solve)
-    -- the byte model cannot see preconditioner quality."""
+    -- the byte model cannot see preconditioner quality.
+
+    ``band_key`` ((n,), optional): the GLOBAL-RCM position of each row
+    (in ``At``'s ordering). Coarse levels of a partitioned fine
+    ordering are reordered by the aggregate-min of this key instead of
+    re-RCM / re-partitioning: a matrix that INHERITS a band ordering
+    stays narrow, while scipy's RCM on the already-formed coarse graph
+    is far from optimal (measured at 994k: the global-RCM-keyed coarse
+    ordering gives bw ~1350 where re-RCM gives 3326 and the
+    re-partitioned order left 10k+ -- too wide for any blocktri block,
+    which is why the 994k two-grid coarse factor never built)."""
     import jax.numpy as jnp
 
     from ..utils import profiling
@@ -687,22 +723,35 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         cperm_dev = ciperm_dev = None
         p1 = None
         ccoords = None
+        ckey = None
         if coords is not None:
             pad = nc * AGG - n
             ccoords = np.pad(coords, ((0, pad), (0, 0)), mode="edge") \
                 .reshape(nc, AGG, -1).mean(axis=1)
+        if band_key is not None:
+            pad = nc * AGG - n
+            ckey = np.pad(band_key, (0, pad), mode="edge") \
+                .reshape(nc, AGG).min(axis=1)
         if split_l:
-            parts_c = pick_parts(nc, min_part=12_000)
-            if ccoords is not None and parts_c > 1:
-                p1 = partition_order(Ac, ccoords, parts_c)
+            if ckey is not None:
+                # order the aggregates by their fine global-RCM key:
+                # inherits the fine band structure (bw/AGG-ish) where a
+                # re-RCM of the formed coarse graph lands 2-8x wider
+                p1 = np.argsort(ckey, kind="stable")
             else:
-                from scipy.sparse.csgraph import reverse_cuthill_mckee
-                p1 = np.asarray(reverse_cuthill_mckee(
-                    Ac, symmetric_mode=True))
+                parts_c = pick_parts(nc, min_part=12_000)
+                if ccoords is not None and parts_c > 1:
+                    p1 = partition_order(Ac, ccoords, parts_c)
+                else:
+                    from scipy.sparse.csgraph import reverse_cuthill_mckee
+                    p1 = np.asarray(reverse_cuthill_mckee(
+                        Ac, symmetric_mode=True))
             Ac = Ac[p1][:, p1].tocsr()
             Ac.sum_duplicates()
             if ccoords is not None:
                 ccoords = ccoords[p1]
+            if ckey is not None:
+                ckey = ckey[p1]
             if not plan_only:
                 cperm_dev = jnp.asarray(p1.astype(np.int32))
                 ciperm_dev = jnp.asarray(np.argsort(p1).astype(np.int32))
@@ -885,6 +934,7 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                 "sidecar": 0 if oob_src is None else int(oob_src.size)})
             A = Ac
             coords = ccoords
+            band_key = ckey
             first = False
             if bt_coarse is not None:
                 break
@@ -917,6 +967,7 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             cperm=cperm_dev, ciperm=ciperm_dev))
         A = Ac
         coords = ccoords
+        band_key = ckey
         first = False
         if bt_coarse is not None:
             break

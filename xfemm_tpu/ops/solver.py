@@ -323,7 +323,10 @@ def pick_band_order(At, coords, hbm: float | None = None):
     was measured 33x WORSE in CG iterations (817 vs 25 on the 250k
     bench) -- non-overlapping block-Jacobi without a coarse correction
     degrades like 1/h -- so partitioning is a last resort.
-    Returns ``(perm, partitioned)``."""
+    Returns ``(perm, partitioned, gpos)`` where ``gpos[node]`` is the
+    node's position in the GLOBAL RCM order -- the banding key coarse
+    levels inherit (band.setup_band_amg ``band_key``), kept even when
+    the fine ordering itself is partitioned."""
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     from . import band as band_mod
@@ -333,15 +336,14 @@ def pick_band_order(At, coords, hbm: float | None = None):
     if hbm is None:
         hbm = device_hbm_bytes()
     perm = np.asarray(reverse_cuthill_mckee(At, symmetric_mode=True))
+    gpos = np.empty(n, np.int64)
+    gpos[perm] = np.arange(n)
     partitioned = False
     if coords is not None and np.shape(coords)[0] == n and At.nnz:
         parts = band_mod.pick_parts(n)
         if parts > 1:
             rows_all = np.repeat(np.arange(n), np.diff(At.indptr))
-            ip = np.empty_like(perm)
-            ip[perm] = np.arange(n)
-            dist = np.abs(ip[rows_all].astype(np.int64)
-                          - ip[At.indices].astype(np.int64))
+            dist = np.abs(gpos[rows_all] - gpos[At.indices])
             # eligibility on the FULL bandwidth: the factor must cover
             # the complete operator band (plan_band_hierarchy's
             # fine_full rule -- a factor missing even a 0.1% tail of
@@ -357,7 +359,7 @@ def pick_band_order(At, coords, hbm: float | None = None):
                 perm = band_mod.partition_order(
                     At, np.asarray(coords), parts)
                 partitioned = True
-    return perm, partitioned
+    return perm, partitioned, gpos
 
 
 def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
@@ -491,6 +493,8 @@ class Session:
         self.partitioned = False  # ordering is RCB-partitioned (fine
                                  # bt factor disabled: measured 33x
                                  # iteration blowup without interfaces)
+        self.gpos = None         # global-RCM position per node (the
+                                 # banding key coarse levels inherit)
         # nonlinear-subset incremental assembly (csr_values(changed=...))
         self.vals_static = None
         self.sub_cache = None
@@ -1162,7 +1166,7 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             ckey = None
         if session.perm is None:
             with profiling.phase("ordering"):
-                perm, session.partitioned = pick_band_order(
+                perm, session.partitioned, session.gpos = pick_band_order(
                     At, coords if np.shape(coords)[0] == n else None)
             iperm = np.empty_like(perm)
             iperm[perm] = np.arange(n)
@@ -1224,6 +1228,9 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     coords_p = None
                     if np.shape(coords)[0] == n:
                         coords_p = np.asarray(coords)[perm]
+                    key_p = None
+                    if session.gpos is not None:
+                        key_p = session.gpos[perm]
                     session.band_amg, session.band_layout = \
                         band_mod.setup_band_amg(
                             Ap, sym=sym,
@@ -1233,7 +1240,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                             bt_transient_budget=plan["bt_transient"],
                             coords=coords_p,
                             budget_bytes=plan["hier_budget"],
-                            fine_full=plan["fine_full"])
+                            fine_full=plan["fine_full"],
+                            band_key=key_p)
                     if session.band_data_map is None:
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
@@ -1367,6 +1375,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
             perm, iperm = session.perm
             r_d = jnp.asarray((r / scale)[perm], dev_dtype)
             lv0A = session.band_amg.levels[0].A.dense
+            _trace(f"band pass start: n={n} metric={metric:.3e} "
+                   f"engine={'bt' if session.bt is not None else 'vcycle'}")
             with profiling.phase("device cg"):
                 if lv0A.dtype == jnp.bfloat16:
                     # bf16 operator: CG's three-term recurrence diverges
@@ -1382,19 +1392,24 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     # floor is the reliable single-pass f32 contraction
                     tol_pass = min(0.5, max(0.5 * tol / min(metric, 1.0),
                                             1e-6))
+                    # band passes are bounded: the refinement driver
+                    # restarts from the exact f64 residual anyway, and
+                    # an unconverged 20000-iteration while_loop at 1M
+                    # (~70 ms/it) is a silent 25-minute device hang
+                    band_iter = min(int(inner_iter), 2500)
                     if session.bt is not None:
                         from . import blocktri as bt_mod
                         lv0 = session.band_amg.levels[0]
                         d_d, rr, it = bt_mod.bt_pcg(
                             lv0.A, lv0.dvec, lv0.invd, session.bt, r_d,
                             jnp.asarray(tol_pass, dev_dtype),
-                            jnp.zeros(n, dev_dtype), int(inner_iter),
+                            jnp.zeros(n, dev_dtype), band_iter,
                             oob=lv0.oob)
                     else:
                         d_d, rr, it = band_mod.band_pcg(
                             session.band_amg, r_d,
                             jnp.asarray(tol_pass, dev_dtype),
-                            jnp.zeros(n, dev_dtype), int(inner_iter))
+                            jnp.zeros(n, dev_dtype), band_iter)
                 d_d.block_until_ready()
             total_it += int(it)
             if session.first_iters is None:
