@@ -342,7 +342,10 @@ def solve(problem: Problem, mesh: MeshData,
         dof_coords_c = np.zeros((ntot, 2))
         dof_coords_c[pk.ridx] = pk.xy
 
+    from ..utils import profiling
     for it in range(max_newton if nonlinear else 1):
+        _ph = profiling.phase("ac elements")
+        _ph.__enter__()
         Mn = np.zeros((T, 3, 3), complex)
         be = be_static.copy()
         if it > 0:
@@ -412,6 +415,7 @@ def solve(problem: Problem, mesh: MeshData,
             b[pk.ridx[a]] += -pk.rsign[a] * Kb
             b[pk.ridx[bb]] += -pk.rsign[bb] * Kb
 
+        _ph.__exit__(None, None, None)
         V_old = V
         if dsess is not None:
             V, rel_resid, cg_iters = dsess.solve_complex(

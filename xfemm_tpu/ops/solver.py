@@ -840,21 +840,25 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
     if inner_tol is None:
         inner_tol = max(tol, 1e-5) if dev_dtype == jnp.complex64 else tol
 
-    rows, cols, data = [], [], []
-    for blk in blocks:
-        idx = np.asarray(blk.idx)
-        sign = np.asarray(blk.sign, np.float64)
-        mat = np.asarray(blk.mat, np.complex128)
-        E, K = idx.shape
-        rows.append(np.broadcast_to(idx[:, :, None], (E, K, K)).ravel())
-        cols.append(np.broadcast_to(idx[:, None, :], (E, K, K)).ravel())
-        data.append((sign[:, :, None] * sign[:, None, :] * mat).ravel())
-    A = sp.coo_matrix((np.concatenate(data),
-                       (np.concatenate(rows), np.concatenate(cols))),
-                      shape=(n, n)).tocsr()
+    from ..utils import profiling
+    with profiling.phase("ac csr assembly"):
+        rows, cols, data = [], [], []
+        for blk in blocks:
+            idx = np.asarray(blk.idx)
+            sign = np.asarray(blk.sign, np.float64)
+            mat = np.asarray(blk.mat, np.complex128)
+            E, K = idx.shape
+            rows.append(np.broadcast_to(
+                idx[:, :, None], (E, K, K)).ravel())
+            cols.append(np.broadcast_to(
+                idx[:, None, :], (E, K, K)).ravel())
+            data.append((sign[:, :, None] * sign[:, None, :] * mat).ravel())
+        A = sp.coo_matrix((np.concatenate(data),
+                           (np.concatenate(rows), np.concatenate(cols))),
+                          shape=(n, n)).tocsr()
 
-    keep = sp.diags((~fixed).astype(np.float64))
-    At = (keep @ A @ keep + sp.diags(fixed.astype(np.float64))).tocsr()
+        keep = sp.diags((~fixed).astype(np.float64))
+        At = (keep @ A @ keep + sp.diags(fixed.astype(np.float64))).tocsr()
     diag = np.asarray(At.diagonal())
     zero_d = diag == 0.0
     if zero_d.any():
@@ -941,17 +945,18 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
             band_ent = cached
             # value-only refresh of the shifted hierarchy fine level
             perm = band_ent["perm"]
-            Ap = At[perm][:, perm].tocsr()
-            Ap.sum_duplicates()
-            shifted = sp.csr_matrix(
-                (np.ascontiguousarray(Ap.data.real), Ap.indices,
-                 Ap.indptr), shape=(n, n)) \
-                + sp.diags(np.abs(Ap.diagonal().imag))
-            shifted = shifted.tocsr()
-            shifted.sum_duplicates()
-            band_ent["amg"] = band_mod.update_fine_values(
-                band_ent["amg"], band_ent["lay"],
-                np.ascontiguousarray(shifted.data))
+            with profiling.phase("ac band refresh"):
+                Ap = At[perm][:, perm].tocsr()
+                Ap.sum_duplicates()
+                shifted = sp.csr_matrix(
+                    (np.ascontiguousarray(Ap.data.real), Ap.indices,
+                     Ap.indptr), shape=(n, n)) \
+                    + sp.diags(np.abs(Ap.diagonal().imag))
+                shifted = shifted.tocsr()
+                shifted.sum_duplicates()
+                band_ent["amg"] = band_mod.update_fine_values(
+                    band_ent["amg"], band_ent["lay"],
+                    np.ascontiguousarray(shifted.data))
             if band_ent.get("bt") is not None:
                 # the factor is exact for the current values: refactor
                 # on every adoption (one fused device dispatch)
@@ -1008,12 +1013,14 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
             # restart otherwise); this outer loop still restarts from
             # the exact f64 residual until the contract metric is met
             tol_pass = min(0.5, max(0.3 * tol / min(metric, 1.0), 2e-6))
-            dr, di, rr, it = band_mod.band_csym_fgmres_fused(
-                band_ent["amg"], band_ent["Aop"], band_ent["Ai"],
-                jnp.asarray(rs.real, jnp.float32),
-                jnp.asarray(rs.imag, jnp.float32),
-                jnp.asarray(tol_pass, jnp.float32), m=24,
-                bt=band_ent.get("bt"))
+            with profiling.phase("device gmres (ac)"):
+                dr, di, rr, it = band_mod.band_csym_fgmres_fused(
+                    band_ent["amg"], band_ent["Aop"], band_ent["Ai"],
+                    jnp.asarray(rs.real, jnp.float32),
+                    jnp.asarray(rs.imag, jnp.float32),
+                    jnp.asarray(tol_pass, jnp.float32), m=24,
+                    bt=band_ent.get("bt"))
+                dr.block_until_ready()
             d_h = (np.asarray(dr, np.float64)
                    + 1j * np.asarray(di, np.float64))[band_ent["iperm"]]
         elif use_pairs:

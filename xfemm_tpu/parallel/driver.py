@@ -75,29 +75,41 @@ class DistributedSession:
 
     def _derive_sel(self, np_blocks):
         """Reproduce partition()'s element->slot packing so later calls
-        can refresh ``mat`` values without re-partitioning."""
+        can refresh ``mat`` values without re-partitioning. Stored as
+        ONE flat destination index per block (element e of the original
+        block lands at row ``dst[e]`` of the (D*emax, K, K) buffer), so
+        a value refresh is a single vectorized scatter -- the old
+        per-device Python loop was O(devices x blocks) array carves per
+        Newton iteration."""
         ps = self.ps
         owner = ps.dof_dev
         self._sel = []
         for (idx, sign, mat), (bidx, bsign, bmat) in zip(np_blocks,
                                                          ps.blocks):
             ed = owner[idx].max(axis=1)
-            sel_rows = []
-            for d in range(ps.ndev):
-                sel = np.nonzero(ed == d)[0]
-                sel_rows.append(sel)
-            self._sel.append((ed, sel_rows, bmat.shape[1]))
+            emax = bmat.shape[1]
+            # slot within the owning device = rank among same-device
+            # elements in original order (matches partition()'s packing)
+            order = np.argsort(ed, kind="stable")
+            slot = np.empty(ed.size, np.int64)
+            ranks = np.arange(ed.size) - np.searchsorted(
+                ed[order], ed[order])
+            slot[order] = ranks
+            dst = ed.astype(np.int64) * emax + slot
+            self._sel.append((dst, emax))
 
     def _repack_values(self, blocks):
-        """New (D, emax, K, K) matrices from this call's block values."""
+        """New (D, emax, K, K) matrices from this call's block values:
+        one vectorized scatter per block."""
         out = []
-        for (bidx, bsign, bmat), b, (ed, sel_rows, emax) in zip(
+        for (bidx, bsign, bmat), b, (dst, emax) in zip(
                 self.ps.blocks, blocks, self._sel):
             mat = np.asarray(b.mat, np.float64)
-            new = np.zeros_like(bmat)
-            for d, sel in enumerate(sel_rows):
-                new[d, :len(sel)] = mat[sel]
-            out.append((bidx, bsign, new))
+            D = bmat.shape[0]
+            K = bmat.shape[2]
+            new = np.zeros((D * emax, K, K), bmat.dtype)
+            new[dst] = mat
+            out.append((bidx, bsign, new.reshape(bmat.shape)))
         return out
 
     # ------------------------------------------------------------------
@@ -193,14 +205,17 @@ class DistributedSession:
         ps = self.ps
         np_mats = [np.asarray(b0.mat, np.complex128) for b0 in blocks]
         dc_blocks = []
-        for (bidx, bsign, _bm), mat, (ed, sel_rows, emax) in zip(
+        for (bidx, bsign, _bm), mat, (dst, emax) in zip(
                 ps.blocks, np_mats, self._sel):
-            mre = np.zeros((ps.ndev,) + _bm.shape[1:])
+            D = _bm.shape[0]
+            K = _bm.shape[2]
+            mre = np.zeros((D * emax, K, K))
             mim = np.zeros_like(mre)
-            for d, sel in enumerate(sel_rows):
-                mre[d, :len(sel)] = mat[sel].real
-                mim[d, :len(sel)] = mat[sel].imag
-            dc_blocks.append((bidx, bsign, mre, mim))
+            mre[dst] = mat.real
+            mim[dst] = mat.imag
+            shape = (D, emax, K, K)
+            dc_blocks.append((bidx, bsign, mre.reshape(shape),
+                              mim.reshape(shape)))
         dc = halo.DeviceArraysC(
             blocks_idx=tuple(jnp.asarray(b0[0]) for b0 in dc_blocks),
             blocks_sign=tuple(jnp.asarray(b0[1]) for b0 in dc_blocks),
