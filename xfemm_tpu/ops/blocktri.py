@@ -247,12 +247,129 @@ def build_factor(maps: BTDeviceMaps, data_p: np.ndarray, b: int,
                             b=b, NB=NB, store_dtype=store_dtype)
 
 
+def _bt_apply_pallas(bt: BTFactor, rs, NB: int, b: int):
+    """The two block-Thomas sweeps as sequential pallas grids with the
+    carry vector in VMEM scratch: XLA's lax.scan of b x b matvecs
+    under-overlaps its HBM reads the same way the band einsum does;
+    the pallas pipeline streams Sinv/G at near peak. All values stay
+    rank-2 ((1, b) row vectors) for legal Mosaic layouts."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .pallas_band import INTERPRET
+
+    rb = rs.reshape(NB, 1, b)
+    G, Sinv = bt.G, bt.Sinv
+
+    def fwd_kernel(r_ref, g_ref, o_ref, carry):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            carry[:] = jnp.zeros_like(carry)
+
+        g = g_ref[0]
+        # y_t = r_t - G_{t-1} y_{t-1}; (G y)_i = y_row @ G^T
+        y = r_ref[0] - jax.lax.dot_general(
+            carry[:].astype(g.dtype), g,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        carry[:] = y
+        o_ref[0] = y
+
+    ys = pl.pallas_call(
+        fwd_kernel,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, 1, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # t=0 reads G[0] but multiplies a zero carry
+            pl.BlockSpec((1, b, b),
+                         lambda t: (jnp.maximum(t - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, b), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, 1, b), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, b), jnp.float32)],
+        interpret=INTERPRET,
+    )(rb, G)
+
+    # backward sweep in two single-matrix kernels: a (1, b, b) block is
+    # 4 MB at b=1024 and pallas double-buffers every input -- two
+    # matrices per grid step (Sinv_t AND G_t) blow the 16 MB VMEM limit
+    def q_kernel(y_ref, s_ref, o_ref):
+        s = s_ref[0]
+        # q_t = Sinv_t y_t (Sinv symmetric)
+        o_ref[0] = jax.lax.dot_general(
+            y_ref[0].astype(s.dtype), s,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    qs = pl.pallas_call(
+        q_kernel,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, 1, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, b), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, b), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, 1, b), jnp.float32),
+        interpret=INTERPRET,
+    )(ys, Sinv)
+
+    def bwd_kernel(q_ref, g_ref, o_ref, carry):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            carry[:] = jnp.zeros_like(carry)
+
+        g = g_ref[0]
+        # z_t = q_t - G_t^T z_{t+1}; (G^T z)_j = z_row @ G
+        z = q_ref[0] - jax.lax.dot_general(
+            carry[:].astype(g.dtype), g,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        carry[:] = z
+        o_ref[0] = z
+
+    zs = pl.pallas_call(
+        bwd_kernel,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, 1, b), lambda k: (NB - 1 - k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # k=0 (t = NB-1) has no G_t; zero carry kills the term
+            pl.BlockSpec((1, b, b),
+                         lambda k: (jnp.minimum(NB - 1 - k, NB - 2), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, b), lambda k: (NB - 1 - k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, 1, b), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, b), jnp.float32)],
+        interpret=INTERPRET,
+    )(qs, G)
+    return zs.reshape(-1)
+
+
 def bt_apply(bt: BTFactor, r):
     """z ~= A^{-1} r (padded to npad internally; traceable)."""
+    from .band import _pallas_enabled
     NB, b, _ = bt.Sinv.shape
     npad = NB * b
     n = r.shape[0]
     rs = jnp.zeros(npad, jnp.float32).at[:n].set(bt.s[:n] * r)
+    if _pallas_enabled() and b % 128 == 0 and NB >= 2:
+        z = _bt_apply_pallas(bt, rs, NB, b)
+        return bt.s[:n] * z[:n]
     rb = rs.reshape(NB, b)
 
     with jax.default_matmul_precision("float32"):

@@ -2,40 +2,37 @@
 
 The XLA lowering of ``band.band_matvec`` (K shifted reshapes
 concatenated into per-tile windows, then a batched einsum) streams the
-multi-GB band at ~130 GB/s on a v5e -- 16% of HBM peak -- because the
-window concat materializes and the batched GEMV pipeline under-overlaps
-its HBM reads. These kernels exploit the band layout directly: tile
-``t`` multiplies the CONTIGUOUS slice ``xpad[(t+base)*cchunk :
-(t+base)*cchunk + W]``, so a grid over row tiles with the vector held
-whole in VMEM turns the product into a pure double-buffered stream of
-the dense band (pallas pipelines the next tile's DMA behind the current
-tile's MXU work automatically).
+multi-GB band at ~95 GB/s on a v5e -- 12% of HBM peak (measured in-loop,
+20 fused applies at the 250k bench shape 1949x128x2176). These kernels
+stream the band through a pallas grid over row tiles with pipelined
+block DMA instead.
 
-``band_apply_sym_pallas`` additionally fuses the symmetric (triu)
-product U x + U^T x - d*x into ONE pass over the band: the XLA path
-(band_matvec + band_rmatvec) streams the triu band twice.
+Layout rules (Mosaic): every block keeps its last two dims either
+(8k, 128k)-aligned or equal to the array dims, every in-kernel value
+stays rank >= 2, and the per-tile matvec runs on the MXU as a
+row-vector matmul (1, W) @ (W, R) -> (1, R) -- 1-D reduction outputs
+have no legal vector layout. The band's OVERLAPPING per-tile windows
+are materialized by XLA outside the kernel as a (NT, 1, W) tensor: a
+few-MB prologue next to the multi-GB band stream.
+
+``band_apply_sym_pallas`` fuses the symmetric (triu) product
+U x + U^T x - d*x into ONE pass over the band (the XLA path streams the
+triu band twice: matvec + rmatvec); the rmatvec's overlapping window
+scatter is returned per-tile and reduced by a K-step XLA epilogue.
 
 Numerics match the XLA path: f32 accumulation regardless of the band's
-storage dtype (bf16 bands upcast per tile).
-
-Replaces the role of the reference's linked-list SpMV
+storage dtype. Replaces the role of the reference's linked-list SpMV
 (cfemm/libfemm/spars.cpp:167 MultA) on TPU.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-#: the vector (padded) must fit VMEM alongside two band tiles; 6 MB of
-#: f32 covers ~1.5M DOFs and leaves headroom for double buffering
-VMEM_X_MAX = 6 * 2 ** 20
-
-
-import os
 
 #: run the kernels through the pallas interpreter (CPU testing)
 INTERPRET = os.environ.get("XFEMM_TPU_PALLAS_INTERPRET", "") not in ("", "0")
@@ -48,49 +45,58 @@ def _pl():
 
 
 def band_pallas_ok(bm) -> bool:
-    """Kernel eligibility: vector fits VMEM, lane-aligned tiles."""
+    """Kernel eligibility: lane-aligned tiles and chunks."""
     NT, R, W = bm.dense.shape
-    total = (NT + max(0, bm.shift0) + W // bm.cchunk) * bm.cchunk \
-        + max(0, -bm.shift0) * bm.cchunk
-    return (R % 8 == 0 and W % 128 == 0 and bm.cchunk % 8 == 0
-            and 4 * total <= VMEM_X_MAX)
+    return R % 128 == 0 and bm.cchunk % 128 == 0 and W % bm.cchunk == 0
 
 
-@functools.partial(jax.jit, static_argnames=("shift0", "cchunk", "ncols"))
-def _band_mv_call(dense, x, shift0: int, cchunk: int, ncols: int):
-    pl, pltpu = _pl()
-    NT, R, W = dense.shape
+def _windows(dense_shape, cchunk, shift0, ncols, x):
+    """(NT, 1, W) per-tile windows + padded layout constants."""
+    NT, R, W = dense_shape
     K = W // cchunk
     lpad = max(0, -shift0) * cchunk
     total = (NT + max(0, shift0) + K) * cchunk + lpad
     base = shift0 + lpad // cchunk
     xpad = jnp.zeros(total, jnp.float32).at[lpad:lpad + ncols].set(
         x.astype(jnp.float32))
+    xc = xpad.reshape(-1, cchunk)
+    wins = jnp.concatenate(
+        [xc[base + s: base + s + NT] for s in range(K)],
+        axis=1).reshape(NT, 1, W)
+    return wins, xpad, lpad, base, K, total
 
-    def kernel(x_ref, d_ref, o_ref):
-        t = pl.program_id(0)
-        win = x_ref[pl.ds((base + t) * cchunk, W)]
-        d = d_ref[0]
-        # VPU broadcast-FMA + lane reduce: a (R, 1)-column MXU matvec
-        # violates the 128-lane output tiling, and the product is
-        # HBM-bound anyway (2 FLOPs per band byte)
-        prod = d.astype(jnp.float32) * win.astype(jnp.float32)[None, :]
-        o_ref[:] = jnp.sum(prod, axis=1)
+
+@functools.partial(jax.jit, static_argnames=("shift0", "cchunk", "ncols"))
+def _band_mv_call(dense, x, shift0: int, cchunk: int, ncols: int):
+    pl, pltpu = _pl()
+    NT, R, W = dense.shape
+    wins, _xpad, _lpad, _base, _K, _tot = _windows(
+        dense.shape, cchunk, shift0, ncols, x)
+
+    def kernel(w_ref, d_ref, o_ref):
+        d = d_ref[0]                                 # (R, W)
+        win = w_ref[0].astype(d.dtype)               # (1, W)
+        # row-vector MXU matvec: (1, W) @ (W, R) via contracting W
+        o_ref[0] = jax.lax.dot_general(
+            win, d, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # (1, R)
 
     y = pl.pallas_call(
         kernel,
         grid=(NT,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # xpad, whole
+            pl.BlockSpec((1, 1, W), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, W), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R,), lambda t: (t,),
+        out_specs=pl.BlockSpec((1, 1, R), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NT * R,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NT, 1, R), jnp.float32),
         interpret=INTERPRET,
-    )(xpad, dense)
-    return y
+    )(wins, dense)
+    return y.reshape(-1)
 
 
 def band_matvec_pallas(bm, x):
@@ -100,54 +106,59 @@ def band_matvec_pallas(bm, x):
 
 @functools.partial(jax.jit, static_argnames=("shift0", "cchunk", "ncols"))
 def _band_sym_call(dense, dvec, x, shift0: int, cchunk: int, ncols: int):
-    """y = U x + U^T x - dvec * x in ONE stream of the triu band.
-
-    The rmatvec contributions of tile t land in the same contiguous
-    window positions the matvec reads, so a SEQUENTIAL grid accumulates
-    them into a VMEM-resident padded output; successive tiles' windows
-    overlap by at most W - cchunk, which the sequential grid handles
-    naturally (pallas TPU grids run in order on one core)."""
+    """y = U x + U^T x - dvec * x in ONE stream of the triu band."""
     pl, pltpu = _pl()
     NT, R, W = dense.shape
-    K = W // cchunk
-    lpad = max(0, -shift0) * cchunk
-    total = (NT + max(0, shift0) + K) * cchunk + lpad
-    base = shift0 + lpad // cchunk
-    xpad = jnp.zeros(total, jnp.float32).at[lpad:lpad + ncols].set(
-        x.astype(jnp.float32))
+    wins, xpad, lpad, base, K, total = _windows(
+        dense.shape, cchunk, shift0, ncols, x)
+    xrows = xpad[lpad:lpad + NT * R].reshape(NT, 1, R)
 
-    def kernel(x_ref, d_ref, yz_ref):
-        t = pl.program_id(0)
+    def kernel(w_ref, xr_ref, d_ref, o_ref, c_ref):
+        d = d_ref[0]                                 # (R, W)
+        win = w_ref[0].astype(d.dtype)               # (1, W)
+        o_ref[0] = jax.lax.dot_general(
+            win, d, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # (1, R)
+        xr = xr_ref[0].astype(d.dtype)               # (1, R)
+        # rmatvec contribution of this tile: x_rows(t)^T U_t, kept
+        # per-tile; the overlapping window accumulation happens in the
+        # XLA epilogue (K static shifted adds)
+        c_ref[0] = jax.lax.dot_general(
+            xr, d, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # (1, W)
 
-        @pl.when(t == 0)
-        def _():
-            yz_ref[:] = jnp.zeros_like(yz_ref)
-
-        win = x_ref[pl.ds((base + t) * cchunk, W)]
-        d = d_ref[0].astype(jnp.float32)
-        # matvec rows of this tile: U_t @ win (VPU broadcast + reduce)
-        ymv = jnp.sum(d * win.astype(jnp.float32)[None, :], axis=1)
-        # rmatvec: U_t^T @ x_rows(t) scattered into the window slice
-        xrow = x_ref[pl.ds(lpad + t * R, R)]
-        contrib = jnp.sum(d * xrow.astype(jnp.float32)[:, None], axis=0)
-        start = (base + t) * cchunk
-        yz_ref[pl.ds(start, W)] += contrib
-        yz_ref[pl.ds(lpad + t * R, R)] += ymv
-
-    yz = pl.pallas_call(
+    y, contrib = pl.pallas_call(
         kernel,
         grid=(NT,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, W), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((total,), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, 1, R), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NT, 1, R), jnp.float32),
+            jax.ShapeDtypeStruct((NT, 1, W), jnp.float32),
+        ),
         interpret=INTERPRET,
-    )(xpad, dense)
-    y = yz[lpad:lpad + ncols]
-    return y - dvec * x[:ncols].astype(jnp.float32)
+    )(wins, xrows, dense)
+    contrib = contrib.reshape(NT, K, cchunk)
+    z = jnp.zeros((total // cchunk, cchunk), jnp.float32)
+    for s in range(K):
+        z = z.at[base + s: base + s + NT].add(contrib[:, s])
+    zt = z.reshape(-1)[lpad:lpad + ncols]
+    return (y.reshape(-1)[:ncols] + zt
+            - dvec * x[:ncols].astype(jnp.float32))
 
 
 def band_apply_sym_pallas(bm, dvec, x):
