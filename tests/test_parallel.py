@@ -253,3 +253,51 @@ def test_distributed_harmonicaxi_solve_end_to_end(fixtures):
     assert dist.residual <= p.Precision
     scale = np.abs(ref.A).max()
     assert np.abs(dist.A - ref.A).max() / scale < 1e-6
+
+
+def test_sharded_band_engine_matches_single():
+    """The sharded band engine (parallel/band_dd.py): per-device dense
+    bands + exact local block-Thomas factors must reproduce the
+    single-chip solution, in far fewer iterations than the
+    first-generation element-block/Jacobi stack, and the value-refresh
+    path (second call on the same session) must converge identically."""
+    from xfemm_tpu.mesh import mesher
+    from xfemm_tpu.models import benchprob, magnetostatics
+    from xfemm_tpu.ops import assembly
+    from xfemm_tpu.ops.solver import ElementBlock, solve
+    from xfemm_tpu.parallel.driver import DistributedSession
+
+    p = benchprob.build(10000)
+    mesh = mesher.mesh_problem(p)
+    pk = magnetostatics.pack(p, mesh)
+    geom = assembly.tri_geometry(pk.xy, pk.tris)
+    Mx, My, _ = assembly.curl_matrices(geom)
+    mu = np.where(pk.nonlinear, 1000.0, pk.mu_x)
+    Me = np.asarray(Mx) / mu[:, None, None] \
+        + np.asarray(My) / mu[:, None, None]
+    idx = pk.ridx[pk.tris]
+    sign = pk.rsign[pk.tris]
+    eb = [ElementBlock(idx=idx, sign=sign, mat=-Me)]
+    b = np.zeros(pk.nreduced)
+    np.add.at(b, idx.reshape(-1),
+              -(sign * (-(pk.Jre * np.asarray(geom.area) / 3.0)[:, None]
+                        * np.ones((1, 3)))).reshape(-1))
+    coords = np.zeros((pk.nreduced, 2))
+    coords[pk.ridx] = pk.xy
+
+    x_single, _, _ = solve(eb, b, pk.fixed_mask, pk.fixed_vals, 1e-10)
+    x_single = np.asarray(x_single)
+
+    sess = DistributedSession(8)
+    x_dd, res_d, it_d = sess.solve(eb, b, pk.fixed_mask, pk.fixed_vals,
+                                   1e-10, coords=coords)
+    assert sess._bdd is not None and not sess._bdd_disabled
+    scale = np.abs(x_single).max()
+    assert np.abs(np.asarray(x_dd) - x_single).max() / scale < 1e-8
+    assert res_d <= 1e-8
+
+    # warm call exercises the At -> Ap -> band/sidecar value refresh
+    x2, res2, it2 = sess.solve(eb, b, pk.fixed_mask, pk.fixed_vals,
+                               1e-10, coords=coords)
+    assert np.abs(np.asarray(x2) - x_single).max() / scale < 1e-8
+    assert it2 <= it_d + 5

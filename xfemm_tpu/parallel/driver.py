@@ -60,6 +60,125 @@ class DistributedSession:
         self._coarse = None
         self.first_iters = None
         self.last_iters = None
+        # sharded band engine (band_dd.py): the fast path
+        self._csr_session = None
+        self._bdd = None          # BandDDState
+        self._bdd_solver = None
+        self._bdd_bt = None       # stacked per-part BTFactor
+        self._bdd_map = None      # At.data -> Ap.data entry map
+        self._bdd_disabled = False
+        self._bdd_first = None
+        self._bdd_last = None
+
+    # ------------------------------------------------------------------
+    def _solve_band_dd(self, blocks, b, fixed_mask, fixed_vals, tol,
+                       x0, coords):
+        """Sharded band engine solve (band_dd.py): per-device dense band
+        + exact local block-Thomas factors, mixed-precision refinement
+        against the host f64 CSR (same contract as ops/solver.solve).
+        Returns None when the structure is ineligible."""
+        from ..ops import solver as solver_mod
+        from . import band_dd
+
+        n = int(np.asarray(b).shape[0])
+        fixed = np.asarray(fixed_mask, bool)
+        fvals = np.asarray(fixed_vals, np.float64)
+        if fixed.any() and np.any(fvals[fixed] != 0.0):
+            # nonzero Dirichlet needs the blocks' A.g correction; the
+            # first-generation path handles it -- keep this path lean
+            nonzero_g = True
+        else:
+            nonzero_g = False
+        if self._csr_session is None:
+            self._csr_session = solver_mod.Session()
+        from ..utils import profiling
+        with profiling.phase("dd csr assembly"):
+            At = self._csr_session.csr_values(blocks, n, fixed)
+        if self._bdd is None and not self._bdd_disabled:
+            with profiling.phase("dd band setup"):
+                st = band_dd.setup_band_dd(
+                    At, np.asarray(coords), self.ndev)
+            if st is None:
+                self._bdd_disabled = True
+                return None
+            self._bdd = st
+            self._bdd_map = solver_mod._csr_perm_map(
+                At, st.Ap_pattern, st.perm, st.iperm)
+            self._bdd_solver = band_dd.make_dd_pcg(self.mesh, st)
+        if self._bdd is None:
+            return None
+        st = self._bdd
+        Ap = st.Ap_pattern
+        Ap.data = At.data[self._bdd_map]
+
+        with profiling.phase("dd band refresh"):
+            dense, oob_vals, invd_dev = band_dd.device_values(st, Ap)
+        stale = (self._bdd_bt is not None and self._bdd_first is not None
+                 and self._bdd_last is not None
+                 and self._bdd_last
+                 > self.refresh_factor * max(self._bdd_first, 1))
+        if self._bdd_bt is None or stale:
+            with profiling.phase("dd bt factor"):
+                self._bdd_bt = band_dd.build_factors(st, Ap.data)
+            self._bdd_first = None
+
+        b64 = np.asarray(b, np.float64)
+        g = np.where(fixed, fvals, 0.0)
+        if nonzero_g:
+            Ag = np.zeros(n)
+            for blk_ in blocks:
+                idx = np.asarray(blk_.idx)
+                sgn = np.asarray(blk_.sign, np.float64)
+                mat = np.asarray(blk_.mat, np.float64)
+                ge = sgn * g[idx]
+                ye = np.einsum("ekl,el->ek", mat, ge)
+                np.add.at(Ag, idx.reshape(-1), (sgn * ye).reshape(-1))
+            rhs = np.where(fixed, fvals, b64 - Ag)
+        else:
+            rhs = np.where(fixed, fvals, b64)
+        diag64 = np.asarray(At.diagonal())
+        diag64[diag64 == 0.0] = 1.0
+        invd = 1.0 / diag64
+        res0 = float(np.dot(invd * rhs, rhs))
+        res0 = res0 if res0 != 0.0 else 1.0
+        x = g.copy() if x0 is None else np.where(
+            fixed, fvals, np.asarray(x0, np.float64))
+
+        def scatter(v):
+            out = np.zeros((st.ndev, st.nloc), np.float32)
+            out[st.part_of, st.loc_of] = v[st.perm]
+            return jnp.asarray(out)
+
+        it_total = 0
+        inner_tol = max(tol, 1e-5)
+        metric = None
+        for _ in range(12):
+            r = rhs - At @ x
+            metric = float(np.sqrt(np.dot(invd * r, r) / res0))
+            if metric <= tol:
+                break
+            dx_dev, rr, it = self._bdd_solver(
+                dense, st.oob_rows, st.oob_cols, oob_vals,
+                self._bdd_bt.Sinv, self._bdd_bt.G, self._bdd_bt.s,
+                scatter(r), invd_dev,
+                jnp.zeros((st.ndev, st.nloc), jnp.float32),
+                jnp.asarray(inner_tol, jnp.float32))
+            it_total += int(it)
+            dx = np.zeros(n)
+            dx[st.perm] = np.asarray(
+                dx_dev, np.float64)[st.part_of, st.loc_of]
+            x = x + np.where(fixed, 0.0, dx)
+            if float(rr) > 0.9 and int(it) >= 60:
+                # not contracting: latch the path off and report failure
+                self._bdd_disabled = True
+                return None
+        if metric is None or metric > tol:
+            self._bdd_disabled = True
+            return None
+        if self._bdd_first is None:
+            self._bdd_first = it_total
+        self._bdd_last = it_total
+        return x, metric, it_total
 
     # ------------------------------------------------------------------
     def _build_structure(self, blocks, nreduced, fixed_mask, fixed_vals,
@@ -117,6 +236,13 @@ class DistributedSession:
               x0=None, coords=None, max_iter: int = 200000):
         """Distributed PCG solve; same contract as ops/solver.solve."""
         nreduced = int(np.asarray(b).shape[0])
+        if (coords is not None and not self._bdd_disabled
+                and np.shape(coords)[0] == nreduced
+                and nreduced > 4 * self.ndev * 128):
+            out = self._solve_band_dd(blocks, b, fixed_mask, fixed_vals,
+                                      tol, x0, coords)
+            if out is not None:
+                return out
         if self.ps is None:
             self._build_structure(blocks, nreduced, fixed_mask,
                                   fixed_vals, coords)
