@@ -69,6 +69,24 @@ def test_band_matvec_pallas_positive_shift():
     np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
 
 
+def test_band_matvec_pallas_bf16_band():
+    """bf16 smoothing-copy bands run the kernel at DEFAULT precision
+    (an fp32 contract precision on bf16 operands is rejected by Mosaic
+    -- the round-3 994k V-cycle regression)."""
+    rng = np.random.default_rng(7)
+    bm, x = _random_band(rng)
+    bm16 = band_mod.BandMatrix(dense=bm.dense.astype(jnp.bfloat16),
+                               shift0=bm.shift0, cchunk=bm.cchunk,
+                               ncols=bm.ncols)
+    y_ref = _xla_matvec(bm, x)
+    y = np.asarray(pallas_band.band_matvec_pallas(bm16, x))
+    # bf16 storage rounds every operand to 8 mantissa bits; bound the
+    # error in aggregate, not per element (cancellation amplifies the
+    # relative error of near-zero sums)
+    scale = np.abs(y_ref).max()
+    assert np.abs(y - y_ref).max() / scale < 3e-2
+
+
 def test_band_apply_sym_pallas_matches_two_pass():
     """Fused U x + U^T x - d x == the XLA matvec+rmatvec two-pass on a
     genuinely symmetric matrix stored triu."""

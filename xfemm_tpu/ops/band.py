@@ -1041,11 +1041,12 @@ def _device_band_update(dense, row_idx, col_idx, vals):
     """In-place value refresh of an existing band (same pattern): every
     nnz slot is rewritten, structural zeros are untouched, and donation
     lets XLA reuse the buffer -- no multi-GB transient, which is what
-    lets 1M-DOF hierarchies update within a 16 GB part."""
+    lets 1M-DOF hierarchies update within a 16 GB part. The scatter
+    indexes the 3-D buffer directly: a reshape on the write side breaks
+    XLA's donation aliasing and materializes the full band as a temp."""
     NT, R, W = dense.shape
     vals = vals.astype(dense.dtype)
-    return (dense.reshape(NT * R, W).at[row_idx, col_idx].set(vals)
-            .reshape(NT, R, W))
+    return dense.at[row_idx // R, row_idx % R, col_idx].set(vals)
 
 
 def update_fine_values(amg: BandAMG, fine_layout: FineLayout, data,

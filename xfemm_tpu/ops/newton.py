@@ -92,6 +92,19 @@ class DeviceNewton(NamedTuple):
     oob_static: jnp.ndarray | None = None    # (Jo,) frozen part
     keep_sel_dev: jnp.ndarray | None = None  # full-path in-band select
     oob_src_dev: jnp.ndarray | None = None   # full-path sidecar select
+    # delta-COO operator refresh (the fused loops): the fine band stays
+    # FROZEN inside the device loop and the changed entries ride a
+    # sidecar extension A x = A0 x + delta x instead -- a scatter into
+    # the multi-GB tiled band inside a while body defeats XLA's carry
+    # aliasing and materializes the whole band as an HLO temp (the 994k
+    # OOM: a 4.27 GB flat relayout). (Jd,) per delta entry; symmetric
+    # (triu) storage appends mirrored off-diagonal duplicates.
+    delta_rows: jnp.ndarray | None = None    # global permuted row
+    delta_cols: jnp.ndarray | None = None    # global permuted col
+    delta_brows: jnp.ndarray | None = None   # source band row (gather)
+    delta_bcols: jnp.ndarray | None = None   # source band wloc (gather)
+    delta_rank: jnp.ndarray | None = None    # rank into contrib
+    delta_static: jnp.ndarray | None = None  # frozen value part
 
 
 def setup(pk, geom, Mx, My, session, b_base, c: float, axi: bool = False):
@@ -225,6 +238,28 @@ def _band_refresh_maps(session, fixed):
     band_rows_h = (tile * R + rloc).astype(np.int64)
     band_sub_static = session.vals_static[j_src].astype(f32)
     band_sub_rank = np.searchsorted(sub_pos, j_src).astype(np.int32)
+
+    # delta-COO maps: global (row, col) of each changed in-band slot in
+    # the PERMUTED numbering, so the fused loops can apply the changed
+    # entries as a sidecar extension against a frozen band. Symmetric
+    # (triu) storage appends mirrors for off-diagonal slots (the fused
+    # symmetric product counts the frozen diagonal exactly once, so a
+    # single (r, r) delta entry is the correct diagonal correction).
+    cchunk = session.band_amg.levels[0].A.cchunk
+    d_rows = band_rows_h[j_sub]
+    d_cols = (wloc[j_sub] + (tile[j_sub] + lay.shift0) * cchunk)
+    d_brows = band_rows_h[j_sub]
+    d_bcols = wloc[j_sub].astype(np.int64)
+    d_rank = band_sub_rank
+    d_static = band_sub_static
+    if upper_sel is not None:
+        off = np.nonzero(d_rows != d_cols)[0]
+        d_rows = np.concatenate([d_rows, d_cols[off]])
+        d_cols = np.concatenate([d_cols, band_rows_h[j_sub][off]])
+        d_brows = np.concatenate([d_brows, d_brows[off]])
+        d_bcols = np.concatenate([d_bcols, d_bcols[off]])
+        d_rank = np.concatenate([d_rank, d_rank[off]])
+        d_static = np.concatenate([d_static, d_static[off]])
     dvec_rows = dvec_rank = dvec_static = None
     if diag_pos is not None:
         diag_src = src_t[diag_pos]
@@ -279,7 +314,13 @@ def _band_refresh_maps(session, fixed):
         keep_sel_dev=None if lay.keep_sel is None
         else jnp.asarray(lay.keep_sel.astype(np.int32)),
         oob_src_dev=None if lay.oob_src is None
-        else jnp.asarray(lay.oob_src.astype(np.int32)))
+        else jnp.asarray(lay.oob_src.astype(np.int32)),
+        delta_rows=jnp.asarray(d_rows.astype(np.int32)),
+        delta_cols=jnp.asarray(d_cols.astype(np.int32)),
+        delta_brows=jnp.asarray(d_brows.astype(np.int32)),
+        delta_bcols=jnp.asarray(d_bcols.astype(np.int32)),
+        delta_rank=jnp.asarray(d_rank.astype(np.int32)),
+        delta_static=jnp.asarray(d_static.astype(f32)))
     return {"ns": ns, "fields": fields}
 
 
@@ -388,65 +429,44 @@ def _newton_elements(dn: DeviceNewton, V, has_lam: bool,
     return Vl, Me, Mn
 
 
-def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me):
-    """New CSR values from the changed element matrices, scattered into
-    the fine band (value-only; frozen coarse hierarchy).
-
-    When the subset maps are present, only the band positions touched
-    by nonlinear elements are rewritten (a few % of the band on typical
-    problems); the full 16M-entry gather/scatter is the fallback. The
-    out-of-band sidecar (partitioned orderings) refreshes the same way:
-    only its touched slots on the subset path, wholesale otherwise."""
+def _refresh_operator(dn: DeviceNewton, amg: BandAMG, Me, entry_vals):
+    """Current operator from the changed element matrices, WITHOUT
+    touching the fine band: the changed in-band entries ride a sidecar
+    extension ``A x = A0 x + delta x`` against the frozen band values
+    (``entry_vals``, gathered once per ``run``). A scatter into the
+    multi-GB tiled band inside a ``while_loop`` body defeats XLA's
+    carry aliasing and materializes the whole band as a flat-relayout
+    HLO temp (4.27 GB at 994k -- the round-3 OOM), while the delta
+    gather/scatter is ~1e-3 of the band stream per application. The
+    out-of-band sidecar's own touched slots update in place (small 1-D
+    vals array). Returns ``(amg_new, contrib)``; the caller derives the
+    final dvec / session values from ``contrib`` after the loop."""
     from .band import Sidecar
     data_s = (dn.souter * (-Me)).reshape(-1)
     if dn.kmask is not None:
         data_s = data_s * dn.kmask
     lv0 = amg.levels[0]
-    NT, R, W = lv0.A.dense.shape
-    new_oob = lv0.oob
-    if dn.band_sub_rows is not None:
-        contrib = dn.sub_zero.at[dn.sub_rank].add(data_s)
-        band_vals = dn.band_sub_static + contrib[dn.band_sub_rank]
-        dense = (lv0.A.dense.reshape(NT * R, W)
-                 .at[dn.band_sub_rows, dn.band_sub_cols]
-                 .set(band_vals.astype(lv0.A.dense.dtype))
-                 .reshape(NT, R, W))
-        new_dvec = lv0.dvec
-        if dn.dvec_rows is not None and new_dvec is not None:
-            new_dvec = new_dvec.at[dn.dvec_rows].set(
-                dn.dvec_static + contrib[dn.dvec_rank])
-        if new_oob is not None and dn.oob_upd_pos is not None:
-            new_oob = Sidecar(
-                rows=new_oob.rows, cols=new_oob.cols,
-                vals=new_oob.vals.at[dn.oob_upd_pos].set(
-                    dn.oob_static + contrib[dn.oob_upd_rank]))
+    contrib = dn.sub_zero.at[dn.sub_rank].add(data_s)
+    dval = (dn.delta_static + contrib[dn.delta_rank]) - entry_vals
+    if lv0.oob is not None:
+        vals0 = lv0.oob.vals
+        if dn.oob_upd_pos is not None:
+            vals0 = vals0.at[dn.oob_upd_pos].set(
+                dn.oob_static + contrib[dn.oob_upd_rank])
+        merged = Sidecar(
+            rows=jnp.concatenate([lv0.oob.rows, dn.delta_rows]),
+            cols=jnp.concatenate([lv0.oob.cols, dn.delta_cols]),
+            vals=jnp.concatenate([vals0, dval]))
+        oob_vals_new = vals0
     else:
-        vals = dn.vals_static.at[dn.slot].add(data_s)
-        vals = vals.at[dn.diag_fixed].set(1.0)
-        data_p = vals[dn.data_map]
-        if dn.upper_sel is not None:
-            data_p = data_p[dn.upper_sel]
-        band_vals = data_p if dn.keep_sel_dev is None \
-            else data_p[dn.keep_sel_dev]
-        dense = (lv0.A.dense.reshape(NT * R, W)
-                 .at[dn.band_rows, dn.band_cols]
-                 .set(band_vals.astype(lv0.A.dense.dtype))
-                 .reshape(NT, R, W))
-        new_dvec = None if dn.diag_pos is None else data_p[dn.diag_pos]
-        if new_oob is not None and dn.oob_src_dev is not None:
-            new_oob = Sidecar(rows=new_oob.rows, cols=new_oob.cols,
-                              vals=data_p[dn.oob_src_dev])
-    newA = BandMatrix(dense=dense, shift0=lv0.A.shift0,
-                      cchunk=lv0.A.cchunk, ncols=lv0.A.ncols)
-    newAbf = None
-    if lv0.Abf is not None:
-        newAbf = BandMatrix(dense=dense.astype(jnp.bfloat16),
-                            shift0=lv0.A.shift0, cchunk=lv0.A.cchunk,
-                            ncols=lv0.A.ncols)
-    lv = lv0._replace(A=newA, Abf=newAbf, dvec=new_dvec, oob=new_oob)
-    return BandAMG(levels=(lv,) + amg.levels[1:],
-                   coarse_inv=amg.coarse_inv, n=amg.n,
-                   bt_coarse=amg.bt_coarse)
+        merged = Sidecar(rows=dn.delta_rows, cols=dn.delta_cols,
+                         vals=dval)
+        oob_vals_new = None
+    lv = lv0._replace(oob=merged)
+    amg_new = BandAMG(levels=(lv,) + amg.levels[1:],
+                      coarse_inv=amg.coarse_inv, n=amg.n,
+                      bt_coarse=amg.bt_coarse)
+    return amg_new, contrib, oob_vals_new
 
 
 def _inner_solve(amg_new, r_scaled, tol_eff, inner_iter, bt, n):
@@ -533,9 +553,14 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
     lastres_in = state[2]
     base_it = state[3]
     has_oob = lv0.oob is not None
+    R = dense.shape[1]
+    # frozen band values at the changed slots: the loop applies the
+    # operator as A0 + delta (see _refresh_operator)
+    entry_vals = dense[dn.delta_brows // R, dn.delta_brows % R,
+                       dn.delta_bcols].astype(f32)
 
     def body(carry):
-        (V, dense, dvec, oob_vals, relax, res, lastres, k, cg_tot, best,
+        (V, oob_vals, contrib, relax, res, lastres, k, cg_tot, best,
          since) = carry
         oob_cur = Sidecar(lv0.oob.rows, lv0.oob.cols, oob_vals) \
             if has_oob else None
@@ -543,11 +568,12 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
             levels=(lv0._replace(
                 A=BandMatrix(dense, lv0.A.shift0, lv0.A.cchunk,
                              lv0.A.ncols),
-                Abf=None, dvec=dvec, oob=oob_cur),)
+                Abf=None, oob=oob_cur),)
             + amg.levels[1:],
             coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
         Vl, Me, Mn = _newton_elements(dn, V, has_lam, axi)
-        amg_new = _refresh_operator(dn, amg_cur, Me)
+        amg_new, contrib, oob_new = _refresh_operator(dn, amg_cur, Me,
+                                                      entry_vals)
         dbe = jnp.einsum("tjk,tk->tj", Mn, Vl)
         b = dn.rhs_base.at[dn.scat_idx].add(dn.scat_w * dbe.reshape(-1))
         lvn = amg_new.levels[0]
@@ -592,23 +618,33 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
         improved = res_new < 0.95 * best
         best_new = jnp.minimum(best, res_new)
         since_new = jnp.where(improved, 0, since + 1)
-        oob_out = lvn.oob.vals if has_oob else oob_vals
-        return (V_out, lvn.A.dense, lvn.dvec, oob_out, relax_new,
+        oob_out = oob_new if has_oob else oob_vals
+        return (V_out, oob_out, contrib, relax_new,
                 res_new, res, k + 1, cg_tot + its, best_new, since_new)
 
     def cond(carry):
-        (_, _, _, _, _, res, _, k, _, _, since) = carry
+        (_, _, _, _, res, _, k, _, _, since) = carry
         return jnp.logical_and(
             res > target_res,
             jnp.logical_and(k < max_steps, since < 3))
 
     oob0 = lv0.oob.vals if has_oob else jnp.zeros((0,), f32)
-    carry0 = (V, dense, lv0.dvec, oob0, relax_in.astype(f32),
+    carry0 = (V, oob0, dn.sub_zero, relax_in.astype(f32),
               res_in.astype(f32), lastres_in.astype(f32),
               jnp.array(0, jnp.int32), jnp.array(0, jnp.int32),
               res_in.astype(f32), jnp.array(0, jnp.int32))
-    (V, dense, dvec, oob_vals, relax, res, lastres, k, cg_tot, _, _) = \
+    (V, oob_vals, contrib, relax, res, lastres, k, cg_tot, _, _) = \
         jax.lax.while_loop(cond, body, carry0)
+    # final dvec from the last contrib (identity when the loop never
+    # ran); the session's BAND values are refreshed from the fresh CSR
+    # by the next host solver.solve call (ops/solver.py:1306-1318), so
+    # the frozen dense returns unchanged
+    dvec = lv0.dvec
+    if dvec is not None and dn.dvec_rows is not None:
+        mixed = jnp.where(k > 0,
+                          dn.dvec_static + contrib[dn.dvec_rank],
+                          dvec[dn.dvec_rows])
+        dvec = dvec.at[dn.dvec_rows].set(mixed)
     stats = jnp.stack([relax, res, lastres, k.astype(f32),
                        cg_tot.astype(f32)])
     return V, dense, dvec, oob_vals, stats
@@ -657,6 +693,12 @@ class DeviceHeat(NamedTuple):
     oob_static: jnp.ndarray | None = None
     keep_sel_dev: jnp.ndarray | None = None
     oob_src_dev: jnp.ndarray | None = None
+    delta_rows: jnp.ndarray | None = None
+    delta_cols: jnp.ndarray | None = None
+    delta_brows: jnp.ndarray | None = None
+    delta_bcols: jnp.ndarray | None = None
+    delta_rank: jnp.ndarray | None = None
+    delta_static: jnp.ndarray | None = None
 
 
 def setup_heat(session, ridx, rsign, tris, fixed, fixed_vals, mats_T,
@@ -766,22 +808,26 @@ def run_heat(dn: DeviceHeat, amg: BandAMG, dense, V, state,
     f32 = jnp.float32
     res_in = state[0]
     has_oob = lv0.oob is not None
+    R = dense.shape[1]
+    entry_vals = dense[dn.delta_brows // R, dn.delta_brows % R,
+                       dn.delta_bcols].astype(f32)
 
     def body(carry):
-        V, dense, dvec, oob_vals, res, k, cg_tot, best, since = carry
+        V, oob_vals, contrib, res, k, cg_tot, best, since = carry
         oob_cur = Sidecar(lv0.oob.rows, lv0.oob.cols, oob_vals) \
             if has_oob else None
         amg_cur = BandAMG(
             levels=(lv0._replace(
                 A=BandMatrix(dense, lv0.A.shift0, lv0.A.cchunk,
                              lv0.A.ncols),
-                Abf=None, dvec=dvec, oob=oob_cur),)
+                Abf=None, oob=oob_cur),)
             + amg.levels[1:],
             coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
         kav, mat = _heat_elements(dn, V)
         # _refresh_operator computes souter * (-Me); the block carries
         # ``mat`` directly, so pass Me = -mat
-        amg_new = _refresh_operator(dn, amg_cur, -mat)
+        amg_new, contrib, oob_new = _refresh_operator(dn, amg_cur, -mat,
+                                                      entry_vals)
         dbe = kav[:, None] * dn.ge_k
         b = dn.rhs_pre.at[dn.scat_idx].add(dn.scat_w * dbe.reshape(-1))
         lvn = amg_new.levels[0]
@@ -805,21 +851,27 @@ def run_heat(dn: DeviceHeat, amg: BandAMG, dense, V, state,
         improved = res_new < 0.95 * best
         best_new = jnp.minimum(best, res_new)
         since_new = jnp.where(improved, 0, since + 1)
-        oob_out = lvn.oob.vals if has_oob else oob_vals
-        return (V_new, lvn.A.dense, lvn.dvec, oob_out, res_new, k + 1,
+        oob_out = oob_new if has_oob else oob_vals
+        return (V_new, oob_out, contrib, res_new, k + 1,
                 cg_tot + its, best_new, since_new)
 
     def cond(carry):
-        (_, _, _, _, res, k, _, _, since) = carry
+        (_, _, _, res, k, _, _, since) = carry
         return jnp.logical_and(
             res > target_res,
             jnp.logical_and(k < max_steps, since < 3))
 
     oob0 = lv0.oob.vals if has_oob else jnp.zeros((0,), f32)
-    carry0 = (V, dense, lv0.dvec, oob0, res_in.astype(f32),
+    carry0 = (V, oob0, dn.sub_zero, res_in.astype(f32),
               jnp.array(0, jnp.int32), jnp.array(0, jnp.int32),
               res_in.astype(f32), jnp.array(0, jnp.int32))
-    (V, dense, dvec, oob_vals, res, k, cg_tot, _, _) = \
+    (V, oob_vals, contrib, res, k, cg_tot, _, _) = \
         jax.lax.while_loop(cond, body, carry0)
+    dvec = lv0.dvec
+    if dvec is not None and dn.dvec_rows is not None:
+        mixed = jnp.where(k > 0,
+                          dn.dvec_static + contrib[dn.dvec_rank],
+                          dvec[dn.dvec_rows])
+        dvec = dvec.at[dn.dvec_rows].set(mixed)
     stats = jnp.stack([res, k.astype(f32), cg_tot.astype(f32)])
     return V, dense, dvec, oob_vals, stats
