@@ -260,6 +260,10 @@ def _bt_apply_pallas(bt: BTFactor, rs, NB: int, b: int):
 
     rb = rs.reshape(NB, 1, b)
     G, Sinv = bt.G, bt.Sinv
+    # bf16-stored factors (opt-in) cannot take an fp32 contract
+    # precision on the MXU; f32 factors need the 3-pass multiply
+    prec = (jax.lax.Precision.HIGHEST if G.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
     def fwd_kernel(r_ref, g_ref, o_ref, carry):
         t = pl.program_id(0)
@@ -274,7 +278,7 @@ def _bt_apply_pallas(bt: BTFactor, rs, NB: int, b: int):
             carry[:].astype(g.dtype), g,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=prec)
         carry[:] = y
         o_ref[0] = y
 
@@ -306,7 +310,7 @@ def _bt_apply_pallas(bt: BTFactor, rs, NB: int, b: int):
             y_ref[0].astype(s.dtype), s,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=prec)
 
     qs = pl.pallas_call(
         q_kernel,
@@ -336,7 +340,7 @@ def _bt_apply_pallas(bt: BTFactor, rs, NB: int, b: int):
             carry[:].astype(g.dtype), g,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=prec)
         carry[:] = z
         o_ref[0] = z
 

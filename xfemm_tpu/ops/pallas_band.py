@@ -73,6 +73,13 @@ def _band_mv_call(dense, x, shift0: int, cchunk: int, ncols: int):
     wins, _xpad, _lpad, _base, _K, _tot = _windows(
         dense.shape, cchunk, shift0, ncols, x)
 
+    # f32 bands need 3-pass f32 MXU passes (the default single-pass
+    # bf16 multiply costs ~4e-3 relative error); bf16 bands (smoothing
+    # copies) are single-pass by construction -- Mosaic rejects an fp32
+    # contract precision on bf16 operands
+    prec = (jax.lax.Precision.HIGHEST if dense.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     def kernel(w_ref, d_ref, o_ref):
         d = d_ref[0]                                 # (R, W)
         win = w_ref[0].astype(d.dtype)               # (1, W)
@@ -80,7 +87,7 @@ def _band_mv_call(dense, x, shift0: int, cchunk: int, ncols: int):
         o_ref[0] = jax.lax.dot_general(
             win, d, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # (1, R)
+            precision=prec)                          # (1, R)
 
     y = pl.pallas_call(
         kernel,
@@ -113,13 +120,16 @@ def _band_sym_call(dense, dvec, x, shift0: int, cchunk: int, ncols: int):
         dense.shape, cchunk, shift0, ncols, x)
     xrows = xpad[lpad:lpad + NT * R].reshape(NT, 1, R)
 
+    prec = (jax.lax.Precision.HIGHEST if dense.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     def kernel(w_ref, xr_ref, d_ref, o_ref, c_ref):
         d = d_ref[0]                                 # (R, W)
         win = w_ref[0].astype(d.dtype)               # (1, W)
         o_ref[0] = jax.lax.dot_general(
             win, d, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # (1, R)
+            precision=prec)                          # (1, R)
         xr = xr_ref[0].astype(d.dtype)               # (1, R)
         # rmatvec contribution of this tile: x_rows(t)^T U_t, kept
         # per-tile; the overlapping window accumulation happens in the
@@ -127,7 +137,7 @@ def _band_sym_call(dense, dvec, x, shift0: int, cchunk: int, ncols: int):
         c_ref[0] = jax.lax.dot_general(
             xr, d, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)      # (1, W)
+            precision=prec)                          # (1, W)
 
     y, contrib = pl.pallas_call(
         kernel,

@@ -181,7 +181,16 @@ def _solve_trace() -> bool:
 
 def _trace(msg: str) -> None:
     if _solve_trace():
+        import os
         import sys
+        if os.environ.get("XFEMM_TPU_TRACE_MEM"):
+            try:
+                st = jax.devices()[0].memory_stats() or {}
+                used = st.get("bytes_in_use", 0) / 1e9
+                peak = st.get("peak_bytes_in_use", 0) / 1e9
+                msg = f"{msg} [hbm {used:.2f}GB peak {peak:.2f}GB]"
+            except Exception:
+                pass
         print(f"[xfemm_tpu solve] {msg}", file=sys.stderr, flush=True)
 
 
