@@ -237,32 +237,36 @@ def mi_addmaterial(name, mux=1, muy=1, Hc=0, J=0, Cduct=0, Lam_d=0,
 
 # A few standard materials built in (physical constants, the same
 # values FEMM's library documents publicly): enough for scripts that
-# pull common names without shipping a library file. Full libraries
-# load via libpath= or the XFEMM_TPU_MATLIB environment variable.
-_BUILTIN_MATERIALS = {
-    "air": dict(mu_x=1.0, mu_y=1.0),
-    "copper": dict(mu_x=1.0, mu_y=1.0, Cduct=58.0),
-    "aluminum, 1100": dict(mu_x=1.0, mu_y=1.0, Cduct=34.45),
-    "316 stainless steel": dict(mu_x=1.008, mu_y=1.008, Cduct=1.334),
-}
+# The full standard FEMM material libraries ship with the package
+# (xfemm_tpu/data/{matlib,heatlib,statlib}.json — the same data the
+# reference installs as cfemm/femmcli/release/*.dat next to femmcli),
+# so *_getmaterial works out of the box. An explicit libpath= or the
+# XFEMM_TPU_{MATLIB,HEATLIB,STATLIB} environment variable overrides.
+
+
+def _getmaterial(name, libpath, envvar, filetype):
+    import os
+    from .materials import library as _lib
+    if libpath is None:
+        libpath = os.environ.get(envvar)
+    if libpath is not None:
+        return _d().add_material_from_library(libpath, name)
+    m = _lib.get_builtin(name, filetype)
+    if m is None:
+        raise ValueError(
+            f"material {name!r} is not in the shipped library; pass "
+            f"libpath= or set {envvar} to a FEMM-format library file")
+    _d().problem.blockproplist.append(m)
+    return m
 
 
 def mi_getmaterial(name, libpath=None):
-    """Pull a material from a library file (mi_getmaterial), a built-in
-    standard material, or $XFEMM_TPU_MATLIB."""
-    import os
-    if libpath is None:
-        libpath = os.environ.get("XFEMM_TPU_MATLIB")
-    if libpath is None:
-        key = name.lower()
-        if key in _BUILTIN_MATERIALS:
-            m = MagneticMaterial(name=name, **_BUILTIN_MATERIALS[key])
-            _d().problem.blockproplist.append(m)
-            return
-        raise ValueError(
-            f"material {name!r} is not built in; pass libpath= or set "
-            "XFEMM_TPU_MATLIB to a matlib.dat")
-    _d().add_material_from_library(libpath, name)
+    """Pull a material from the shipped standard library
+    (mi_getmaterial; reference: cfemm/femmcli/release/matlib.dat +
+    LuaMagneticsCommands.cpp luaGetMaterialFromLib), an explicit
+    library file, or $XFEMM_TPU_MATLIB."""
+    from .constants import FileType
+    _getmaterial(name, libpath, "XFEMM_TPU_MATLIB", FileType.MAGNETICS)
 
 
 def mi_addboundprop(name, A0=0, A1=0, A2=0, phi=0, Mu=0, Sig=0, c0=0,
@@ -1076,25 +1080,20 @@ def ei_addmaterial(name, ex=1.0, ey=1.0, qv=0.0):
 
 
 def hi_getmaterial(name, libpath=None):
-    """Pull a heat-flow material from a library (heatlib.dat format;
-    set $XFEMM_TPU_HEATLIB or pass libpath)."""
-    import os
-    if libpath is None:
-        libpath = os.environ.get("XFEMM_TPU_HEATLIB")
-    if libpath is None:
-        raise ValueError("pass libpath= or set XFEMM_TPU_HEATLIB")
-    _d().add_material_from_library(libpath, name)
+    """Pull a heat-flow material from the shipped standard library
+    (hi_getmaterial; reference heatlib.dat), an explicit library file,
+    or $XFEMM_TPU_HEATLIB."""
+    from .constants import FileType
+    _getmaterial(name, libpath, "XFEMM_TPU_HEATLIB", FileType.HEATFLOW)
 
 
 def ei_getmaterial(name, libpath=None):
-    """Pull an electrostatics material from a library (statlib.dat
-    format; set $XFEMM_TPU_STATLIB or pass libpath)."""
-    import os
-    if libpath is None:
-        libpath = os.environ.get("XFEMM_TPU_STATLIB")
-    if libpath is None:
-        raise ValueError("pass libpath= or set XFEMM_TPU_STATLIB")
-    _d().add_material_from_library(libpath, name)
+    """Pull an electrostatics material from the shipped standard
+    library (ei_getmaterial; reference statlib.dat), an explicit
+    library file, or $XFEMM_TPU_STATLIB."""
+    from .constants import FileType
+    _getmaterial(name, libpath, "XFEMM_TPU_STATLIB",
+                 FileType.ELECTROSTATICS)
 
 
 def hi_addboundprop(name, fmt=0, Tset=0.0, qs=0.0, Tinf=0.0, h=0.0,
