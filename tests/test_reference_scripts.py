@@ -9,9 +9,10 @@ reference's CI does.
 
 Scripts are taken from the reference checkout when present (skipped
 otherwise, e.g. on a machine without /root/reference).  The antiperiodic
-flux script is covered by tests/test_antiperiodic_flux.py instead: two
-of its 45 probes encode FEMM's mesh realization beyond equal-density
-reproducibility (see that module's docstring).
+flux script runs verbatim on the premeshed reference-mesh fixture (see
+test_reference_script_antiperiodic_flux); tests/test_antiperiodic_flux.py
+additionally pins it on OUR mesher's output with one documented
+mesh-realization exemption.
 """
 
 import os
@@ -54,9 +55,10 @@ def script_dir(tmp_path_factory):
     return base
 
 
-def _run(script_dir, name, timeout=1200):
+def _run(script_dir, name, timeout=1200, extra_env=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra_env or {})
     proc = subprocess.run(
         [sys.executable, "-m", "xfemm_tpu", "script", name],
         cwd=script_dir, env=env, capture_output=True, text=True,
@@ -77,6 +79,26 @@ def test_reference_script_quick(script_dir, name):
 def test_reference_script_solve(script_dir, name):
     out = _run(script_dir, name)
     assert "SUCCESS" in out, out[-2000:]
+
+
+@pytest.mark.slow
+def test_reference_script_antiperiodic_flux(script_dir):
+    """femmcli_antiperiodicBC_flux.lua VERBATIM, all 45 probes at the
+    reference's own OR-margins.  Two of its FEMM-4.2 expected values
+    encode Triangle's mesh realization beyond equal-density
+    reproducibility (see tests/test_antiperiodic_flux.py), so the run
+    uses the premeshed reference-mesh fixture via XFEMM_TPU_PREMESHED --
+    the reference's own premeshed-fixture strategy
+    (cfemm/fsolver/test/CMakeLists.txt:15-27)."""
+    base = REPO / "tests" / "fixtures" / "AntiperiodicFluxRefMesh"
+    for ext in (".node", ".ele", ".edge", ".pbc"):
+        shutil.copy(str(base) + ext,
+                    script_dir / ("femmcli_antiperiodicBC_flux.result"
+                                  + ext))
+    out = _run(script_dir, "femmcli_antiperiodicBC_flux.lua",
+               extra_env={"XFEMM_TPU_PREMESHED": "1"})
+    assert "SUCCESS" in out, out[-2000:]
+    assert "[FAILED]" not in out
 
 
 def test_reference_script_trace(script_dir):

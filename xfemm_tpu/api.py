@@ -201,8 +201,23 @@ class Document:
         self.path = path
 
     def create_mesh(self):
-        """mi_createmesh: triangulate and keep the mesh in-session."""
-        from .mesh import mesher
+        """mi_createmesh: triangulate and keep the mesh in-session.
+
+        With ``XFEMM_TPU_PREMESHED=1`` and a complete set of mesh files
+        (``<doc path>.node/.ele/.edge/.pbc``) next to the document, the
+        premeshed files are loaded instead of re-triangulating -- the
+        reference's own premeshed-fixture strategy (its fsolver consumes
+        exactly these files, and its solver test suite checks them in:
+        cfemm/fsolver/test/CMakeLists.txt:15-27).  Opt-in because
+        femmcli itself always re-meshes."""
+        import os
+        from .mesh import mesher, meshdata
+        if self.path and os.environ.get("XFEMM_TPU_PREMESHED"):
+            base = os.path.splitext(self.path)[0]
+            if all(os.path.exists(base + ext)
+                   for ext in (".node", ".ele", ".edge", ".pbc")):
+                self._mesh = meshdata.read_mesh_files(base)
+                return self._mesh
         self._mesh = mesher.mesh_problem(self.problem)
         return self._mesh
 

@@ -409,7 +409,12 @@ class MagPostProcessor:
                 Aface = np.where(np.abs(rn / self.lc) < 1e-06, 0.0,
                                  self.A[tris] / (2.0 * PI * rn))
         J = np.zeros((T, 3), complex)
+        Javg = np.zeros(T, complex)
         lbl = self.mesh.element_labels
+        planar = self.problem.ProblemType == ProblemType.PLANAR
+        if not planar:
+            rnod = self.mesh.nodes[tris][:, :, 0] * self.lc   # (T,3) m
+            rctr = self.ctr[:, 0] * self.lc                   # (T,) m
         for t in range(T):
             mat = self.mats[self.blk[t]]
             Jt = mat.J
@@ -420,16 +425,33 @@ class MagPostProcessor:
             if abs(lab.Turns) > 1 or mat.LamType > 2:
                 c = 0.0
             row = np.full(3, Jt, complex)
+            avg = complex(Jt)
             if self.frequency != 0:
-                row = row - 1j * self.frequency * 2.0 * PI * c * Aface[t]
+                eddy = 1j * self.frequency * 2.0 * PI * c * Aface[t]
+                row = row - eddy
+                avg = avg - eddy.sum() / 3.0
             case, value = self.label_case[lbl[t]]
             if lab.InCircuit >= 0:
                 if case == 0:
-                    row = row - c * value
+                    if planar:
+                        row = row - c * value
+                        avg = avg - c * value
+                    else:
+                        # axisymmetric: dV divides by the node radius
+                        # (on-axis nodes take the centroid radius) and
+                        # the average by the centroid radius
+                        # (GetJA, fpproc.cpp:1852-1866)
+                        rn = np.where(np.abs(rnod[t] / self.lc) < 1e-06,
+                                      rctr[t], rnod[t])
+                        row = row - c * value / rn
+                        avg = avg - c * value / rctr[t]
                 else:
                     row = row + value
+                    avg = avg + value
             J[t] = row
+            Javg[t] = avg
         self._ja = (J, Aface)
+        self._javg = Javg
         return J, Aface
 
     # ------------------------------------------------------------------ #
@@ -551,21 +573,11 @@ class MagPostProcessor:
             return complex(y[sel_el].sum())
 
         J, Aface = self.element_JA()
-        Javg = J.mean(axis=1)
-
-        def pln_int(af, u, v):
-            z0 = 2 * u[:, 0] + u[:, 1] + u[:, 2]
-            z1 = u[:, 0] + 2 * u[:, 1] + u[:, 2]
-            z2 = u[:, 0] + u[:, 1] + 2 * u[:, 2]
-            return af * (v[:, 0] * z0 + v[:, 1] * z1 + v[:, 2] * z2) / 12.0
+        Javg = self._javg  # GetJA's average (axi dV uses centroid r)
 
         r3m = self.mesh.nodes[self.mesh.elements][:, :, 0] * self.lc
-        if inttype == 0:   # A.J
-            if planar:
-                y = pln_int(a, Aface, np.conj(J)) * depth
-            else:
-                y = self._axi_int(a, Aface, np.conj(J), r3m)
-            return complex(y[sel_el].sum())
+        if inttype == 0:   # A.J (J in A/m^2 per GetJA, hence the 1e6)
+            return self._aj_integral(sel_el)
         if inttype == 1:   # integral of A
             if planar:
                 y = a * depth * Aface.mean(axis=1)
@@ -583,8 +595,8 @@ class MagPostProcessor:
                 total += vol[t] * PI * self.frequency * (
                     H1 * np.conj(B1[t]) + H2 * np.conj(B2[t])).imag
             return complex(total)
-        if inttype == 7:   # total current
-            return complex((a[sel_el] * Javg[sel_el]).sum())
+        if inttype == 7:   # total current (Javg MA/m^2 -> A/m^2)
+            return complex((a[sel_el] * Javg[sel_el]).sum()) * 1e6
         if inttype == 2 or inttype == 17:  # stored energy / coenergy
             total = 0.0
             idx = np.where(sel_el)[0]
@@ -602,7 +614,24 @@ class MagPostProcessor:
                     else:
                         y = _do_energy(mat, b1.real, b2.real)
                 else:
-                    y = _do_energy_ac(mat, b1, b2)
+                    # complex DoEnergy (CMaterialProp.cpp:680-691):
+                    # Re(h1 conj(b1) + h2 conj(b2))/4 with complex mu
+                    # (energy == coenergy in the AC case).  Wound
+                    # (LamType>2) regions add a local stored-energy
+                    # term from the effective conductivity
+                    # (fpproc.cpp:3770-3778) not modeled here.
+                    if mat.LamType > 2:
+                        raise NotImplementedError(
+                            "AC stored energy in wound (LamType>2) "
+                            "regions (fpproc.cpp:3770-3778)")
+                    # material-level mu (undo the AECF division that
+                    # _get_mu_complex applies; BlockIntegral applies
+                    # AECF exactly once, below)
+                    aecf = self._aecf(t)
+                    mu1, mu2 = self._get_mu_complex(t)
+                    h1 = b1 / (mu1 * aecf * MU0)
+                    h2 = b2 / (mu2 * aecf * MU0)
+                    y = (h1 * np.conj(b1) + h2 * np.conj(b2)).real / 4.0
                 total += af * y * self._aecf(t)
             return complex(total)
         if inttype == 4:   # resistive losses
