@@ -158,9 +158,15 @@ def setup_band_dd(At: sp.csr_matrix, coords: np.ndarray,
     pi = rpart[inpart]
     np.minimum.at(lo, (pi, ti), cloc_g[inpart])
     np.maximum.at(hi, (pi, ti), cloc_g[inpart])
+    # empty tiles (padding region of smaller parts) must follow the
+    # band diagonal, NOT column 0: lo=0 at tile t gives shift=-t, and a
+    # single empty trailing tile then drags shift0 to -NT and the
+    # unified window W to the full matrix width (a 50k-wide 20 GB
+    # "band" at 100k DOF / 2 parts)
     empty = hi < 0
-    lo[empty] = 0
-    hi[empty] = 0
+    tdiag = np.broadcast_to(np.arange(NT)[None, :] * CCHUNK, hi.shape)
+    lo[empty] = tdiag[empty]
+    hi[empty] = tdiag[empty]
     shift = lo // CCHUNK - np.arange(NT)[None, :]
     shift0 = int(shift.min())
     K = int((hi // CCHUNK - (np.arange(NT)[None, :] + shift0)).max()) + 1
