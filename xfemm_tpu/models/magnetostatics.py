@@ -843,12 +843,17 @@ def solve(problem: Problem, mesh: MeshData,
                 state = jnp.asarray(
                     [relax, res_in, lastres, float(it + it_shift)],
                     jnp.float32)
+                dbg_steps = int(os.environ.get(
+                    "XFEMM_TPU_DN_MAX_STEPS", "30"))
+                dbg_inner = int(os.environ.get(
+                    "XFEMM_TPU_DN_INNER", "400"))
                 Vd, dense, dvec, oob_vals, stats = newton_dev.run(
                     dn, amg_rest, dense,
                     jnp.asarray(V, jnp.float32), state,
                     tol_floor=max(problem.Precision, 3e-7),
                     target_res=90.0 * problem.Precision,
-                    bt=sess.bt, has_lam=has_lam)
+                    bt=sess.bt, has_lam=has_lam,
+                    max_steps=dbg_steps, inner_iter=dbg_inner)
                 sess.band_amg = newton_dev.rebuild_band_amg(
                     amg_rest, dense, None, dvec, oob_vals)
                 if sess.band_ckey is not None \

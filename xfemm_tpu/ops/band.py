@@ -342,6 +342,13 @@ SIDECAR_MAX = 4_000_000          # hard cap (memory + refresh maps)
 #: in its designed role: carving a partitioned ordering's thin
 #: interface tail.
 SIDECAR_FRAC_MAX = 0.02
+#: byte cap for any SINGLE coarse (preconditioner-internal) level's
+#: dense band, applied inside setup_band_amg's budget enforcement (see
+#: the per-level `remaining` clamp there).  1.5 GB keeps the whole
+#: 1M-class hierarchy near ~8 GB so the fused Newton working set and
+#: XLA temps fit a 16 GB part alongside it.
+COARSE_LEVEL_MAX_BYTES = float(__import__("os").environ.get(
+    "XFEMM_TPU_COARSE_LEVEL_MAX_BYTES", str(1.5e9)))
 
 
 def plan_level(dist: np.ndarray, n: int, sym: bool,
@@ -693,7 +700,18 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         truncated = False
         trunc_cap = 0
         if budget_bytes is not None and not first:
-            remaining = max(budget_bytes - used, 0.0)
+            # Per-level cap on top of the global budget: smoothed
+            # aggregation's halo can defeat plan_level's 2%-of-nnz
+            # sidecar fraction and leave a near-full-width coarse band
+            # that technically fits the global budget (994k: a
+            # 13,440-wide 6.7 GB bf16 L1 "fit" a 12.8 GB budget and
+            # left no HBM headroom for the fused Newton working set --
+            # the device worker died mid-solve). Coarse levels are
+            # preconditioner-internal; capping each one forces the
+            # truncation path (top-magnitude sidecar + discard), which
+            # only weakens the V-cycle.
+            remaining = min(max(budget_bytes - used, 0.0),
+                            COARSE_LEVEL_MAX_BYTES)
 
             def _lvl_bytes(cut, R):
                 est = _band_est(n, cut, R, use_sym)
