@@ -159,17 +159,39 @@ def solve(problem: Problem, mesh: MeshData,
             from ..ops import solver as solver_mod
             dn, has_lam = dev_state
             with profiling.phase("device newton"):
+                from .magnetostatics import _dn_cg_budget
                 amg_rest, dense, _abf = newton_dev.strip_fine_band(
                     sess.band_amg)
-                state = jnp.asarray(
-                    [relax, res, lastres, float(it + it_shift)],
-                    jnp.float32)
-                Vd, dense, dvec, oob_vals, stats = newton_dev.run(
-                    dn, amg_rest, dense,
-                    jnp.asarray(V, jnp.float32), state,
-                    tol_floor=max(problem.Precision, 3e-7),
-                    target_res=max(90.0 * problem.Precision, 3e-6),
-                    bt=sess.bt, has_lam=has_lam, axi=True)
+                # budget-bounded dispatch chain (see the planar fused
+                # loop): one unbounded dispatch at 1M-class sizes kills
+                # the tunneled TPU worker
+                cg_budget = _dn_cg_budget(sess)
+                target = max(90.0 * problem.Precision, 3e-6)
+                Vd = jnp.asarray(V, jnp.float32)
+                base_it = float(it + it_shift)
+                relax_d, res_d, lastres_d = relax, res, lastres
+                steps = 0
+                cgit = 0.0
+                for _sub in range(12):
+                    state = jnp.asarray(
+                        [relax_d, res_d, lastres_d, base_it],
+                        jnp.float32)
+                    Vd, dense, dvec, oob_vals, stats = newton_dev.run(
+                        dn, amg_rest, dense, Vd, state,
+                        tol_floor=max(problem.Precision, 3e-7),
+                        target_res=target,
+                        bt=sess.bt, has_lam=has_lam, axi=True,
+                        cg_budget=cg_budget)
+                    prev_res = res_d
+                    relax_d, res_d, lastres_d, ksteps, cg_sub = \
+                        np.asarray(stats, np.float64)
+                    steps += int(ksteps)
+                    base_it += int(ksteps)
+                    cgit += cg_sub
+                    budget_cut = (cg_budget > 0 and cg_sub >= cg_budget
+                                  and int(ksteps) > 0 and res_d > target)
+                    if not budget_cut or res_d >= 0.98 * prev_res:
+                        break
                 sess.band_amg = newton_dev.rebuild_band_amg(
                     amg_rest, dense, None, dvec, oob_vals)
                 if sess.band_ckey is not None \
@@ -177,11 +199,9 @@ def solve(problem: Problem, mesh: MeshData,
                     solver_mod._BAND_CACHE[sess.band_ckey]["band_amg"] = \
                         sess.band_amg
                 V = np.asarray(Vd, np.float64)
-                relax_d, res_d, lastres_d, ksteps, cgit = \
-                    np.asarray(stats, np.float64)
             iters_total += int(cgit)
             dev_runs += 1
-            it_shift += max(int(ksteps) - 1, 0)
+            it_shift += max(steps - 1, 0)
             # the device loop exits at an f32 noise floor; entering the
             # host tail over-damped makes it crawl (same reasoning as
             # the planar path)

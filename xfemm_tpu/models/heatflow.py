@@ -261,15 +261,32 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
             from ..ops import newton as newton_dev
             from ..ops import solver as solver_mod
             with profiling.phase("device heat"):
+                from .magnetostatics import _dn_cg_budget
                 amg_rest, dense, _abf = newton_dev.strip_fine_band(
                     sess.band_amg)
-                state = jnp.asarray([res], jnp.float32)
-                Vd, dense, dvec, oob_vals, stats = newton_dev.run_heat(
-                    dev_heat, amg_rest, dense,
-                    jnp.asarray(V, jnp.float32), state,
-                    tol_floor=max(problem.Precision, 3e-7),
-                    target_res=max(90.0 * problem.Precision, 3e-6),
-                    bt=sess.bt)
+                # budget-bounded dispatch chain (see the magnetostatic
+                # fused loop): one unbounded dispatch at 1M-class sizes
+                # kills the tunneled TPU worker
+                cg_budget = _dn_cg_budget(sess)
+                target = max(90.0 * problem.Precision, 3e-6)
+                Vd = jnp.asarray(V, jnp.float32)
+                res_d = res
+                cgit = 0.0
+                for _sub in range(12):
+                    state = jnp.asarray([res_d], jnp.float32)
+                    Vd, dense, dvec, oob_vals, stats = \
+                        newton_dev.run_heat(
+                            dev_heat, amg_rest, dense, Vd, state,
+                            tol_floor=max(problem.Precision, 3e-7),
+                            target_res=target,
+                            bt=sess.bt, cg_budget=cg_budget)
+                    prev_res = res_d
+                    res_d, ksteps, cg_sub = np.asarray(stats, np.float64)
+                    cgit += cg_sub
+                    budget_cut = (cg_budget > 0 and cg_sub >= cg_budget
+                                  and int(ksteps) > 0 and res_d > target)
+                    if not budget_cut or res_d >= 0.98 * prev_res:
+                        break
                 sess.band_amg = newton_dev.rebuild_band_amg(
                     amg_rest, dense, None, dvec, oob_vals)
                 if sess.band_ckey is not None \
@@ -277,7 +294,6 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
                     solver_mod._BAND_CACHE[sess.band_ckey]["band_amg"] = \
                         sess.band_amg
                 V = np.asarray(Vd, np.float64)
-                res_d, ksteps, cgit = np.asarray(stats, np.float64)
             iters_total += int(cgit)
             dev_runs += 1
             res = float(res_d)

@@ -616,6 +616,33 @@ def incremental_mu(problem: Problem, pk: "PackedMagnetostatic",
     return mu1, mu2, v12
 
 
+def _dn_cg_budget(sess) -> int:
+    """Per-dispatch inner-CG budget for the fused device-Newton loop.
+
+    One fused dispatch streams the fine band ~4x per preconditioned CG
+    iteration (operator apply + V-cycle smoothing residuals), so an
+    unbounded dispatch at 1M-class sizes occupies the device for many
+    minutes -- which the tunneled TPU worker does not survive
+    (reproduced at 994k DOFs: one 30-step x 400-iteration dispatch over
+    the 4.6 GB fine band ends in 'TPU worker process crashed or
+    restarted'). Budget the accumulated inner iterations so one
+    dispatch streams at most ~XFEMM_TPU_DN_STREAM_GB gigabytes
+    (default 2000, i.e. ~10-25 s of device time); the solve loop then
+    chains dispatches from the returned state.
+    ``XFEMM_TPU_DN_CG_BUDGET`` overrides directly (0 = unbounded)."""
+    env = os.environ.get("XFEMM_TPU_DN_CG_BUDGET")
+    if env is not None:
+        return int(env)
+    if sess.band_amg is None:
+        return 0
+    lv0 = sess.band_amg.levels[0]
+    band_bytes = lv0.A.dense.size * lv0.A.dense.dtype.itemsize
+    if lv0.Abf is not None:
+        band_bytes += lv0.Abf.dense.size * 2
+    stream = float(os.environ.get("XFEMM_TPU_DN_STREAM_GB", "2000")) * 1e9
+    return max(200, int(stream / (4.0 * band_bytes)))
+
+
 _PACK_CACHE: "OrderedDict[tuple, tuple]" = __import__(
     "collections").OrderedDict()
 _PACK_CACHE_MAX = 4
@@ -830,6 +857,7 @@ def solve(problem: Problem, mesh: MeshData,
             from ..ops import newton as newton_dev
             from ..ops import solver as solver_mod
             dn, has_lam = dev_state
+            cg_budget = _dn_cg_budget(sess)
             with profiling.phase("device newton"):
                 # donate the session's own fine band (no copy -- a 1M
                 # sym band is ~10 GB); rebuild the session's BandAMG
@@ -840,20 +868,44 @@ def solve(problem: Problem, mesh: MeshData,
                 # unit sentinel makes the loop run and reproduces the
                 # host's initial 1e-4 forcing tolerance
                 res_in = res if it > 0 else 1.0
-                state = jnp.asarray(
-                    [relax, res_in, lastres, float(it + it_shift)],
-                    jnp.float32)
                 dbg_steps = int(os.environ.get(
                     "XFEMM_TPU_DN_MAX_STEPS", "30"))
                 dbg_inner = int(os.environ.get(
                     "XFEMM_TPU_DN_INNER", "400"))
-                Vd, dense, dvec, oob_vals, stats = newton_dev.run(
-                    dn, amg_rest, dense,
-                    jnp.asarray(V, jnp.float32), state,
-                    tol_floor=max(problem.Precision, 3e-7),
-                    target_res=90.0 * problem.Precision,
-                    bt=sess.bt, has_lam=has_lam,
-                    max_steps=dbg_steps, inner_iter=dbg_inner)
+                # the fused phase runs as a CHAIN of budget-bounded
+                # dispatches: the while_loop exits once cg_budget inner
+                # iterations accumulate and the host immediately
+                # re-dispatches from the returned state. Keeps every
+                # single device execution in the tens of seconds (an
+                # unbounded 994k dispatch kills the tunneled TPU
+                # worker, see ops/newton.py::run).
+                Vd = jnp.asarray(V, jnp.float32)
+                base_it = float(it + it_shift)
+                relax_d, res_d, lastres_d = relax, res_in, lastres
+                steps = 0
+                cgit = 0.0
+                target = 90.0 * problem.Precision
+                for _sub in range(12):
+                    state = jnp.asarray(
+                        [relax_d, res_d, lastres_d, base_it],
+                        jnp.float32)
+                    Vd, dense, dvec, oob_vals, stats = newton_dev.run(
+                        dn, amg_rest, dense, Vd, state,
+                        tol_floor=max(problem.Precision, 3e-7),
+                        target_res=target,
+                        bt=sess.bt, has_lam=has_lam,
+                        max_steps=dbg_steps, inner_iter=dbg_inner,
+                        cg_budget=cg_budget)
+                    prev_res = res_d
+                    relax_d, res_d, lastres_d, ksteps, cg_sub = \
+                        np.asarray(stats, np.float64)
+                    steps += int(ksteps)
+                    base_it += int(ksteps)
+                    cgit += cg_sub
+                    budget_cut = (cg_budget > 0 and cg_sub >= cg_budget
+                                  and int(ksteps) > 0 and res_d > target)
+                    if not budget_cut or res_d >= 0.98 * prev_res:
+                        break
                 sess.band_amg = newton_dev.rebuild_band_amg(
                     amg_rest, dense, None, dvec, oob_vals)
                 if sess.band_ckey is not None \
@@ -861,11 +913,8 @@ def solve(problem: Problem, mesh: MeshData,
                     solver_mod._BAND_CACHE[sess.band_ckey]["band_amg"] = \
                         sess.band_amg
                 V = np.asarray(Vd, np.float64)
-                relax_d, res_d, lastres_d, ksteps, cgit = \
-                    np.asarray(stats, np.float64)
             iters_total += int(cgit)
             dev_runs += 1
-            steps = int(ksteps)
             it_shift += max(steps - 1, 0)
             # a collapsed relax reflects the device loop's f32 noise
             # floor, not the true Newton map; entering the host endgame

@@ -516,12 +516,13 @@ def _inner_solve(amg_new, r_scaled, tol_eff, inner_iter, bt, n):
 
 @functools.partial(jax.jit,
                    static_argnames=("inner_iter", "has_lam", "max_steps",
-                                    "tol_floor", "target_res", "axi"),
+                                    "tol_floor", "target_res", "axi",
+                                    "cg_budget"),
                    donate_argnums=(2,))
 def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
         tol_floor: float = 3e-7, target_res: float = 9e-7, bt=None,
         inner_iter: int = 400, has_lam: bool = False,
-        max_steps: int = 30, axi: bool = False):
+        max_steps: int = 30, axi: bool = False, cg_budget: int = 0):
     """Run the Newton MIDDLE AND TAIL in ONE device dispatch.
 
     ``step`` pays a host round-trip per Newton iteration; on a remote
@@ -541,6 +542,16 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
     buffer, so scalars travel batched. ``base_it`` is the host's
     global iteration number (the relaxation rule activates past global
     iteration 5); the tolerances are compile-time constants.
+
+    ``cg_budget`` (> 0) stops the loop once the ACCUMULATED inner CG
+    iterations reach the budget; the host then re-dispatches from the
+    returned state. One unbounded dispatch at 1M-class sizes can run
+    the device for many minutes (30 Newton steps x 400 V-cycle-PCG
+    iterations over a 4.6 GB band), which the tunneled TPU worker
+    does not survive -- the worker process is killed mid-execution
+    ("TPU worker process crashed or restarted", reproduced at 994k
+    DOFs) -- so production callers size the budget to keep a dispatch
+    in the tens of seconds (magnetostatics._dn_cg_budget).
 
     Returns ``(V, dense, dvec, stats)``.
     """
@@ -623,10 +634,13 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
                 res_new, res, k + 1, cg_tot + its, best_new, since_new)
 
     def cond(carry):
-        (_, _, _, _, res, _, k, _, _, since) = carry
-        return jnp.logical_and(
+        (_, _, _, _, res, _, k, cg_tot, _, since) = carry
+        go = jnp.logical_and(
             res > target_res,
             jnp.logical_and(k < max_steps, since < 3))
+        if cg_budget > 0:
+            go = jnp.logical_and(go, cg_tot < cg_budget)
+        return go
 
     oob0 = lv0.oob.vals if has_oob else jnp.zeros((0,), f32)
     carry0 = (V, oob0, dn.sub_zero, relax_in.astype(f32),
@@ -787,11 +801,13 @@ def _heat_elements(dh: DeviceHeat, V):
 
 @functools.partial(jax.jit,
                    static_argnames=("inner_iter", "max_steps",
-                                    "tol_floor", "target_res"),
+                                    "tol_floor", "target_res",
+                                    "cg_budget"),
                    donate_argnums=(2,))
 def run_heat(dn: DeviceHeat, amg: BandAMG, dense, V, state,
              tol_floor: float = 3e-7, target_res: float = 9e-7,
-             bt=None, inner_iter: int = 400, max_steps: int = 30):
+             bt=None, inner_iter: int = 400, max_steps: int = 30,
+             cg_budget: int = 0):
     """Run the K(T) successive-substitution middle in ONE dispatch.
 
     Mirrors ``run``: conductivity lookup -> operator refresh ->
@@ -856,10 +872,13 @@ def run_heat(dn: DeviceHeat, amg: BandAMG, dense, V, state,
                 cg_tot + its, best_new, since_new)
 
     def cond(carry):
-        (_, _, _, res, k, _, _, since) = carry
-        return jnp.logical_and(
+        (_, _, _, res, k, cg_tot, _, since) = carry
+        go = jnp.logical_and(
             res > target_res,
             jnp.logical_and(k < max_steps, since < 3))
+        if cg_budget > 0:
+            go = jnp.logical_and(go, cg_tot < cg_budget)
+        return go
 
     oob0 = lv0.oob.vals if has_oob else jnp.zeros((0,), f32)
     carry0 = (V, oob0, dn.sub_zero, res_in.astype(f32),
