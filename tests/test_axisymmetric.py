@@ -64,3 +64,37 @@ def test_axi_band_device_newton_matches_reference(fixtures, monkeypatch):
     Ag = np.real(g.values)
     scale = np.abs(Ag).max()
     assert np.abs(sol.A[idx] - Ag).max() / scale < 1e-6
+
+
+def test_axi_scatter_mode_matches_reference(fixtures, monkeypatch):
+    """The 1M-class fused-loop variant (newton.run_scatter: one Newton
+    step per dispatch, changed entries scattered into the donated band)
+    must reproduce the same golden solution. Forced on by zeroing the
+    band-size threshold."""
+    import collections
+    from xfemm_tpu.ops import newton, solver
+
+    monkeypatch.setattr(solver, "device_f64_ok", lambda: False)
+    monkeypatch.setattr(solver, "band_platform_ok", lambda: True)
+    monkeypatch.setattr(solver, "ROW_TILE_MIN", 64)
+    monkeypatch.setattr(solver, "_BAND_CACHE", collections.OrderedDict())
+    monkeypatch.setattr(solver, "_PATTERN_CACHE",
+                        collections.OrderedDict())
+    monkeypatch.setenv("XFEMM_TPU_DN_SCATTER_BYTES", "0")
+    calls = []
+    real_run = newton.run_scatter
+    monkeypatch.setattr(
+        newton, "run_scatter",
+        lambda *a, **k: (calls.append(True), real_run(*a, **k))[1])
+
+    p = femfile.load(str(fixtures / "AxiSolenoid.fem"))
+    mesh = read_mesh_files(str(fixtures / "AxiSolenoid"))
+    sol = axisymmetric.solve(p, mesh)
+    assert sol.residual <= p.Precision
+    assert calls, "scatter-mode device Newton never engaged"
+
+    g = ansfile.read_ans(str(fixtures / "AxiSolenoid.ans.golden"))
+    d, idx = cKDTree(mesh.nodes).query(g.mesh.nodes)
+    Ag = np.real(g.values)
+    scale = np.abs(Ag).max()
+    assert np.abs(sol.A[idx] - Ag).max() / scale < 1e-6

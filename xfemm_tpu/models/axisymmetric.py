@@ -159,39 +159,65 @@ def solve(problem: Problem, mesh: MeshData,
             from ..ops import solver as solver_mod
             dn, has_lam = dev_state
             with profiling.phase("device newton"):
-                from .magnetostatics import _dn_cg_budget
+                from .magnetostatics import _dn_cg_budget, \
+                    _dn_scatter_mode
                 amg_rest, dense, _abf = newton_dev.strip_fine_band(
                     sess.band_amg)
                 # budget-bounded dispatch chain (see the planar fused
                 # loop): one unbounded dispatch at 1M-class sizes kills
-                # the tunneled TPU worker
+                # the tunneled TPU worker; 1M-class bands switch to the
+                # single-step scatter mode (newton.run_scatter)
                 cg_budget = _dn_cg_budget(sess)
+                use_scatter = _dn_scatter_mode(sess)
                 target = max(90.0 * problem.Precision, 3e-6)
                 Vd = jnp.asarray(V, jnp.float32)
                 base_it = float(it + it_shift)
                 relax_d, res_d, lastres_d = relax, res, lastres
                 steps = 0
                 cgit = 0.0
-                for _sub in range(12):
+                best_res = np.inf
+                since = 0
+                for _sub in range(30 if use_scatter else 12):
                     state = jnp.asarray(
                         [relax_d, res_d, lastres_d, base_it],
                         jnp.float32)
-                    Vd, dense, dvec, oob_vals, stats = newton_dev.run(
-                        dn, amg_rest, dense, Vd, state,
-                        tol_floor=max(problem.Precision, 3e-7),
-                        target_res=target,
-                        bt=sess.bt, has_lam=has_lam, axi=True,
-                        cg_budget=cg_budget)
+                    if use_scatter:
+                        Vd, dense, dvec, oob_vals, stats = \
+                            newton_dev.run_scatter(
+                                dn, amg_rest, dense, Vd, state,
+                                tol_floor=max(problem.Precision, 3e-7),
+                                bt=sess.bt, has_lam=has_lam, axi=True,
+                                inner_iter=(min(400, cg_budget)
+                                            if cg_budget else 400))
+                    else:
+                        Vd, dense, dvec, oob_vals, stats = newton_dev.run(
+                            dn, amg_rest, dense, Vd, state,
+                            tol_floor=max(problem.Precision, 3e-7),
+                            target_res=target,
+                            bt=sess.bt, has_lam=has_lam, axi=True,
+                            cg_budget=cg_budget)
                     prev_res = res_d
                     relax_d, res_d, lastres_d, ksteps, cg_sub = \
                         np.asarray(stats, np.float64)
                     steps += int(ksteps)
                     base_it += int(ksteps)
                     cgit += cg_sub
-                    budget_cut = (cg_budget > 0 and cg_sub >= cg_budget
-                                  and int(ksteps) > 0 and res_d > target)
-                    if not budget_cut or res_d >= 0.98 * prev_res:
-                        break
+                    if use_scatter:
+                        if res_d <= target or int(ksteps) == 0:
+                            break
+                        if res_d < 0.95 * best_res:
+                            best_res, since = res_d, 0
+                        else:
+                            since += 1
+                            if since >= 3:
+                                break
+                    else:
+                        budget_cut = (cg_budget > 0
+                                      and cg_sub >= cg_budget
+                                      and int(ksteps) > 0
+                                      and res_d > target)
+                        if not budget_cut or res_d >= 0.98 * prev_res:
+                            break
                 sess.band_amg = newton_dev.rebuild_band_amg(
                     amg_rest, dense, None, dvec, oob_vals)
                 if sess.band_ckey is not None \

@@ -643,6 +643,25 @@ def _dn_cg_budget(sess) -> int:
     return max(200, int(stream / (4.0 * band_bytes)))
 
 
+def _dn_scatter_mode(sess) -> bool:
+    """Choose the fused-loop refresh mode: single-step dispatches that
+    scatter changed entries INTO the donated band (newton.run_scatter)
+    once the fine band exceeds XFEMM_TPU_DN_SCATTER_BYTES (default
+    3 GB). Below that, the multi-step while_loop with the delta-COO
+    sidecar wins -- its per-iteration sidecar cost is small and one
+    dispatch covers the whole Newton middle (no per-step round trips,
+    which matter when a dispatch is only tens of ms). Above it, each
+    dispatch runs for seconds anyway and the delta sidecar's
+    per-iteration gather/scatter dominates (994k: ~3x the band
+    stream)."""
+    if sess.band_amg is None:
+        return False
+    lv0 = sess.band_amg.levels[0]
+    band_bytes = lv0.A.dense.size * lv0.A.dense.dtype.itemsize
+    thresh = float(os.environ.get("XFEMM_TPU_DN_SCATTER_BYTES", "3e9"))
+    return band_bytes > thresh
+
+
 _PACK_CACHE: "OrderedDict[tuple, tuple]" = __import__(
     "collections").OrderedDict()
 _PACK_CACHE_MAX = 4
@@ -878,34 +897,64 @@ def solve(problem: Problem, mesh: MeshData,
                 # re-dispatches from the returned state. Keeps every
                 # single device execution in the tens of seconds (an
                 # unbounded 994k dispatch kills the tunneled TPU
-                # worker, see ops/newton.py::run).
+                # worker, see ops/newton.py::run). At 1M-class sizes
+                # the chain switches to the single-step SCATTER mode
+                # (newton.run_scatter): the delta-COO sidecar that the
+                # multi-step loop applies per CG iteration costs ~3x
+                # the banded stream there.
+                use_scatter = _dn_scatter_mode(sess)
                 Vd = jnp.asarray(V, jnp.float32)
                 base_it = float(it + it_shift)
                 relax_d, res_d, lastres_d = relax, res_in, lastres
                 steps = 0
                 cgit = 0.0
                 target = 90.0 * problem.Precision
-                for _sub in range(12):
+                best_res = np.inf
+                since = 0
+                for _sub in range(30 if use_scatter else 12):
                     state = jnp.asarray(
                         [relax_d, res_d, lastres_d, base_it],
                         jnp.float32)
-                    Vd, dense, dvec, oob_vals, stats = newton_dev.run(
-                        dn, amg_rest, dense, Vd, state,
-                        tol_floor=max(problem.Precision, 3e-7),
-                        target_res=target,
-                        bt=sess.bt, has_lam=has_lam,
-                        max_steps=dbg_steps, inner_iter=dbg_inner,
-                        cg_budget=cg_budget)
+                    if use_scatter:
+                        Vd, dense, dvec, oob_vals, stats = \
+                            newton_dev.run_scatter(
+                                dn, amg_rest, dense, Vd, state,
+                                tol_floor=max(problem.Precision, 3e-7),
+                                bt=sess.bt, has_lam=has_lam,
+                                inner_iter=(min(dbg_inner, cg_budget)
+                                            if cg_budget else dbg_inner))
+                    else:
+                        Vd, dense, dvec, oob_vals, stats = newton_dev.run(
+                            dn, amg_rest, dense, Vd, state,
+                            tol_floor=max(problem.Precision, 3e-7),
+                            target_res=target,
+                            bt=sess.bt, has_lam=has_lam,
+                            max_steps=dbg_steps, inner_iter=dbg_inner,
+                            cg_budget=cg_budget)
                     prev_res = res_d
                     relax_d, res_d, lastres_d, ksteps, cg_sub = \
                         np.asarray(stats, np.float64)
                     steps += int(ksteps)
                     base_it += int(ksteps)
                     cgit += cg_sub
-                    budget_cut = (cg_budget > 0 and cg_sub >= cg_budget
-                                  and int(ksteps) > 0 and res_d > target)
-                    if not budget_cut or res_d >= 0.98 * prev_res:
-                        break
+                    if use_scatter:
+                        # single-step chain: same progress rule as the
+                        # device loop's (res>target, 3-strike stall)
+                        if res_d <= target or int(ksteps) == 0:
+                            break
+                        if res_d < 0.95 * best_res:
+                            best_res, since = res_d, 0
+                        else:
+                            since += 1
+                            if since >= 3:
+                                break
+                    else:
+                        budget_cut = (cg_budget > 0
+                                      and cg_sub >= cg_budget
+                                      and int(ksteps) > 0
+                                      and res_d > target)
+                        if not budget_cut or res_d >= 0.98 * prev_res:
+                            break
                 sess.band_amg = newton_dev.rebuild_band_amg(
                     amg_rest, dense, None, dvec, oob_vals)
                 if sess.band_ckey is not None \

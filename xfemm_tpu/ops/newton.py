@@ -664,6 +664,106 @@ def run(dn: DeviceNewton, amg: BandAMG, dense, V, state,
     return V, dense, dvec, oob_vals, stats
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("inner_iter", "has_lam", "tol_floor",
+                                    "axi"),
+                   donate_argnums=(2,))
+def run_scatter(dn: DeviceNewton, amg: BandAMG, dense, V, state,
+                tol_floor: float = 3e-7, bt=None, inner_iter: int = 400,
+                has_lam: bool = False, axi: bool = False):
+    """ONE Newton step per dispatch, with the changed operator entries
+    scattered INTO the donated fine band at top level.
+
+    ``run`` keeps the band frozen and applies the changed entries as a
+    delta-COO sidecar every operator application -- at 1M-class sizes
+    that sidecar is ~500k entries and the per-iteration gather/scatter
+    triples the cost of a preconditioned CG iteration (measured 994k:
+    ~100 ms/it in-loop vs ~36 ms/it for the host band pass on the same
+    hierarchy). Outside a ``while_loop`` the scatter aliases the
+    DONATED band buffer in place (no carry-aliasing copy, the reason
+    the refresh could not live inside ``run``'s loop body), so this
+    variant refreshes the band once per Newton step and the inner CG
+    runs on the clean banded operator at full stream rate. The host
+    chains these dispatches exactly like ``run``'s budget chain; the
+    extra dispatch round-trips are noise at the sizes where this mode
+    is selected (magnetostatics picks it via XFEMM_TPU_DN_SCATTER_BYTES,
+    default: fine band > 3 GB).
+
+    Returns ``(V, dense, dvec, oob_vals, stats)`` with the same stats
+    layout as ``run`` (relax, res, lastres, steps=1, cg_its). ``dense``
+    comes back REFRESHED (current operator values), which matches the
+    session contract -- the next host solve refreshes band values from
+    the fresh CSR anyway (ops/solver.py update_fine_values)."""
+    from .band import Sidecar
+    n = V.shape[0]
+    lv0 = amg.levels[0]
+    f32 = jnp.float32
+    relax = state[0]
+    res = state[1]
+    base_it = state[3]
+    R = dense.shape[1]
+
+    Vl, Me, Mn = _newton_elements(dn, V, has_lam, axi)
+    data_s = (dn.souter * (-Me)).reshape(-1)
+    if dn.kmask is not None:
+        data_s = data_s * dn.kmask
+    contrib = dn.sub_zero.at[dn.sub_rank].add(data_s)
+    vals_new = dn.band_sub_static + contrib[dn.band_sub_rank]
+    dense = dense.at[dn.band_sub_rows // R, dn.band_sub_rows % R,
+                     dn.band_sub_cols].set(vals_new.astype(dense.dtype))
+    dvec = lv0.dvec
+    if dvec is not None and dn.dvec_rows is not None:
+        dvec = dvec.at[dn.dvec_rows].set(
+            dn.dvec_static + contrib[dn.dvec_rank])
+    oob_cur = None
+    oob_vals = jnp.zeros((0,), f32)
+    if lv0.oob is not None:
+        oob_vals = lv0.oob.vals
+        if dn.oob_upd_pos is not None:
+            oob_vals = oob_vals.at[dn.oob_upd_pos].set(
+                dn.oob_static + contrib[dn.oob_upd_rank])
+        oob_cur = Sidecar(lv0.oob.rows, lv0.oob.cols, oob_vals)
+    amg_new = BandAMG(
+        levels=(lv0._replace(
+            A=BandMatrix(dense, lv0.A.shift0, lv0.A.cchunk, lv0.A.ncols),
+            Abf=None, dvec=dvec, oob=oob_cur),) + amg.levels[1:],
+        coarse_inv=amg.coarse_inv, n=amg.n, bt_coarse=amg.bt_coarse)
+
+    dbe = jnp.einsum("tjk,tk->tj", Mn, Vl)
+    b = dn.rhs_base.at[dn.scat_idx].add(dn.scat_w * dbe.reshape(-1))
+    lvn = amg_new.levels[0]
+    bp = b[dn.perm]
+    r = bp - band_mod.band_apply(lvn.A, lvn.dvec, V[dn.perm], lvn.oob)
+    tol_k = jnp.clip(0.03 * res, tol_floor, 1e-4)
+    invd = lvn.invd
+    res0_sys = jnp.dot(invd * bp, bp)
+    res_cur = jnp.dot(invd * r, r)
+    tol_eff = jnp.clip(
+        tol_k * jnp.sqrt(res0_sys / jnp.maximum(res_cur, 1e-30)),
+        1e-7, 0.5)
+    scale = jnp.maximum(jnp.max(jnp.abs(r)), 1e-30)
+    d_p, its = _inner_solve(amg_new, r / scale, tol_eff, inner_iter,
+                            bt, n)
+    V_new = V + (scale * d_p)[dn.iperm]
+    num = jnp.linalg.norm(V_new - V)
+    den = jnp.maximum(jnp.linalg.norm(V_new), 1e-30)
+    res_new = num / den
+    # adaptive relaxation, same rule as ``run`` with k = 0
+    active = base_it > 5.0
+    worse = jnp.logical_and(res_new > res, relax > 0.125)
+    relax_new = jnp.where(
+        active,
+        jnp.where(worse, relax * 0.5,
+                  jnp.where(res_new < 3e-5, 1.0,
+                            relax + 0.1 * (1.0 - relax))),
+        relax)
+    V_out = jnp.where(active, relax_new * V_new
+                      + (1.0 - relax_new) * V, V_new)
+    stats = jnp.stack([relax_new, res_new, res, jnp.asarray(1.0, f32),
+                       its.astype(f32)])
+    return V_out, dense, dvec, oob_vals, stats
+
+
 class DeviceHeat(NamedTuple):
     """Static device data for the fused K(T) successive-substitution
     loop (the heat analogue of ``run``; hsolver.cpp:458 AnalyzeProblem
