@@ -1198,15 +1198,116 @@ def band_vcycle(amg: BandAMG, r):
     return cycle(0, r)
 
 
+#: iterations between true-residual checks inside a band CG pass. The
+#: f32 three-term recurrence drifts from the TRUE residual on long
+#: passes (measured at 994k DOFs: a 435-iteration pass reported a
+#: recurrence metric of 4.9e-5 while the true f64 residual had only
+#: contracted to 3.0e-2 -- every iteration past the drift point is
+#: wasted). Each check costs one extra operator apply (~2% at 48), and
+#: when the recurrence overshoots the truth the pass restarts from the
+#: freshly computed residual IN-DEVICE, keeping the momentum loss
+#: bounded (an unconditional restart-every-100 costs only ~12% more
+#: iterations on the 994k matrix; the triggered restart is gentler).
+CG_CHECK_EVERY = 48
+
+
+def _chunked_pcg(op, prec, invd, b, tol, x0, max_iter,
+                 stall_window: int, check_every: int = CG_CHECK_EVERY):
+    """Preconditioned CG with drift-guarded chunks.
+
+    Runs up to ``check_every`` recurrence iterations, then recomputes
+    the true residual b - A x (one extra apply, ~2%). The pass ends
+    when the TRUE metric reaches ``tol``, or when the recurrence has
+    reached ``tol`` while the true metric stagnates across checks (the
+    f32 floor -- further iterations cannot help), or on the usual
+    iteration/stall limits. When the recurrence claims a much better
+    norm than the truth while the truth is still contracting, the
+    recurrence RESTARTS from the fresh residual in-device -- without
+    this, a long pass burns hundreds of wasted iterations (994k: a
+    435-iteration pass reported 4.9e-5 while the true residual stood
+    at 3.0e-2). Returns the TRUE relative metric. Shared by band_pcg
+    and blocktri.bt_pcg; the Jacobi-weighted metric and stall
+    semantics match ops/solver.py."""
+    import jax
+    import jax.numpy as jnp
+
+    res0 = jnp.dot(invd * b, b)
+    res0 = jnp.where(res0 == 0.0, 1.0, res0)
+
+    r = b - op(x0)
+    z = prec(r)
+    p = z
+    res = jnp.dot(z, r)
+    stop = jnp.dot(invd * r, r)
+
+    def inner_cond(state):
+        _, _, _, res, stop, it, best, since, j = state
+        return jnp.logical_and(
+            jnp.sqrt(jnp.abs(stop) / res0) > tol,
+            jnp.logical_and(
+                jnp.logical_and(it < max_iter, since < stall_window),
+                j < check_every))
+
+    def inner_body(state):
+        x, r, p, res, stop, it, best, since, j = state
+        u = op(p)
+        delta = res / jnp.dot(p, u)
+        x = x + delta * p
+        r = r - delta * u
+        z = prec(r)
+        res_new = jnp.dot(z, r)
+        stop = jnp.dot(invd * r, r)
+        p = z + (res_new / res) * p
+        improved = jnp.abs(res_new) < 0.99 * best
+        best = jnp.where(improved, jnp.abs(res_new), best)
+        since = jnp.where(improved, 0, since + 1)
+        return x, r, p, res_new, stop, it + 1, best, since, j + 1
+
+    def outer_cond(state):
+        *_, done = state
+        return jnp.logical_not(done)
+
+    def outer_body(state):
+        x, r, p, res, stop, it, best, since, stop_prev, _done = state
+        x, r, p, res, stop, it, best, since, _ = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (x, r, p, res, stop, it, best, since,
+             jnp.array(0, jnp.int32)))
+        rec_ok = jnp.sqrt(jnp.abs(stop) / res0) <= tol
+        rt = b - op(x)
+        stop_t = jnp.dot(invd * rt, rt)
+        true_ok = jnp.sqrt(stop_t / res0) <= tol
+        # truth no longer improving 2x in norm per check: f32 floor
+        stagnant = stop_t > 0.25 * stop_prev
+        done = jnp.logical_or(
+            jnp.logical_or(true_ok,
+                           jnp.logical_and(rec_ok, stagnant)),
+            jnp.logical_or(it >= max_iter, since >= stall_window))
+        drift = stop_t > 2.25 * jnp.abs(stop)
+        restart = jnp.logical_and(jnp.logical_not(done),
+                                  jnp.logical_or(drift, rec_ok))
+        r2 = jnp.where(restart, rt, r)
+        z2 = prec(r2)
+        res2 = jnp.dot(z2, r2)
+        p2 = jnp.where(restart, z2, p)
+        res_out = jnp.where(restart, res2, res)
+        return (x, r2, p2, res_out, stop, it, best, since, stop_t,
+                done)
+
+    state = (x0, r, p, res, stop, jnp.array(0, jnp.int32), jnp.abs(res),
+             jnp.array(0, jnp.int32), jnp.array(jnp.inf, res0.dtype),
+             jnp.array(False))
+    x, r, p, res, stop, it, _, _, stop_t, _ = jax.lax.while_loop(
+        outer_cond, outer_body, state)
+    return x, jnp.sqrt(stop_t / res0), it
+
+
 @functools.partial(__import__("jax").jit,
                    static_argnames=("max_iter", "stall_window"))
 def band_pcg(amg: BandAMG, b, tol, x0, max_iter, stall_window: int = 120):
     """CG on the fine band operator with the band V-cycle preconditioner
-    (same stopping metric and stagnation guard as ops/solver.py)."""
-    import jax
-    import jax.numpy as jnp
-
-    n = b.shape[0]
+    (same stopping metric and stagnation guard as ops/solver.py), drift-
+    guarded in chunks of CG_CHECK_EVERY iterations (_chunked_pcg)."""
     lv0 = amg.levels[0]
 
     def op(x):
@@ -1221,41 +1322,8 @@ def band_pcg(amg: BandAMG, b, tol, x0, max_iter, stall_window: int = 120):
     # would over- or under-shoot the host check by the (unknown)
     # spectral distance between the V-cycle and Jacobi, costing a whole
     # extra ~50-iteration restart pass per solve.
-    invd = lv0.invd
-    res0 = jnp.dot(invd * b, b)
-    res0 = jnp.where(res0 == 0.0, 1.0, res0)
-
-    r = b - op(x0)
-    z = prec(r)
-    p = z
-    res = jnp.dot(z, r)
-    stop = jnp.dot(invd * r, r)
-
-    def cond(state):
-        _, _, _, res, stop, it, best, since = state
-        return jnp.logical_and(
-            jnp.sqrt(jnp.abs(stop) / res0) > tol,
-            jnp.logical_and(it < max_iter, since < stall_window))
-
-    def body(state):
-        x, r, p, res, stop, it, best, since = state
-        u = op(p)
-        delta = res / jnp.dot(p, u)
-        x = x + delta * p
-        r = r - delta * u
-        z = prec(r)
-        res_new = jnp.dot(z, r)
-        stop = jnp.dot(invd * r, r)
-        p = z + (res_new / res) * p
-        improved = jnp.abs(res_new) < 0.99 * best
-        best = jnp.where(improved, jnp.abs(res_new), best)
-        since = jnp.where(improved, 0, since + 1)
-        return x, r, p, res_new, stop, it + 1, best, since
-
-    state = (x0, r, p, res, stop, jnp.array(0, jnp.int32), jnp.abs(res),
-             jnp.array(0, jnp.int32))
-    x, r, p, res, stop, it, _, _ = jax.lax.while_loop(cond, body, state)
-    return x, jnp.sqrt(jnp.abs(stop) / res0), it
+    return _chunked_pcg(op, prec, lv0.invd, b, tol, x0, max_iter,
+                        stall_window)
 
 
 @functools.partial(__import__("jax").jit, static_argnames=("m",))

@@ -406,43 +406,16 @@ def bt_pcg(Aop: BandMatrix, dvec, invd, bt: BTFactor, rhs, tol, x0,
     residual norm relative to ``rhs`` -- identical to band.band_pcg and
     the host refinement driver, so tolerances compose unchanged.
     ``oob`` is the out-of-band COO sidecar of a partitioned ordering
-    (band.Sidecar), part of the operator but not the factor."""
-    n = rhs.shape[0]
+    (band.Sidecar), part of the operator but not the factor. Drift-
+    guarded in chunks (band._chunked_pcg): long f32 recurrences report
+    converged while the true residual lags orders of magnitude."""
+    from .band import _chunked_pcg
 
     def op(x):
         return band_apply(Aop, dvec, x, oob)
 
-    res0 = jnp.dot(invd * rhs, rhs)
-    res0 = jnp.where(res0 == 0.0, 1.0, res0)
+    def prec(r):
+        return bt_apply(bt, r)
 
-    r = rhs - op(x0)
-    z = bt_apply(bt, r)
-    p = z
-    res = jnp.dot(z, r)
-    stop = jnp.dot(invd * r, r)
-
-    def cond(state):
-        _, _, _, res, stop, it, best, since = state
-        return jnp.logical_and(
-            jnp.sqrt(jnp.abs(stop) / res0) > tol,
-            jnp.logical_and(it < max_iter, since < stall_window))
-
-    def body(state):
-        x, r, p, res, stop, it, best, since = state
-        u = op(p)
-        delta = res / jnp.dot(p, u)
-        x = x + delta * p
-        r = r - delta * u
-        z = bt_apply(bt, r)
-        res_new = jnp.dot(z, r)
-        stop = jnp.dot(invd * r, r)
-        p = z + (res_new / res) * p
-        improved = jnp.abs(res_new) < 0.99 * best
-        best = jnp.where(improved, jnp.abs(res_new), best)
-        since = jnp.where(improved, 0, since + 1)
-        return x, r, p, res_new, stop, it + 1, best, since
-
-    state = (x0, r, p, res, stop, jnp.array(0, jnp.int32), jnp.abs(res),
-             jnp.array(0, jnp.int32))
-    x, r, p, res, stop, it, _, _ = jax.lax.while_loop(cond, body, state)
-    return x, jnp.sqrt(jnp.abs(stop) / res0), it
+    return _chunked_pcg(op, prec, invd, rhs, tol, x0, max_iter,
+                        stall_window)

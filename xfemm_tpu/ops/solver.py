@@ -26,6 +26,7 @@ refinement pass contracts the true residual by the inner f32 tolerance, so
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -1410,9 +1411,18 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                                             1e-6))
                     # band passes are bounded: the refinement driver
                     # restarts from the exact f64 residual anyway, and
-                    # an unconverged 20000-iteration while_loop at 1M
-                    # (~70 ms/it) is a silent 25-minute device hang
-                    band_iter = min(int(inner_iter), 2500)
+                    # an unconverged long while_loop is fatal -- the
+                    # tunneled TPU worker dies on multi-minute single
+                    # executions (observed at 994k once the drift guard
+                    # let a pass run toward the 2500 cap), so the cap
+                    # also scales with the fine-band bytes: one pass
+                    # streams at most ~XFEMM_TPU_PASS_STREAM_GB
+                    # gigabytes (default 6 TB ~ 20 s at 994k)
+                    stream = float(os.environ.get(
+                        "XFEMM_TPU_PASS_STREAM_GB", "6000")) * 1e9
+                    bbytes = lv0A.size * lv0A.dtype.itemsize
+                    band_iter = min(int(inner_iter), 2500,
+                                    max(96, int(stream / (4.0 * bbytes))))
                     if session.bt is not None:
                         from . import blocktri as bt_mod
                         lv0 = session.band_amg.levels[0]
