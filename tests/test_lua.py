@@ -155,3 +155,52 @@ def test_pedantic_mode_warns():
     lua.run_string("y = unknown_variable_xyz", bind_femm=False,
                    output=out.append, pedantic=True)
     assert any("undefined variable" in l for l in out)
+
+
+def test_init_environment_constants():
+    """femmcli auto-runs release/init.lua (main.cpp:125): uo/eo, the
+    unit constants, AWG and the ABC tables are predefined whenever the
+    femm bindings are bound -- no --lua-init flag required."""
+    out = run("""
+        print(format("%.6e", uo))
+        print(format("%.6e", eo))
+        assert(Pi == PI); assert(pi == PI)
+        assert(inches == 0.0254); assert(Inches == 0.0254)
+        assert(cm == 0.01); assert(mils == 0.001*0.0254)
+        assert(Gauss == 0.0001); assert(kOersted == 1000*Oersted)
+        print(format("%.4f", AWG(20)))
+        -- the fitted ABC shell tables are exposed as Lua tables
+        assert(uAx0[1][1] > 10); assert(u2D1[12][12] > 0)
+        write("SUCCESS\\n")
+    """)
+    assert out[0] == "1.256637e-06"
+    assert out[1] == "8.854188e-12"
+    assert abs(float(out[2]) - 8.2514694 * np.exp(-0.115943 * 20)) < 1e-3
+    assert out[-1] == "SUCCESS"
+
+
+def test_init_environment_makeabc():
+    """mi_makeABC builds the 7-shell asymptotic open boundary: shell
+    materials u1..u7 with the fitted permeabilities (data/abc_mu.json),
+    an A=0 outer boundary, and the shell block labels."""
+    out = run("""
+        newdocument(0)
+        mi_probdef(0, "centimeters", "planar", 1e-8, 1, 30)
+        mi_drawrectangle(-1, -1, 1, 1)
+        mi_makeABC()
+        write("DONE\\n")
+    """)
+    assert out[-1] == "DONE"
+    from xfemm_tpu import femm_compat
+    p = femm_compat._d().problem
+    names = [m.name for m in p.blockproplist]
+    assert [f"u{k}" for k in range(1, 8)] == [n for n in names
+                                              if n.startswith("u")]
+    import json
+    import pathlib
+    tab = json.loads((pathlib.Path(femm_compat.__file__).parent / "data"
+                      / "abc_mu.json").read_text())
+    u1 = next(m for m in p.blockproplist if m.name == "u1")
+    assert abs(u1.mu_x - tab["u2D0"][6][0]) < 1e-12
+    assert abs(u1.mu_y - tab["u2D0"][6][0]) < 1e-12
+    assert any(b.name == "A=0" for b in p.lineproplist)

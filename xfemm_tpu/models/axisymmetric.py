@@ -218,6 +218,11 @@ def solve(problem: Problem, mesh: MeshData,
                                       and res_d > target)
                         if not budget_cut or res_d >= 0.98 * prev_res:
                             break
+                    # keep the original per-run step-cap semantics: the
+                    # chain of budget-bounded dispatches must not allow
+                    # 12 x 30 device Newton steps
+                    if steps >= 30:
+                        break
                 sess.band_amg = newton_dev.rebuild_band_amg(
                     amg_rest, dense, None, dvec, oob_vals)
                 if sess.band_ckey is not None \

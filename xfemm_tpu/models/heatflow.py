@@ -272,6 +272,7 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
                 Vd = jnp.asarray(V, jnp.float32)
                 res_d = res
                 cgit = 0.0
+                steps_tot = 0
                 for _sub in range(12):
                     state = jnp.asarray([res_d], jnp.float32)
                     Vd, dense, dvec, oob_vals, stats = \
@@ -283,9 +284,13 @@ def solve(problem: Problem, mesh: MeshData, Tprev: np.ndarray | None = None,
                     prev_res = res_d
                     res_d, ksteps, cg_sub = np.asarray(stats, np.float64)
                     cgit += cg_sub
+                    steps_tot += int(ksteps)
                     budget_cut = (cg_budget > 0 and cg_sub >= cg_budget
                                   and int(ksteps) > 0 and res_d > target)
                     if not budget_cut or res_d >= 0.98 * prev_res:
+                        break
+                    # chain must not multiply the per-run step cap
+                    if steps_tot >= 30:
                         break
                 sess.band_amg = newton_dev.rebuild_band_amg(
                     amg_rest, dense, None, dvec, oob_vals)

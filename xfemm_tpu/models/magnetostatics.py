@@ -955,6 +955,12 @@ def solve(problem: Problem, mesh: MeshData,
                                       and res_d > target)
                         if not budget_cut or res_d >= 0.98 * prev_res:
                             break
+                    # the chain must not multiply the per-run Newton
+                    # step cap: 12 budget-bounded dispatches x
+                    # max_steps=30 would allow 360 device steps where
+                    # the single-dispatch semantics allowed 30
+                    if steps >= dbg_steps:
+                        break
                 sess.band_amg = newton_dev.rebuild_band_amg(
                     amg_rest, dense, None, dvec, oob_vals)
                 if sess.band_ckey is not None \

@@ -1286,12 +1286,28 @@ def _chunked_pcg(op, prec, invd, b, tol, x0, max_iter,
         drift = stop_t > 2.25 * jnp.abs(stop)
         restart = jnp.logical_and(jnp.logical_not(done),
                                   jnp.logical_or(drift, rec_ok))
-        r2 = jnp.where(restart, rt, r)
-        z2 = prec(r2)
-        res2 = jnp.dot(z2, r2)
-        p2 = jnp.where(restart, z2, p)
-        res_out = jnp.where(restart, res2, res)
-        return (x, r2, p2, res_out, stop, it, best, since, stop_t,
+
+        # On restart the ENTIRE carried stopping state must reset to the
+        # truth: returning the stale recurrence `stop` made the restart a
+        # no-op (inner_cond saw a <=tol value and ran zero iterations, so
+        # the next check read "rec_ok and stagnant" and exited a pass
+        # that had done no work), and keeping the drifted `best`/`since`
+        # let the stall guard abort the restarted pass within
+        # stall_window iterations. The preconditioner apply also lives
+        # inside the cond now, so a no-restart check round costs one
+        # operator apply, not an apply plus a V-cycle.
+        def _do_restart(_):
+            z2 = prec(rt)
+            res2 = jnp.dot(z2, rt)
+            return (rt, z2, res2, stop_t, jnp.abs(res2),
+                    jnp.array(0, jnp.int32))
+
+        def _no_restart(_):
+            return r, p, res, stop, best, since
+
+        r2, p2, res2, stop2, best2, since2 = jax.lax.cond(
+            restart, _do_restart, _no_restart, None)
+        return (x, r2, p2, res2, stop2, it, best2, since2, stop_t,
                 done)
 
     state = (x0, r, p, res, stop, jnp.array(0, jnp.int32), jnp.abs(res),

@@ -613,17 +613,32 @@ class MagPostProcessor:
                                        self.magdir[t])
                     else:
                         y = _do_energy(mat, b1.real, b2.real)
+                    if mat.LamType > 2:
+                        # DC local stored energy of a wound winding:
+                        # Im(o) stores the turn-distribution inductance
+                        # factor (fpproc.cpp:3813-3818/3906-3911)
+                        u = self._label_o(
+                            self.mesh.element_labels[t]).imag
+                        Jv = Javg[t] * 1e6     # GetJA returns A/m^2
+                        y += (Jv * Jv).real * u / 2.0
+                elif mat.LamType > 2:
+                    # wound region subject to prox and skin effects
+                    # (fpproc.cpp:3770-3778): field energy against the
+                    # label's effective complex mu plus the local term
+                    # from the apparent conductivity
+                    lbl_t = self.mesh.element_labels[t]
+                    mu1c, _ = self._get_mu_complex(t)
+                    mu = MU0 * mu1c * self._aecf(t)   # label-level mu
+                    u = (1.0 / self._label_o(lbl_t)).imag \
+                        / (2.0e6 * PI * self.frequency)
+                    Jv = Javg[t] * 1e6         # GetJA returns A/m^2
+                    y = ((b1 * np.conj(b1) + b2 * np.conj(b2)).real
+                         * (1.0 / mu).real / 4.0
+                         + (Jv * np.conj(Jv)).real * u / 4.0)
                 else:
                     # complex DoEnergy (CMaterialProp.cpp:680-691):
                     # Re(h1 conj(b1) + h2 conj(b2))/4 with complex mu
-                    # (energy == coenergy in the AC case).  Wound
-                    # (LamType>2) regions add a local stored-energy
-                    # term from the effective conductivity
-                    # (fpproc.cpp:3770-3778) not modeled here.
-                    if mat.LamType > 2:
-                        raise NotImplementedError(
-                            "AC stored energy in wound (LamType>2) "
-                            "regions (fpproc.cpp:3770-3778)")
+                    # (energy == coenergy in the AC case).
                     # material-level mu (undo the AECF division that
                     # _get_mu_complex applies; BlockIntegral applies
                     # AECF exactly once, below)
@@ -641,7 +656,15 @@ class MagPostProcessor:
                 mat = self.mats[self.blk[t]]
                 if mat.Cduct == 0 or (mat.Lam_d != 0 and mat.LamType == 0):
                     continue
-                sig = mat.Cduct * 1e06
+                # sig = 1e6 / Re(1/o) with the label's apparent
+                # conductivity (fpproc.cpp:3842): wound regions see the
+                # proximity/skin-corrected value, plain regions reduce
+                # to Cduct * 1e6
+                o_lbl = self._label_o(self.mesh.element_labels[t])
+                re_inv = (1.0 / o_lbl).real
+                if re_inv == 0.0:
+                    continue
+                sig = 1e06 / re_inv
                 if planar:
                     V = np.conj(J[t]) / sig
                     z0 = 2 * J[t][0] + J[t][1] + J[t][2]
@@ -763,6 +786,91 @@ class MagPostProcessor:
             cy = self.ctr[:, 1] * self.lc
             return complex((w * (cx * F2 - cy * F1)).sum())
         raise NotImplementedError(f"block integral {inttype}")
+
+    def _label_o(self, lbl: int) -> complex:
+        """Apparent (effective) complex conductivity of a label in MS/m
+        (FPProc::GetFillFactor, fpproc.cpp:4746-4891). Non-wound labels
+        return the material Cduct; wound (LamType>2) labels get the
+        frequency-dependent proximity/skin fit, whose imaginary part
+        carries the winding's local stored energy (at DC the imaginary
+        part stores the energy factor directly)."""
+        cache = getattr(self, "_lblo", None)
+        if cache is None:
+            cache = self._lblo = {}
+        if lbl in cache:
+            return cache[lbl]
+        lab = self.labels[lbl]
+        mat = self.mats[lab.BlockType]
+        out = complex(mat.Cduct)
+        f = self.frequency
+        if mat.LamType >= 3:
+            sel = self.mesh.element_labels == lbl
+            atot = self.area_m2[sel].sum()
+            if atot > 0:
+                wiretype = mat.LamType - 3
+                if wiretype == 3:            # rectangular wire
+                    W = 2.0 * PI * f
+                    d = mat.WireD * 0.001
+                    ff = abs(d * d * lab.Turns / atot)
+                    dd = d / math.sqrt(ff)   # foil pitch
+                    fill = d / dd
+                    o = mat.Cduct * (d / dd) * 1e6
+                    if f == 0:
+                        out = mat.Cduct * ff + 1j * (dd - d) * dd * MU0 / 6.0
+                    elif o != 0:
+                        k = cmath.sqrt(1j * W * o * MU0) * d / 2.0
+                        ufd = MU0 * cmath.tanh(k) / k
+                        ueff = fill * ufd + (1.0 - fill) * MU0
+                        out = 1e-6 / (MU0 / (fill * o * ufd)
+                                      + 1j * dd * dd * (1.0 - fill)
+                                      * MU0 * W / 4.0
+                                      - 1j * dd * dd * ueff * W / 12.0)
+                    else:
+                        # non-physical zero-conductivity winding: an
+                        # imaginary conductivity holding the locally
+                        # stored energy of the turn distribution
+                        out = 6.0 / (1j * W * (dd - d) * dd * MU0)
+                else:                        # round wires
+                    if wiretype == 1:
+                        R = mat.WireD * 0.0005 * math.sqrt(mat.NStrands)
+                        awire = PI * R * R * lab.Turns
+                    else:
+                        R = mat.WireD * 0.0005
+                        awire = PI * R * R * mat.NStrands * lab.Turns
+                    fill = abs(awire / atot)
+                    w = 2.0 * PI * f
+                    o = mat.Cduct * 1e6
+                    W = w * o * MU0 * R * R / 2.0
+                    dd = 1.6494541661869013 * R / math.sqrt(fill)
+                    lg = math.log(1.5299240194394943 / math.sqrt(fill))
+                    if f == 0:
+                        out = (mat.Cduct * fill
+                               + 0.5j * MU0 * R * R * lg / fill
+                               - (1j / 12.0) * MU0 * dd * dd)
+                    elif mat.Cduct == 0:
+                        out = 1.0 / (0.5j * w * MU0 * R * R * lg / fill
+                                     - (1j / 12.0) * MU0 * dd * dd)
+                    else:
+                        c1 = 0.7756067409818643 + fill * (
+                            0.6873854335408803 + fill * (
+                                0.06841584481674128
+                                - 0.07143732702512284 * fill))
+                        c2 = 1.5 * fill / c1
+                        sq = cmath.sqrt(c1 * 1j * W)
+                        ufd = c2 * cmath.tanh(sq) / sq + (1.0 - c2)
+                        c3 = 0.8824642871525136 + fill * (
+                            -0.008605512994838827 + fill * (
+                                0.7223208744682307
+                                - 0.2157183942377177 * fill))
+                        c4 = lg - c3 / 3.0
+                        s3 = cmath.sqrt(1j * c3 * W)
+                        ofd = o * fill / (1j * c4 * W
+                                          + s3 / cmath.tanh(s3))
+                        out = 1e-6 / (1.0 / ofd
+                                      - 1j * w * ufd * MU0 * dd * dd
+                                      / 12.0)
+        cache[lbl] = out
+        return out
 
     def _get_mu_complex(self, t: int):
         """AC relative permeability (CMaterialProp::GetMu complex,

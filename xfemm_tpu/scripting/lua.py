@@ -495,6 +495,11 @@ class Interpreter:
         self._install_stdlib()
         if bind_femm:
             self._install_femm()
+            # femmcli auto-loads release/init.lua on every invocation
+            # (main.cpp:125 locateFile): predefine the same constants
+            # (uo, eo, unit factors), AWG, draw helpers and *_makeABC
+            from . import initenv
+            initenv.install(self.globals)
 
     # ------------------------- environments ------------------------- #
     def get_var(self, name):
