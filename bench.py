@@ -150,7 +150,9 @@ def main() -> None:
           f"({REF_FSOLVER_SECONDS / best:.2f}x vs fsolver)",
           file=sys.stderr)
     print(profiling.report(), file=sys.stderr)
+    stream_gbps = None
     try:
+        from xfemm_tpu.ops import blocktri as bt_mod
         from xfemm_tpu.ops import solver as solver_mod
         ent = next(iter(solver_mod._BAND_CACHE.values()), None)
         dev = ent["band_amg"].levels[0] if ent else None
@@ -163,21 +165,47 @@ def main() -> None:
             bytes_apply = float(NT) * R * W \
                 * dev.A.dense.dtype.itemsize
             oob = 0 if dev.oob is None else int(dev.oob.rows.size)
+            # per-CG-iteration streamed bytes by engine: the factor
+            # (bt_pcg: 1 op + 1 factor; composite smoother: 3 ops +
+            # 2 factor + coarse chain) or the plain V-cycle (3 ops +
+            # coarse chain)
+            bt = ent.get("bt")
+            bt_bytes = 0.0
+            if bt is not None:
+                bt_bytes = float(bt.Sinv.size * bt.Sinv.dtype.itemsize
+                                 + bt.G.size * bt.G.dtype.itemsize)
+            coarse_bytes = sum(
+                3.0 * lv.A.dense.size * lv.A.dense.dtype.itemsize
+                for lv in ent["band_amg"].levels[1:])
+            if isinstance(bt, bt_mod.BTSmoother):
+                per_it = 3 * bytes_apply + 2 * bt_bytes + coarse_bytes
+            elif bt is not None:
+                per_it = bytes_apply + bt_bytes
+            else:
+                per_it = 3 * bytes_apply + coarse_bytes
             cg_s = profiling.phase_seconds("device cg") \
                 + profiling.phase_seconds("device newton")
             if cg_s > 0 and its_total:
-                # ~2 fine applies per preconditioned CG iteration
-                # (operator + V-cycle smoothing at the fine level);
                 # its_total and cg_s cover the three timed solves
-                bw = 2 * its_total * bytes_apply / cg_s / 1e9
+                bw = its_total * per_it / cg_s / 1e9
+                stream_gbps = bw
                 print(f"fine band {NT}x{R}x{W} "
-                      f"({bytes_apply / 1e9:.2f} GB/apply, {oob} oob), "
-                      f"SpMV stream ~{bw:.0f} GB/s "
+                      f"({bytes_apply / 1e9:.2f} GB/apply, {oob} oob, "
+                      f"bt {bt_bytes / 1e9:.2f} GB), "
+                      f"in-loop stream ~{bw:.0f} GB/s "
                       f"(~{100 * bw / 819:.0f}% of v5e HBM peak), "
                       f"{its_total} CG its over 3 solves",
                       file=sys.stderr)
     except Exception as exc:  # observability must never fail the bench
         print(f"(bandwidth estimate unavailable: {exc})", file=sys.stderr)
+
+    # stream-rate floor: the r4 regression (87 GB/s vs r3's 141) went
+    # unnoticed because nothing asserted a floor. The JSON artifact is
+    # already emitted above, so failing here is loud but harmless.
+    if platform not in ("cpu",) and stream_gbps is not None:
+        assert stream_gbps >= 100.0, (
+            f"in-loop stream rate regressed to {stream_gbps:.0f} GB/s "
+            f"(floor 100): profile the solve loop before shipping")
 
 
 if __name__ == "__main__":

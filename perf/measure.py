@@ -82,19 +82,31 @@ def _run_reference(name, prob, mesh, binary, ext):
 
 
 def _time_ours(name, solve_fn, repeats=3):
+    from xfemm_tpu.utils import profiling
     t0 = time.time()
     sol = solve_fn()
     cold = time.time() - t0
     print(f"[{name}] ours cold: {cold:.2f}s", file=sys.stderr)
+    profiling.ENABLED = True
+    profiling.reset()
     best = None
+    its = 0
     for _ in range(repeats):
         t0 = time.time()
         sol = solve_fn()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+        its += int(getattr(sol, "iterations", 0))
     print(f"[{name}] ours warm best-of-{repeats}: {best:.2f}s",
           file=sys.stderr)
-    return cold, best, sol
+    # per-warm-solve phase split (averaged over the repeats): the
+    # committed evidence for where the remaining time goes
+    phases = {k: round(v / repeats, 3)
+              for k, v in sorted(profiling.snapshot().items(),
+                                 key=lambda kv: -kv[1]) if v >= 0.005}
+    profiling.ENABLED = False
+    print(f"[{name}] warm phases: {phases}", file=sys.stderr)
+    return cold, best, sol, phases, its // repeats
 
 
 def row_mag(name, target):
@@ -102,12 +114,13 @@ def row_mag(name, target):
     prob = benchprob.build(target)
     mesh = _mesh_cached(name, prob)
     ref = _run_reference(name, prob, mesh, "fsolver", ".fem")
-    cold, warm, sol = _time_ours(
+    cold, warm, sol, phases, its = _time_ours(
         name, lambda: magnetostatics.solve(prob, mesh))
     assert sol.residual <= prob.Precision
     return dict(problem="nonlinear magnetostatic, 1e-8",
                 nodes=int(mesh.num_nodes), ref_s=ref, cold_s=cold,
-                warm_s=warm, ref_binary="fsolver")
+                warm_s=warm, ref_binary="fsolver",
+                warm_phases_s=phases, cg_iterations=its)
 
 
 def row_ac(name, target):
@@ -115,12 +128,13 @@ def row_ac(name, target):
     prob = benchprob.build_ac(target)
     mesh = _mesh_cached(name, prob)
     ref = _run_reference(name, prob, mesh, "fsolver", ".fem")
-    cold, warm, sol = _time_ours(
+    cold, warm, sol, phases, its = _time_ours(
         name, lambda: harmonic.solve(prob, mesh))
     assert sol.residual <= prob.Precision
     return dict(problem="50 Hz eddy current (complex), 1e-8",
                 nodes=int(mesh.num_nodes), ref_s=ref, cold_s=cold,
-                warm_s=warm, ref_binary="fsolver")
+                warm_s=warm, ref_binary="fsolver",
+                warm_phases_s=phases, cg_iterations=its)
 
 
 def row_heat(name, target):
@@ -128,12 +142,13 @@ def row_heat(name, target):
     prob = benchprob.build_heat(target)
     mesh = _mesh_cached(name, prob)
     ref = _run_reference(name, prob, mesh, "hsolver", ".feh")
-    cold, warm, sol = _time_ours(
+    cold, warm, sol, phases, its = _time_ours(
         name, lambda: heatflow.solve(prob, mesh))
     assert sol.residual <= prob.Precision
     return dict(problem="nonlinear heat flow K(T), 1e-8",
                 nodes=int(mesh.num_nodes), ref_s=ref, cold_s=cold,
-                warm_s=warm, ref_binary="hsolver")
+                warm_s=warm, ref_binary="hsolver",
+                warm_phases_s=phases, cg_iterations=its)
 
 
 ROWS = {

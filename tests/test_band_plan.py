@@ -77,8 +77,18 @@ def _check_budget(plan, report):
     extra = 0.0
     if plan["fine_bt_ok"]:
         # the fine blocktri factor (built by solve() after the
-        # hierarchy) and its build transient must also fit
-        extra = 2 * bt_mod.factor_bytes(report[0]["n"], plan["bsize"])
+        # hierarchy) and its build transient must also fit; smoother-
+        # role factors store per plan dtype and build chunked (bounded
+        # fill transient, blocktri.build_factor_chunked)
+        n0, bs = report[0]["n"], plan["bsize"]
+        if plan.get("bt_smooth"):
+            it = 2 if plan.get("bt_store") == "bf16" else 4
+            extra = bt_mod.factor_bytes(n0, bs, it)
+            extra += (2 * 128 * bs * bs * 4
+                      if bt_mod.factor_bytes(n0, bs) > 2e9
+                      else bt_mod.factor_bytes(n0, bs, 4))
+        else:
+            extra = 2 * bt_mod.factor_bytes(n0, bs)
     assert total + extra <= 0.85 * HBM, (total, extra, report)
     # every coarse (preconditioner-internal) level individually bounded:
     # the round-2 failure was ONE level holding 6.9 GB
@@ -104,6 +114,10 @@ def test_plan_1m_grid():
     sym (triu) storage, hierarchy + any coarse factor fit 16 GB."""
     plan, report, partitioned = _plan(1000, 1000)
     assert partitioned
+    # the partitioned fine band gets an in-part blocktri factor used as
+    # the V-cycle's fine smoother (two-level DD)
+    assert plan["fine_bt_ok"] and plan["bt_smooth"], plan
+    assert not plan["fine_full"]
     _check_budget(plan, report)
     assert not report[0]["truncated"]
     assert report[0]["discarded"] == 0

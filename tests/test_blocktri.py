@@ -128,3 +128,32 @@ def test_band_bt_engine_matches_golden(fixtures, forced_band):
     Ag = np.real(g.values)
     scale = np.abs(Ag).max()
     assert np.abs(sol.A[idx] - Ag).max() / scale < 1e-05
+
+
+def test_chunked_build_matches_fused():
+    """build_factor_chunked threads the Schur carry across chunked
+    fill+scan dispatches; the factor must match the one-dispatch
+    build exactly (same recurrence, same f32 matmul precision)."""
+    import scipy.sparse as sp
+
+    m = 700
+    T = sp.diags([-1.0, 2.2, -1.0], [-1, 0, 1], (m, m))
+    A = (sp.kron(sp.eye(6), T)
+         + sp.diags([-0.3, -0.3], [-m, m], (6 * m, 6 * m))).tocsr()
+    A.sum_duplicates()
+    b = bt.pick_block(bt.bandwidth(A))
+    lay = bt.pack_layout(A, b)
+    maps = bt.device_maps(lay)
+    f1 = bt.build_factor(maps, A.data, b=b, NB=lay.NB)
+    f2 = bt.build_factor_chunked(lay, A.data, chunk=2)
+    # raw factor entries differ slightly (the chunked build computes
+    # its Jacobi scaling on host in f64); the APPLICATION is the
+    # contract: both must solve A z = r to f32 accuracy
+    from scipy.sparse.linalg import spsolve
+    r = np.sin(np.arange(A.shape[0]) * 0.13)
+    zref = spsolve(A.tocsc(), r)
+    scale = np.abs(zref).max()
+    sm = bt.BTSmoother(*f2)     # smoother-role wrapper applies the same
+    for f in (f1, sm):
+        z = np.asarray(bt.bt_apply(f, r.astype(np.float32)), np.float64)
+        assert np.abs(z - zref).max() / scale < 5e-3

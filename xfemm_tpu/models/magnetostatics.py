@@ -841,7 +841,17 @@ def solve(problem: Problem, mesh: MeshData,
             and not os.environ.get("XFEMM_TPU_NO_DEVICE_NEWTON")):
         made = extra.get(("dn", bool(solver.device_f64_ok())))
         if made is not None and sess.band_amg is not None:
-            dev_state = (made[0], made[1])
+            from ..ops import blocktri as _bt_mod
+            if not isinstance(sess.bt, _bt_mod.BTSmoother):
+                # repeat solves skip host it-0 and run the whole Newton
+                # from scratch in the fused loop -- EXCEPT in the
+                # two-level-DD regime (1M-class): there the composite
+                # preconditioner plateaus on interface modes, and only
+                # the host refinement driver's exact-f64-residual
+                # restarts break the plateau (measured at 994k: the
+                # fused-from-scratch trajectory costs 798 CG its where
+                # host-it0 + fused middle costs 483)
+                dev_state = (made[0], made[1])
     for it in range(max_newton if nonlinear else 1):
         # inexact-Newton forcing: far from the root the linear solve
         # only needs to out-resolve the current Newton error, so early
@@ -856,10 +866,13 @@ def solve(problem: Problem, mesh: MeshData,
             tol_it = max(problem.Precision, 1e-4)
         elif res < 1e3 * problem.Precision:
             tol_it = problem.Precision
-        elif dev_handoff and res < 3e-5:
+        elif dev_handoff and res < 1e-4:
             # the device loop exits at its f32 displacement floor
-            # (~1e-5); a second device run cannot improve on it, so go
-            # straight to the full-precision host endgame
+            # (~1e-5..1e-4); a second device run cannot improve on it
+            # and can DIVERGE chasing noise (measured at 994k: a devrun
+            # re-entered at res 4.2e-5 and blew the iterate up to 0.24,
+            # cascading into a band-engine latch-off), so go straight
+            # to the full-precision host endgame
             tol_it = problem.Precision
         else:
             tol_it = max(problem.Precision, min(1e-4, 0.03 * res))
@@ -872,6 +885,7 @@ def solve(problem: Problem, mesh: MeshData,
         # contract Precision runs on host afterwards.
         if (dev_state is not None and dev_runs < 2
                 and tol_it > problem.Precision
+                and (dev_runs == 0 or res > 1e-3)
                 and sess.band_amg is not None):
             from ..ops import newton as newton_dev
             from ..ops import solver as solver_mod

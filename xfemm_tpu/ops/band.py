@@ -333,6 +333,12 @@ def _band_est(n: int, cut: int, R: int, sym: bool,
 SIDECAR_EQ_BYTES = 2200
 SIDECAR_FIXED_BYTES = 2.0e8
 SIDECAR_MAX = 4_000_000          # hard cap (memory + refresh maps)
+#: per-COARSE-level sidecar entry cap. Coarse Galerkin levels are
+#: preconditioner-internal and their halo tails are huge but tiny in
+#: magnitude (994k L1: 1.2M entries costing 18 ms/apply); only the
+#: largest entries ride the sidecar, the rest are discarded.
+COARSE_SIDECAR_MAX = int(__import__("os").environ.get(
+    "XFEMM_TPU_COARSE_SIDECAR_MAX", "65536"))
 #: cap the sidecar as a FRACTION of nnz as well: the linear byte model
 #: would happily shove over half of a global-RCM 1M matrix into COO
 #: (994k: cut=15 with a 4.0M tail "beat" the 14 GB full band), but a
@@ -564,7 +570,8 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                    budget_bytes: float | None = None,
                    plan_only: bool = False,
                    fine_full: bool = False,
-                   band_key: "np.ndarray | None" = None):
+                   band_key: "np.ndarray | None" = None,
+                   fine_abf: bool = True):
     """Build the band hierarchy (host, f64 -> device dtype). ``At`` must
     already be RCM-ordered with Dirichlet identity rows. Returns
     (BandAMG, fine_layout) -- the fine layout supports value-only
@@ -862,21 +869,35 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             keep = dist_s <= cut_l
             pack_target, dropped = _split_csr(Astore, keep)
             keep_sel = np.nonzero(keep)[0]
-            if truncated:
-                # budget truncation: only the largest dropped couplings
-                # (by magnitude) ride the budget-bounded sidecar; the
-                # rest are DISCARDED -- legal because this level is
-                # strictly a preconditioner component (never the CG
-                # operator)
-                if dropped.size > trunc_cap:
-                    n_discard = int(dropped.size - trunc_cap)
-                    if trunc_cap == 0:
+            # sidecar entry cap: budget truncation uses its byte-derived
+            # cap; COARSE levels additionally cap at COARSE_SIDECAR_MAX
+            # regardless -- each sidecar entry costs ~17 ns of fused
+            # gather/scatter per apply, and a Galerkin level's halo tail
+            # can reach 1M+ entries (994k L1: 1.2M entries = 18 ms per
+            # apply, x3 applies per V-cycle = 60% of every CG
+            # iteration). The tail is smoothed-aggregation halo mass
+            # with tiny magnitudes; keeping only the largest
+            # COARSE_SIDECAR_MAX only weakens the (preconditioner-
+            # internal) level. Measured after the cap: 86 -> ~45 ms per
+            # composite CG iteration at unchanged iteration counts.
+            cap = trunc_cap if truncated else None
+            if not first:
+                cap = COARSE_SIDECAR_MAX if cap is None \
+                    else min(cap, COARSE_SIDECAR_MAX)
+            if cap is not None:
+                # only the largest dropped couplings (by magnitude)
+                # ride the sidecar; the rest are DISCARDED -- legal
+                # because this level is strictly a preconditioner
+                # component (never the CG operator)
+                if dropped.size > cap:
+                    n_discard = int(dropped.size - cap)
+                    if cap == 0:
                         dropped = dropped[:0]
                     else:
                         mag = np.abs(np.asarray(Astore.data)[dropped])
                         sel = np.argpartition(
-                            mag, dropped.size - trunc_cap
-                        )[dropped.size - trunc_cap:]
+                            mag, dropped.size - cap
+                        )[dropped.size - cap:]
                         dropped = dropped[np.sort(sel)]
             rows_store = np.repeat(np.arange(n), np.diff(Astore.indptr))
             r_oob = rows_store[dropped]
@@ -938,8 +959,12 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
         if use_P:
             used += bytes_P + p_side
         abf_bytes = 0.0
+        # ``fine_abf=False``: the caller will smooth the fine level with
+        # an exact block-tridiagonal factor (plan bt_smooth) -- a bf16
+        # residual copy would only corrupt its coarse correction
         use_abf = (A_dtype != jnp.bfloat16
-                   and BF16_SMOOTH_MIN < bytes_A <= BF16_SMOOTH_MAX)
+                   and BF16_SMOOTH_MIN < bytes_A <= BF16_SMOOTH_MAX
+                   and (fine_abf or not first))
         if use_abf:
             abf_bytes = bytes_A / 2.0
             use_abf = (budget_bytes is None
@@ -1142,11 +1167,29 @@ def _cheby_smooth(lv: BandLevel, As, r):
     return z
 
 
-def band_vcycle(amg: BandAMG, r):
+def band_vcycle(amg: BandAMG, r, bt=None):
     """Symmetric V-cycle with Chebyshev(CHEBY_DEGREE) pre/post smoothing,
-    all ops dense-band."""
+    all ops dense-band.
+
+    ``bt`` (optional): a block-tridiagonal factor of the FINE level's
+    kept (in-band) entries, used as the level-0 pre/post smoother in
+    place of damped Jacobi. For a PARTITIONED ordering the kept band is
+    block-diagonal over the parts, so this smoother solves every part
+    exactly while the coarse hierarchy supplies the cross-part
+    correction -- a two-level domain-decomposition preconditioner. The
+    factor ALONE (bt_pcg) degrades like 1/H without a coarse space
+    (measured 33x the iterations on the 250k bench); composed with the
+    V-cycle's coarse levels it replaces the 994k hierarchy's weakest
+    link, the plain Jacobi smoother (measured: 1700 -> ~60 CG its per
+    solve, see perf/measurements.json)."""
     import jax.numpy as jnp
     L = len(amg.levels)
+
+    def smooth(lv, As, r, l):
+        if l == 0 and bt is not None:
+            from .blocktri import bt_apply
+            return bt_apply(bt, r)
+        return _cheby_smooth(lv, As, r)
 
     def cycle(l, r):
         if l == L:
@@ -1155,8 +1198,14 @@ def band_vcycle(amg: BandAMG, r):
                 return bt_coarse_apply(amg.bt_coarse, r)
             return amg.coarse_inv @ r
         lv = amg.levels[l]
-        As = lv.Abf if lv.Abf is not None else lv.A
-        z = _cheby_smooth(lv, As, r)
+        # the bf16 smoothing copy exists for cheap Jacobi residuals;
+        # next to an EXACT fine smoother its 4e-3 residual error is the
+        # dominant error and wrecks the coarse correction (measured at
+        # 994k: 142 -> 588 its for the first pass) -- bt smoothing
+        # always pairs with the f32 operator
+        As = lv.Abf if lv.Abf is not None \
+            and not (l == 0 and bt is not None) else lv.A
+        z = smooth(lv, As, r, l)
         d = r - band_apply(As, lv.dvec, z, lv.oob)
         rc_len = (amg.levels[l + 1].A.ncols if l + 1 < L
                   else (amg.coarse_inv.shape[0]
@@ -1189,10 +1238,10 @@ def band_vcycle(amg: BandAMG, r):
                     lv.P_oob.vals * zc[lv.P_oob.cols])
         else:
             z = z + jnp.repeat(zc, AGG)[:r.shape[0]]
-        # post-smooth the residual with the same polynomial (keeps the
+        # post-smooth the residual with the same smoother (keeps the
         # preconditioner symmetric for CG)
-        z = z + _cheby_smooth(lv, As,
-                              r - band_apply(As, lv.dvec, z, lv.oob))
+        z = z + smooth(lv, As,
+                       r - band_apply(As, lv.dvec, z, lv.oob), l)
         return z
 
     return cycle(0, r)
@@ -1320,17 +1369,20 @@ def _chunked_pcg(op, prec, invd, b, tol, x0, max_iter,
 
 @functools.partial(__import__("jax").jit,
                    static_argnames=("max_iter", "stall_window"))
-def band_pcg(amg: BandAMG, b, tol, x0, max_iter, stall_window: int = 120):
+def band_pcg(amg: BandAMG, b, tol, x0, max_iter, stall_window: int = 120,
+             bt=None):
     """CG on the fine band operator with the band V-cycle preconditioner
     (same stopping metric and stagnation guard as ops/solver.py), drift-
-    guarded in chunks of CG_CHECK_EVERY iterations (_chunked_pcg)."""
+    guarded in chunks of CG_CHECK_EVERY iterations (_chunked_pcg).
+    ``bt`` optionally upgrades the V-cycle's fine smoother to the
+    in-part block-tridiagonal solve (band_vcycle)."""
     lv0 = amg.levels[0]
 
     def op(x):
         return band_apply(lv0.A, lv0.dvec, x, lv0.oob)
 
     def prec(r):
-        return band_vcycle(amg, r)
+        return band_vcycle(amg, r, bt=bt)
 
     # stopping metric: the JACOBI-weighted residual norm, matching the
     # host refinement driver's metric in ops/solver.py exactly (up to

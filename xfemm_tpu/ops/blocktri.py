@@ -56,6 +56,21 @@ class BTFactor(NamedTuple):
     s: jnp.ndarray
 
 
+class BTSmoother(NamedTuple):
+    """A block-tridiagonal factor in the SMOOTHER role.
+
+    Same fields as BTFactor (``bt_apply`` accepts either), but the
+    distinct pytree type tells the solve paths to compose it with the
+    band-AMG coarse correction (band.band_vcycle's level-0 smoother)
+    instead of using it as the standalone CG preconditioner: it factors
+    only the KEPT in-part band of a partitioned ordering, which alone
+    degrades like 1/H (measured 33x the iterations on the 250k bench)
+    but is an exact per-part solve inside the two-level cycle."""
+    Sinv: jnp.ndarray
+    G: jnp.ndarray
+    s: jnp.ndarray
+
+
 @jax.tree_util.register_pytree_node_class
 class BTCoarse:
     """A block-tridiagonal factor serving as the (near-)exact bottom
@@ -245,6 +260,111 @@ def build_factor(maps: BTDeviceMaps, data_p: np.ndarray, b: int,
     """Factor from the permuted CSR values (host array, any dtype)."""
     return _fill_and_factor(maps, jnp.asarray(data_p, jnp.float32),
                             b=b, NB=NB, store_dtype=store_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "b"))
+def _fill_blocks(dv, dflat, lv, lflat, pv, pflat, nb: int, b: int):
+    D = (jnp.zeros(nb * b * b, jnp.float32).at[dflat].add(dv)
+         .at[pflat].add(pv).reshape(nb, b, b))
+    L = jnp.zeros(nb * b * b, jnp.float32).at[lflat].add(lv) \
+        .reshape(nb, b, b)
+    return D, L
+
+
+@functools.partial(jax.jit, static_argnames=("store",))
+def _scan_chunk(Sprev, D, L, store):
+    with jax.default_matmul_precision("float32"):
+        def step(S, inputs):
+            Di, Li = inputs
+            Sinv = jnp.linalg.inv(S)
+            G = Li @ Sinv
+            return Di - G @ Li.T, (Sinv.astype(store), G.astype(store))
+
+        Slast, (Sinv, G) = jax.lax.scan(step, Sprev, (D, L))
+    return Slast, Sinv, G
+
+
+def build_factor_chunked(lay: BTLayout, data_p: np.ndarray,
+                         store_dtype=jnp.float32,
+                         chunk: int = 128) -> BTFactor:
+    """Block-Thomas factor built in CHUNKS of blocks: the one-dispatch
+    ``_fill_and_factor`` materializes the full (D, L) buffers next to
+    the (Sinv, G) outputs -- a 2x-factor-bytes transient that cannot
+    fit beside a 1M-class band hierarchy (b=1024 at 994k: 8.15 GB of
+    f32 fill on top of the resident band). Here the host drives
+    ceil(NB/chunk) fill+scan dispatches threading the b x b Schur
+    carry, so the transient is bounded by one chunk (2 * chunk * b^2
+    f32) regardless of NB. Numerics are identical: the scan recurrence
+    and its f32 matmul precision are unchanged, chunking only batches
+    the sequential steps differently."""
+    b, NB, n = lay.b, lay.NB, lay.n
+    data64 = np.asarray(data_p, np.float64)
+    diag = data64[lay.diag_pos]
+    safe = np.where(diag == 0.0, 1.0, diag)
+    s_host = np.ones(NB * b, np.float32)
+    s_host[:n] = (1.0 / np.sqrt(np.abs(safe))).astype(np.float32)
+    vals = (data64[lay.keep] * s_host[lay.rows] * s_host[lay.cols]) \
+        .astype(np.float32)
+    isL = lay.tgt_is_L
+    blk = lay.blk.astype(np.int64)
+    rloc = lay.rloc.astype(np.int64)
+    cloc = lay.cloc.astype(np.int64)
+    pad = np.arange(n, NB * b, dtype=np.int64)
+    pblk = pad // b
+    ploc = pad - pblk * b
+    empty = np.zeros(0, np.float32)
+    empty_i = np.zeros(0, np.int64)
+
+    # S_0 = D_0; then chunks of scan steps i in [1, NB)
+    D0, _ = _fill_blocks(
+        vals[(~isL) & (blk == 0)],
+        (rloc[(~isL) & (blk == 0)]) * b + cloc[(~isL) & (blk == 0)],
+        empty, empty_i,
+        jnp.ones(int((pblk == 0).sum()), jnp.float32),
+        (pblk[pblk == 0] * 0 + ploc[pblk == 0]) * b + ploc[pblk == 0],
+        nb=1, b=b)
+    carry = D0[0]
+    sinv_parts = []
+    g_parts = []
+    s0 = 1
+    while s0 < NB:
+        s1 = min(s0 + chunk, NB)
+        # fill D rows [s0, s1) shifted so index i maps to D[i - s0],
+        # and L indices [s0-1, s1-1) to L[i - (s0-1)]
+        nb = s1 - s0
+        dm = (~isL) & (blk >= s0) & (blk < s1)
+        dflat = ((blk[dm] - s0) * b + rloc[dm]) * b + cloc[dm]
+        lm = isL & (blk >= s0 - 1) & (blk < s1 - 1)
+        lflat = ((blk[lm] - (s0 - 1)) * b + rloc[lm]) * b + cloc[lm]
+        pm = (pblk >= s0) & (pblk < s1)
+        pflat = ((pblk[pm] - s0) * b + ploc[pm]) * b + ploc[pm]
+        D, L = _fill_blocks(vals[dm], jnp.asarray(dflat),
+                            vals[lm], jnp.asarray(lflat),
+                            jnp.ones(int(pm.sum()), jnp.float32),
+                            jnp.asarray(pflat), nb=nb, b=b)
+        carry, Sinv_c, G_c = _scan_chunk(carry, D, L, store_dtype)
+        sinv_parts.append(Sinv_c)
+        g_parts.append(G_c)
+        s0 = s1
+    with jax.default_matmul_precision("float32"):
+        Sinv_last = jnp.linalg.inv(carry).astype(store_dtype)
+    Sinv = jnp.concatenate(sinv_parts + [Sinv_last[None]], 0) \
+        if sinv_parts else Sinv_last[None]
+    G = jnp.concatenate(g_parts, 0) if g_parts else \
+        jnp.zeros((0, b, b), store_dtype)
+    return BTFactor(Sinv=Sinv, G=G, s=jnp.asarray(s_host))
+
+
+def bt_build(maps_or_lay, vals, b: int, NB: int,
+             store_dtype=jnp.float32) -> BTFactor:
+    """Build a factor through either path: BTDeviceMaps -> the
+    one-dispatch fused fill+factor, BTLayout -> the chunked build
+    (large factors whose fill transient would not fit)."""
+    if isinstance(maps_or_lay, BTLayout):
+        return build_factor_chunked(maps_or_lay, vals,
+                                    store_dtype=store_dtype)
+    return build_factor(maps_or_lay, vals, b=b, NB=NB,
+                        store_dtype=store_dtype)
 
 
 def _bt_apply_pallas(bt: BTFactor, rs, NB: int, b: int):

@@ -507,10 +507,20 @@ def _inner_solve(amg_new, r_scaled, tol_eff, inner_iter, bt, n):
             jnp.zeros(n, f32), inner_iter)
     else:
         from . import blocktri as bt_mod
-        d_p, _rel, its = bt_mod.bt_pcg(
-            lvn.A, lvn.dvec, lvn.invd, bt, r_scaled,
-            tol_eff.astype(f32), jnp.zeros(n, f32), inner_iter,
-            oob=lvn.oob)
+        if isinstance(bt, bt_mod.BTSmoother):
+            # partitioned ordering: in-part factor as the V-cycle's
+            # fine smoother (two-level DD), not standalone. Short
+            # stall window: the composite plateaus on interface modes;
+            # bailing early lets the Newton step proceed with the
+            # partial correction (the next step re-solves anyway)
+            d_p, _rel, its = band_mod.band_pcg(
+                amg_new, r_scaled, tol_eff.astype(f32),
+                jnp.zeros(n, f32), inner_iter, stall_window=48, bt=bt)
+        else:
+            d_p, _rel, its = bt_mod.bt_pcg(
+                lvn.A, lvn.dvec, lvn.invd, bt, r_scaled,
+                tol_eff.astype(f32), jnp.zeros(n, f32), inner_iter,
+                oob=lvn.oob)
     return d_p, its
 
 

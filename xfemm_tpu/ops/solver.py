@@ -392,6 +392,11 @@ def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
     est_bytes = _band_bytes_estimate(Ap, band_mod.ROW_TILE)
     sym = fine_dtype = None
     if est_bytes <= 0.375 * hbm:
+        # NOTE: forcing triu storage for partitioned 1M-class bands was
+        # measured a net LOSS (2026-08-21): the fused Newton loop's f32
+        # displacement floor is ~2x higher through the symmetric
+        # U x + U^T x - d x form, costing a ~150-iteration extra host
+        # endgame pass that outweighs the halved band stream
         sym = False
     elif _band_bytes_estimate(Ap, band_mod.ROW_TILE,
                               sym=True) <= 0.69 * hbm:
@@ -435,6 +440,46 @@ def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
                   <= 0.72 * hbm)
     if fine_bt_ok:
         act_bytes = act_full
+    fine_full = fine_bt_ok
+    # partitioned orderings: a factor of the KEPT (in-part) band, used
+    # as the V-cycle's FINE SMOOTHER (BTSmoother), not the standalone
+    # preconditioner. The kept cut is ~sqrt(n/parts), so the factor is
+    # small (b=512 / 4 GB f32 at 994k where the global-band factor
+    # would be 16 GB); composed with the coarse hierarchy it replaces
+    # plain Jacobi smoothing -- the 994k V-cycle's weakest link
+    # (measured 1700 -> ~60 CG its per warm solve).
+    bt_smooth = False
+    bt_store = "f32"
+    if not fine_bt_ok and partitioned and dist_.size:
+        from . import band as band_mod2
+        _R0, cut0, split0 = band_mod2.plan_level(dist_, n, sym=False)
+        bs_p = bt_mod.pick_block(int(cut0)) if split0 else None
+        if bs_p is not None:
+            #: everything resident besides fine band + factor: coarse
+            #: band levels + sidecars + transfers (measured 2.8 GB at
+            #: 994k) with headroom
+            coarse_slack = 3.5e9
+            # storage: bf16 for factors over 2.5 GB f32 -- measured at
+            # 994k: the f32 smoother-factor gives NO iteration benefit
+            # (490 vs 495 CG its/solve) while doubling the apply bytes,
+            # and its chunked build costs 6x the fused bf16 build
+            for store, it_f in (("f32", 4), ("bf16", 2)):
+                fb = bt_mod.factor_bytes(n, bs_p, it_f)
+                if store == "f32" and fb > 2.5e9:
+                    continue
+                # build transient: the fused build's (D, L) f32 fill
+                # buffers (chunked only for large f32 stores)
+                fill = (2 * 128 * bs_p * bs_p * 4
+                        if store == "f32"
+                        and bt_mod.factor_bytes(n, bs_p) > 2e9
+                        else bt_mod.factor_bytes(n, bs_p, 4))
+                steady = act_bytes + coarse_slack + fb
+                if steady <= 0.82 * hbm and steady + fill <= 0.93 * hbm:
+                    fine_bt_ok = True
+                    bt_smooth = True
+                    bt_store = store
+                    bsize = bs_p
+                    break
     # NOTE: do NOT trade the f32 fine operator for bf16 to make room
     # for a stronger coarse factor. Measured on the real 1M it-0
     # system: bf16 GMRES(24) passes DIVERGE (per-pass amplification
@@ -444,8 +489,11 @@ def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
     # the hierarchy's own hard cap: leave room for the fine blocktri
     # factor (incl. its build transient) when one will be built next
     hier_budget = 0.8 * hbm
-    if fine_bt_ok:
+    if fine_bt_ok and not bt_smooth:
         hier_budget -= 2 * bt_mod.factor_bytes(n, bsize)
+    elif bt_smooth:
+        hier_budget -= bt_mod.factor_bytes(
+            n, bsize, 4 if bt_store == "f32" else 2)
     else:
         # steady budget: what can live NEXT TO the fine band for the
         # whole solve; transient budget: the factor build (2x factor
@@ -456,7 +504,8 @@ def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
     return dict(sym=sym, fine_dtype=fine_dtype, act_bytes=act_bytes,
                 bsize=bsize, fine_bt_ok=fine_bt_ok, bt_budget=bt_budget,
                 bt_transient=bt_transient, hier_budget=hier_budget,
-                fine_full=fine_bt_ok)
+                fine_full=fine_full, bt_smooth=bt_smooth,
+                bt_store=bt_store)
 
 
 class Session:
@@ -494,7 +543,11 @@ class Session:
         # near-exact preconditioner used INSTEAD of the V-cycle when the
         # RCM bandwidth and HBM budget allow; staleness refactors it
         # on device without rebuilding the hierarchy
-        self.bt = None           # BTFactor
+        self.bt = None           # BTFactor (or BTSmoother: a factor of
+                                 # the kept in-part band composed with
+                                 # the V-cycle coarse correction)
+        self.bt_smooth = False   # bt plays the smoother role
+        self.bt_store = "f32"    # factor storage dtype
         self.bt_maps = None      # BTDeviceMaps
         self.bt_shape = None     # (b, NB)
         self.bt_data_sel = None  # kept-band slots in Ap.data feeding
@@ -1178,6 +1231,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 session.bt_maps = cached.get("bt_maps")
                 session.bt_shape = cached.get("bt_shape")
                 session.bt_data_sel = cached.get("bt_data_sel")
+                session.bt_smooth = cached.get("bt_smooth", False)
+                session.bt_store = cached.get("bt_store", "f32")
                 session.first_iters = None
         else:
             ckey = None
@@ -1214,11 +1269,17 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     session.band_amg, session.band_layout, Ap_data,
                     session.band_flat_idx)
             with profiling.phase("bt refactor"):
+                import jax.numpy as _jnp
                 bsize, NB = session.bt_shape
                 vals = (Ap_data if session.bt_data_sel is None
                         else Ap_data[session.bt_data_sel])
-                session.bt = bt_mod.build_factor(
-                    session.bt_maps, vals, b=bsize, NB=NB)
+                f = bt_mod.bt_build(
+                    session.bt_maps, vals, b=bsize, NB=NB,
+                    store_dtype=(_jnp.bfloat16
+                                 if session.bt_store == "bf16"
+                                 else _jnp.float32))
+                session.bt = bt_mod.BTSmoother(*f) \
+                    if session.bt_smooth else f
             session.first_iters = None
             if session.band_ckey is not None \
                     and session.band_ckey in _BAND_CACHE:
@@ -1241,6 +1302,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                 fine_dtype = plan["fine_dtype"]
                 bsize = plan["bsize"]
                 fine_bt_ok = plan["fine_bt_ok"]
+                session.bt_smooth = plan.get("bt_smooth", False)
+                session.bt_store = plan.get("bt_store", "f32")
                 with profiling.phase("band amg setup"):
                     coords_p = None
                     if np.shape(coords)[0] == n:
@@ -1258,7 +1321,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                             coords=coords_p,
                             budget_bytes=plan["hier_budget"],
                             fine_full=plan["fine_full"],
-                            band_key=key_p)
+                            band_key=key_p,
+                            fine_abf=not plan.get("bt_smooth", False))
                     if session.band_data_map is None:
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
@@ -1270,11 +1334,21 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                         Ap_f = Ap
                         if lay_f.keep_sel is not None:
                             if lay_f.upper_sel is not None:
-                                # sym storage + split: the data mapping
-                                # composes triu and band selections --
-                                # not worth the bookkeeping, the AMG
-                                # V-cycle serves this tier
-                                Ap_f = None
+                                # sym (triu) storage + split: the kept
+                                # set is |i-j| <= cut, a symmetric
+                                # criterion -- select the SAME cut from
+                                # the full CSR directly instead of
+                                # composing triu and band selections
+                                rowsF = np.repeat(
+                                    np.arange(n), np.diff(Ap.indptr))
+                                distF = np.abs(rowsF - Ap.indices)
+                                dist_t = distF[lay_f.upper_sel]
+                                cutk = int(dist_t[lay_f.keep_sel].max())
+                                keepF = distF <= cutk
+                                Ap_f, _dropped = band_mod._split_csr(
+                                    Ap, keepF)
+                                session.bt_data_sel = \
+                                    np.nonzero(keepF)[0]
                             else:
                                 # partitioned ordering: factor the KEPT
                                 # band only; the sidecar stays in the
@@ -1288,14 +1362,30 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                             session.bt = None
                         else:
                             lay = bt_mod.pack_layout(Ap_f, bsize)
-                            session.bt_maps = bt_mod.device_maps(lay)
+                            # large f32 factors build CHUNKED from the
+                            # host layout (bounded fill transient);
+                            # bf16 and small stores keep the
+                            # one-dispatch fused path (the chunked
+                            # build's extra dispatches cost 6x through
+                            # the tunnel)
+                            if session.bt_store == "f32" \
+                                    and bt_mod.factor_bytes(n, bsize) > 2e9:
+                                session.bt_maps = lay
+                            else:
+                                session.bt_maps = bt_mod.device_maps(lay)
                             session.bt_shape = (bsize, lay.NB)
                             vals = (Ap.data
                                     if session.bt_data_sel is None
                                     else Ap.data[session.bt_data_sel])
-                            session.bt = bt_mod.build_factor(
+                            f = bt_mod.bt_build(
                                 session.bt_maps, vals, b=bsize,
-                                NB=lay.NB)
+                                NB=lay.NB,
+                                store_dtype=(
+                                    _jnp.bfloat16
+                                    if session.bt_store == "bf16"
+                                    else _jnp.float32))
+                            session.bt = bt_mod.BTSmoother(*f) \
+                                if session.bt_smooth else f
                 if ckey is None:
                     ckey = _band_cache_key(At, fixed)
                 session.band_ckey = ckey
@@ -1309,6 +1399,8 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     "bt_maps": session.bt_maps,
                     "bt_shape": session.bt_shape,
                     "bt_data_sel": session.bt_data_sel,
+                    "bt_smooth": session.bt_smooth,
+                    "bt_store": session.bt_store,
                 }
                 _BAND_CACHE.move_to_end(ckey)
                 while len(_BAND_CACHE) > _BAND_CACHE_MAX:
@@ -1423,8 +1515,22 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                     bbytes = lv0A.size * lv0A.dtype.itemsize
                     band_iter = min(int(inner_iter), 2500,
                                     max(96, int(stream / (4.0 * bbytes))))
-                    if session.bt is not None:
-                        from . import blocktri as bt_mod
+                    from . import blocktri as bt_mod
+                    if isinstance(session.bt, bt_mod.BTSmoother):
+                        # two-level DD: in-part factor smooths, coarse
+                        # hierarchy corrects (band_vcycle bt=...).
+                        # Short stall window: the composite plateaus on
+                        # interface modes for ~100 its before the f64
+                        # restart unsticks it (measured at 994k: the
+                        # restarted pass contracts 0.87/it where the
+                        # stalled tail crawled at 0.97/it), so bail to
+                        # the restart early instead of riding it out
+                        d_d, rr, it = band_mod.band_pcg(
+                            session.band_amg, r_d,
+                            jnp.asarray(tol_pass, dev_dtype),
+                            jnp.zeros(n, dev_dtype), band_iter,
+                            stall_window=48, bt=session.bt)
+                    elif session.bt is not None:
                         lv0 = session.band_amg.levels[0]
                         d_d, rr, it = bt_mod.bt_pcg(
                             lv0.A, lv0.dvec, lv0.invd, session.bt, r_d,

@@ -42,6 +42,16 @@ def phase_seconds(name: str) -> float:
     return _acc.get(name, 0.0)
 
 
+def snapshot() -> dict:
+    """{phase: seconds} accumulated so far (a copy)."""
+    return dict(_acc)
+
+
+def reset() -> None:
+    _acc.clear()
+    _cnt.clear()
+
+
 def report() -> str:
     lines = ["xfemm_tpu phase timers:"]
     for name, tot in sorted(_acc.items(), key=lambda kv: -kv[1]):
