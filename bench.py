@@ -111,12 +111,23 @@ def main() -> None:
     prob = benchprob.build(TARGET_NODES)
     mesh = _get_mesh(prob)
 
-    # warm-up: pays XLA compilation (cached across runs where possible)
+    # warm-up: pays XLA compilation (cached across runs where possible).
+    # Report the persistent-cache state explicitly: cold-with-warm-disk-
+    # cache is the number a returning user pays (measured 43-100 s at
+    # 250k), cold-no-cache adds the full XLA/Mosaic compile through the
+    # device tunnel (300-450 s)
+    import glob
+    import jax as _jax
+    cache_dir = _jax.config.jax_compilation_cache_dir or ""
+    n_cached = len(glob.glob(os.path.join(cache_dir, "*-cache"))) \
+        if cache_dir else 0
     t0 = time.time()
     sol = magnetostatics.solve(prob, mesh)
     assert sol.residual <= prob.Precision, sol.residual
     print(f"cold solve {time.time() - t0:.1f}s "
-          f"({time.time() - t_start:.1f}s since start)", file=sys.stderr)
+          f"({time.time() - t_start:.1f}s since start; XLA cache "
+          f"{'warm-on-disk, ' + str(n_cached) + ' entries' if n_cached else 'EMPTY'})",
+          file=sys.stderr)
 
     from xfemm_tpu.utils import profiling
     profiling.ENABLED = True

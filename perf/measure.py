@@ -160,8 +160,22 @@ ROWS = {
 
 
 def main():
-    import xfemm_tpu  # noqa: F401  compile cache
     names = sys.argv[1:] or list(ROWS)
+    if len(names) > 1:
+        # one subprocess per row: rows budget the WHOLE device for
+        # their hierarchy (running them in one process leaks the
+        # previous row's device caches into the next row's budget --
+        # heat230k RESOURCE_EXHAUSTED after the AC row's 4 GB of band
+        # state), and per-row cold times stay honest
+        for name in names:
+            print(f"--- spawning {name} ---", file=sys.stderr)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name])
+            if proc.returncode != 0:
+                print(f"row {name} failed rc={proc.returncode}",
+                      file=sys.stderr)
+        return
+    import xfemm_tpu  # noqa: F401  compile cache
     data = {}
     if os.path.exists(OUT):
         with open(OUT) as f:

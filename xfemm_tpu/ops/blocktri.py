@@ -42,9 +42,19 @@ import scipy.sparse as sp
 
 from .band import BandMatrix, band_apply
 
-#: largest supported block size (beyond this the factor does not fit a
-#: single chip's HBM anyway). Block sizes are MXU-friendly powers of two.
-BLOCK_SIZES = (256, 512, 1024, 2048)
+#: supported block sizes: multiples of 128 (MXU tile) up to 2048
+#: (beyond that the factor does not fit a single chip's HBM anyway).
+#: The finer steps matter: a bandwidth-1037 matrix pays 5.35 GB at the
+#: next power of two (2048) but only 3.0 GB at 1152 -- the difference
+#: between the strong bt-alone regime fitting the device or not (the
+#: heat benchmark's exact case).
+BLOCK_SIZES = (256, 384, 512, 640, 768, 896, 1024, 1152, 1280,
+               1536, 1792, 2048)
+
+#: pallas bt kernels double-buffer one (1, b, b) block in VMEM; above
+#: this size two f32 blocks exceed the ~16 MB VMEM and the apply falls
+#: back to the lax.scan path
+PALLAS_MAX_BLOCK = 1280
 
 
 class BTFactor(NamedTuple):
@@ -284,9 +294,18 @@ def _scan_chunk(Sprev, D, L, store):
     return Slast, Sinv, G
 
 
+def bt_build_transient_bytes(n: int, b: int) -> int:
+    """Device bytes the factor BUILD transiently needs on top of the
+    finished factor: the fused one-dispatch build fills full f32 (D, L)
+    buffers, the chunked build (factors over 2 GB) bounds the fill to
+    ~2 GB of chunks."""
+    fb = factor_bytes(n, b)
+    return fb if fb <= 2e9 else int(2e9)
+
+
 def build_factor_chunked(lay: BTLayout, data_p: np.ndarray,
                          store_dtype=jnp.float32,
-                         chunk: int = 128) -> BTFactor:
+                         chunk: int | None = None) -> BTFactor:
     """Block-Thomas factor built in CHUNKS of blocks: the one-dispatch
     ``_fill_and_factor`` materializes the full (D, L) buffers next to
     the (Sinv, G) outputs -- a 2x-factor-bytes transient that cannot
@@ -298,6 +317,9 @@ def build_factor_chunked(lay: BTLayout, data_p: np.ndarray,
     and its f32 matmul precision are unchanged, chunking only batches
     the sequential steps differently."""
     b, NB, n = lay.b, lay.NB, lay.n
+    if chunk is None:
+        # bound the per-chunk (D, L) fill to ~1 GB f32
+        chunk = max(8, int(1e9 // (b * b * 8)))
     data64 = np.asarray(data_p, np.float64)
     diag = data64[lay.diag_pos]
     safe = np.where(diag == 0.0, 1.0, diag)
@@ -491,7 +513,8 @@ def bt_apply(bt: BTFactor, r):
     npad = NB * b
     n = r.shape[0]
     rs = jnp.zeros(npad, jnp.float32).at[:n].set(bt.s[:n] * r)
-    if _pallas_enabled() and b % 128 == 0 and NB >= 2:
+    if _pallas_enabled() and b % 128 == 0 and NB >= 2 \
+            and b <= PALLAS_MAX_BLOCK:
         z = _bt_apply_pallas(bt, rs, NB, b)
         return bt.s[:n] * z[:n]
     rb = rs.reshape(NB, b)

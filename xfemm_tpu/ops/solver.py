@@ -364,7 +364,8 @@ def pick_band_order(At, coords, hbm: float | None = None):
                 n, bw0, band_mod.pick_row_tile(bw0, False), False)
             fine_bt_fits = (
                 bs is not None
-                and est0 + 2 * bt_mod.factor_bytes(n, bs) <= 0.72 * hbm)
+                and est0 + bt_mod.factor_bytes(n, bs)
+                + bt_mod.bt_build_transient_bytes(n, bs) <= 0.78 * hbm)
             if not fine_bt_fits:
                 perm = band_mod.partition_order(
                     At, np.asarray(coords), parts)
@@ -436,8 +437,9 @@ def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
     else:
         act_bytes = est_bytes
     fine_bt_ok = (bsize is not None and not partitioned
-                  and act_full + 2 * bt_mod.factor_bytes(n, bsize)
-                  <= 0.72 * hbm)
+                  and act_full + bt_mod.factor_bytes(n, bsize)
+                  + bt_mod.bt_build_transient_bytes(n, bsize)
+                  <= 0.78 * hbm)
     if fine_bt_ok:
         act_bytes = act_full
     fine_full = fine_bt_ok
@@ -490,7 +492,8 @@ def plan_band_hierarchy(Ap, partitioned: bool, hbm: float | None = None):
     # factor (incl. its build transient) when one will be built next
     hier_budget = 0.8 * hbm
     if fine_bt_ok and not bt_smooth:
-        hier_budget -= 2 * bt_mod.factor_bytes(n, bsize)
+        hier_budget -= (bt_mod.factor_bytes(n, bsize)
+                        + bt_mod.bt_build_transient_bytes(n, bsize))
     elif bt_smooth:
         hier_budget -= bt_mod.factor_bytes(
             n, bsize, 4 if bt_store == "f32" else 2)
@@ -965,6 +968,14 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
             iperm[perm] = np.arange(n)
             Ap = At[perm][:, perm].tocsr()
             Ap.sum_duplicates()
+            # entry map + diagonal slots: later adoptions refresh by
+            # At.data[dmap] instead of a scipy two-sided permute (the
+            # permute alone cost 3.1 s per 125k AC solve -- as much as
+            # the GMRES solve itself)
+            ac_dmap = _csr_perm_map(At, Ap, perm, iperm)
+            rowsAp = np.repeat(np.arange(n), np.diff(Ap.indptr))
+            ac_dpos = np.nonzero(rowsAp == Ap.indices)[0]
+            Ap_data = Ap.data
             # the preconditioner hierarchy is built from the SHIFTED
             # real matrix K + diag(|Im diag|): lumping the eddy mass
             # onto the diagonal keeps it SPD and makes the V-cycle a
@@ -983,7 +994,8 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
                 opl = band_mod.pack_band_layout(
                     Ar, band_mod.ROW_TILE, band_mod.ROW_TILE)
                 band_ent = {"perm": perm, "iperm": iperm, "amg": amg,
-                            "lay": lay, "oplay": opl}
+                            "lay": lay, "oplay": opl, "dmap": ac_dmap,
+                            "diag_pos": ac_dpos}
                 # block-tridiagonal factor of the SHIFTED real matrix:
                 # the strongest preconditioner for K + iwM the engine
                 # has (see blocktri.py); HBM gate counts the two
@@ -1006,20 +1018,17 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
                 _CBAND_CACHE.popitem(last=False)
         elif cached is not None:
             band_ent = cached
-            # value-only refresh of the shifted hierarchy fine level
-            perm = band_ent["perm"]
+            # value-only refresh of the shifted hierarchy fine level:
+            # permuted values come from the cached entry map (no scipy
+            # two-sided permute), the shifted matrix's values are the
+            # real parts with |Im| lumped onto the diagonal slots
             with profiling.phase("ac band refresh"):
-                Ap = At[perm][:, perm].tocsr()
-                Ap.sum_duplicates()
-                shifted = sp.csr_matrix(
-                    (np.ascontiguousarray(Ap.data.real), Ap.indices,
-                     Ap.indptr), shape=(n, n)) \
-                    + sp.diags(np.abs(Ap.diagonal().imag))
-                shifted = shifted.tocsr()
-                shifted.sum_duplicates()
+                Ap_data = At.data[band_ent["dmap"]]
+                sh_vals = np.ascontiguousarray(Ap_data.real)
+                dpos = band_ent["diag_pos"]
+                sh_vals[dpos] += np.abs(Ap_data[dpos].imag)
                 band_ent["amg"] = band_mod.update_fine_values(
-                    band_ent["amg"], band_ent["lay"],
-                    np.ascontiguousarray(shifted.data))
+                    band_ent["amg"], band_ent["lay"], sh_vals)
             if band_ent.get("bt") is not None:
                 # the factor is exact for the current values: refactor
                 # on every adoption (one fused device dispatch)
@@ -1027,15 +1036,13 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
                 bsize, NBc = band_ent["bt_shape"]
                 with profiling.phase("bt refactor (ac)"):
                     band_ent["bt"] = bt_mod.build_factor(
-                        band_ent["bt_maps"],
-                        np.ascontiguousarray(shifted.data),
-                        b=bsize, NB=NBc)
+                        band_ent["bt_maps"], sh_vals, b=bsize, NB=NBc)
         if band_ent is not None:
             band_ent["Aop"] = band_mod.fill_band_device(
-                band_ent["oplay"], np.ascontiguousarray(Ap.data.real),
+                band_ent["oplay"], np.ascontiguousarray(Ap_data.real),
                 band_mod.ROW_TILE)
             band_ent["Ai"] = band_mod.fill_band_device(
-                band_ent["oplay"], np.ascontiguousarray(Ap.data.imag),
+                band_ent["oplay"], np.ascontiguousarray(Ap_data.imag),
                 band_mod.ROW_TILE)
 
     if use_pairs:
