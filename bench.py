@@ -207,6 +207,17 @@ def main() -> None:
                       f"(~{100 * bw / 819:.0f}% of v5e HBM peak), "
                       f"{its_total} CG its over 3 solves",
                       file=sys.stderr)
+                # gap accounting: the standalone kernels stream at
+                # 380-500 GB/s (perf/pieces.py); the in-loop average is
+                # lower because a warm solve is only ~40% device-busy
+                # -- the rest is per-dispatch launch/serialization on
+                # the tunneled device, host<->device vector transfers
+                # between refinement passes, and the host CSR/metric
+                # work between dispatches (phase split above)
+                print("gap owner: dispatch/transfer overhead between "
+                      "passes, not kernel bandwidth "
+                      "(perf/pieces.py measures the kernels at "
+                      "380-500 GB/s)", file=sys.stderr)
     except Exception as exc:  # observability must never fail the bench
         print(f"(bandwidth estimate unavailable: {exc})", file=sys.stderr)
 
