@@ -242,6 +242,9 @@ _CBAND_CACHE: "collections.OrderedDict[bytes, dict | None]" = \
 
 _PATTERN_CACHE: "collections.OrderedDict[bytes, tuple]" = collections.OrderedDict()
 _PATTERN_CACHE_MAX = 2
+#: complex (AC) COO->CSR dedup patterns (solve_complex)
+_AC_PATTERN_CACHE: "collections.OrderedDict[bytes, tuple]" = \
+    collections.OrderedDict()
 
 
 def _pattern_cache_key(blocks, n, fixed) -> bytes:
@@ -908,31 +911,85 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
 
     from ..utils import profiling
     with profiling.phase("ac csr assembly"):
-        rows, cols, data = [], [], []
-        for blk in blocks:
-            idx = np.asarray(blk.idx)
-            sign = np.asarray(blk.sign, np.float64)
-            mat = np.asarray(blk.mat, np.complex128)
-            E, K = idx.shape
-            rows.append(np.broadcast_to(
-                idx[:, :, None], (E, K, K)).ravel())
-            cols.append(np.broadcast_to(
-                idx[:, None, :], (E, K, K)).ravel())
-            data.append((sign[:, :, None] * sign[:, None, :] * mat).ravel())
-        A = sp.coo_matrix((np.concatenate(data),
-                           (np.concatenate(rows), np.concatenate(cols))),
-                          shape=(n, n)).tocsr()
-
-        keep = sp.diags((~fixed).astype(np.float64))
-        At = (keep @ A @ keep + sp.diags(fixed.astype(np.float64))).tocsr()
+        # COO->CSR dedup pattern cached across solves (the scipy
+        # coo->csr conversion plus two diagonal-scaling products cost
+        # ~0.4 s per 125k AC solve, pure pattern work): value-only
+        # rebuild is two bincounts into the cached slots, with the
+        # Dirichlet row/column elimination folded in via kmask
+        pkey = _pattern_cache_key(blocks, n, fixed)
+        pat = _AC_PATTERN_CACHE.get(pkey)
+        if pat is None:
+            rows_l, cols_l, souter_l = [], [], []
+            for blk in blocks:
+                idx = np.asarray(blk.idx)
+                sign = np.asarray(blk.sign, np.float64)
+                E, K = idx.shape
+                rows_l.append(np.broadcast_to(
+                    idx[:, :, None], (E, K, K)).ravel())
+                cols_l.append(np.broadcast_to(
+                    idx[:, None, :], (E, K, K)).ravel())
+                souter_l.append(sign[:, :, None] * sign[:, None, :])
+            rows = np.concatenate(rows_l)
+            cols = np.concatenate(cols_l)
+            keepf = (~fixed).astype(np.float64)
+            kmask = keepf[rows] * keepf[cols]
+            rows_d = np.concatenate([rows, np.arange(n)])
+            cols_d = np.concatenate([cols, np.arange(n)])
+            order = np.lexsort((cols_d, rows_d))
+            srows = rows_d[order]
+            scols = cols_d[order]
+            newgrp = np.empty(len(order), bool)
+            newgrp[0] = True
+            newgrp[1:] = ((srows[1:] != srows[:-1])
+                          | (scols[1:] != scols[:-1]))
+            grp = np.cumsum(newgrp) - 1
+            nnz = int(grp[-1]) + 1
+            slot = np.empty(len(order), np.int64)
+            slot[order] = grp
+            indices = np.zeros(nnz, np.int32)
+            indices[grp] = scols.astype(np.int32)
+            uniq_rows = np.zeros(nnz, np.int64)
+            uniq_rows[grp] = srows
+            counts = np.bincount(uniq_rows, minlength=n)
+            indptr = np.concatenate([[0], np.cumsum(counts)]) \
+                .astype(np.int64)
+            diag_slots = slot[len(rows):]
+            pat = (slot[:len(rows)], indptr, indices, nnz, diag_slots,
+                   tuple(souter_l), kmask)
+            _AC_PATTERN_CACHE[pkey] = pat
+            while len(_AC_PATTERN_CACHE) > 2:
+                _AC_PATTERN_CACHE.popitem(last=False)
+        slot, indptr, indices, nnz, diag_slots, souter_t, kmask = pat
+        data = np.concatenate(
+            [(so * np.asarray(blk.mat, np.complex128)).ravel()
+             for so, blk in zip(souter_t, blocks)]) * kmask
+        vals = (np.bincount(slot, weights=data.real, minlength=nnz)
+                + 1j * np.bincount(slot, weights=data.imag,
+                                   minlength=nnz))
+        # fixed rows become identity; empty DOFs get a unit diagonal
+        # (the singularity guard, spars.cpp:245)
+        vals[diag_slots[fixed]] = 1.0
+        zd = vals[diag_slots] == 0.0
+        if zd.any():
+            vals[diag_slots[zd]] = 1.0
+        At = sp.csr_matrix((vals, indices, indptr), shape=(n, n))
     diag = np.asarray(At.diagonal())
-    zero_d = diag == 0.0
-    if zero_d.any():
-        diag[zero_d] = 1.0
-        At = (At + sp.diags(zero_d.astype(np.float64))).tocsr()
 
     g = np.where(fixed, fvals, 0.0)
-    rhs = np.where(fixed, fvals, b128 - A @ g)
+    # b - A g needs the UNELIMINATED couplings to fixed values; apply
+    # the blocks directly instead of materializing the unfixed matrix
+    if bool(fixed.any()) and bool(np.any(fvals[fixed] != 0.0)):
+        Ag = np.zeros(n, np.complex128)
+        for blk_ in blocks:
+            idx = np.asarray(blk_.idx)
+            sgn = np.asarray(blk_.sign, np.float64)
+            mat = np.asarray(blk_.mat, np.complex128)
+            ge = sgn * g[idx]
+            ye = np.einsum("ekl,el->ek", mat, ge)
+            np.add.at(Ag, idx.reshape(-1), (sgn * ye).reshape(-1))
+    else:
+        Ag = 0.0
+    rhs = np.where(fixed, fvals, b128 - Ag)
     invd = 1.0 / diag
     res0 = abs(np.sum(invd * rhs * rhs))
     if res0 == 0.0:
@@ -984,8 +1041,14 @@ def solve_complex(blocks, b, fixed_mask, fixed_vals, tol,
             Ar = sp.csr_matrix(
                 (np.ascontiguousarray(Ap.data.real), Ap.indices, Ap.indptr),
                 shape=(n, n))
-            Ash = (Ar + sp.diags(np.abs(Ap.diagonal().imag))).tocsr()
-            Ash.sum_duplicates()
+            # shifted matrix on Ap's EXACT pattern: scipy's csr + diags
+            # PRUNES explicit zeros (the eliminated Dirichlet entries),
+            # which would desynchronize the band layout from the cached
+            # entry map the value-only refresh indexes with
+            sh0 = np.ascontiguousarray(Ap.data.real)
+            sh0[ac_dpos] = sh0[ac_dpos] + np.abs(Ap.data[ac_dpos].imag)
+            Ash = sp.csr_matrix((sh0, Ap.indices, Ap.indptr),
+                                shape=(n, n))
             est_ac = _band_bytes_estimate(Ash, band_mod.ROW_TILE)
             if est_ac <= 0.31 * device_hbm_bytes():
                 with profiling.phase("band amg setup (ac)"):
