@@ -14,7 +14,7 @@ Usage:
 
 Each row: mesh once (cached under .bench_cache as npz + the premeshed
 reference files), run the reference binary best-of-2, run ours warm
-best-of-3 (first solve = cold, also recorded).
+best-of-5 (first solve = cold, also recorded).
 """
 
 from __future__ import annotations
@@ -81,7 +81,7 @@ def _run_reference(name, prob, mesh, binary, ext):
     return best
 
 
-def _time_ours(name, solve_fn, repeats=3):
+def _time_ours(name, solve_fn, repeats=5):
     from xfemm_tpu.utils import profiling
     t0 = time.time()
     sol = solve_fn()
