@@ -487,6 +487,14 @@ class BandLevel(NamedTuple):
                                     # partitioned ordering (shared by
                                     # the f32 band and its bf16 copy)
     P_oob: "Sidecar | None" = None  # ditto for the smoothed prolongator
+    bts: "object | None" = None     # bf16 block-tridiagonal factor of
+                                    # this level's KEPT band, used as
+                                    # the level smoother in place of
+                                    # damped Jacobi (coarse analogue of
+                                    # the fine BTSmoother; built only
+                                    # when the two-level DD config is
+                                    # active, setup_band_amg
+                                    # coarse_bt_smooth)
     cperm: "np.ndarray | None" = None   # when this level's ordering is
                                     # partitioned (sidecar split), the
                                     # NEXT level is rebuilt in its own
@@ -571,7 +579,8 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
                    plan_only: bool = False,
                    fine_full: bool = False,
                    band_key: "np.ndarray | None" = None,
-                   fine_abf: bool = True):
+                   fine_abf: bool = True,
+                   coarse_bt_smooth: bool = False):
     """Build the band hierarchy (host, f64 -> device dtype). ``At`` must
     already be RCM-ordered with Dirichlet identity rows. Returns
     (BandAMG, fine_layout) -- the fine layout supports value-only
@@ -1009,12 +1018,31 @@ def setup_band_amg(At: sp.csr_matrix, dtype=np.float32, sym: bool = False,
             Abf = BandMatrix(dense=Adev.dense.astype(jnp.bfloat16),
                              shift0=Adev.shift0, cchunk=Adev.cchunk,
                              ncols=Adev.ncols)
+        bts_dev = None
+        if (coarse_bt_smooth and not first and not use_sym
+                and oob_src is not None):
+            # exact-band smoother for a split coarse level: a bf16
+            # block-tridiagonal factor of the kept band (the level's
+            # sidecar tail stays outside, like the fine BTSmoother)
+            from . import blocktri as bt_mod
+            bs_c = bt_mod.pick_block(int(cut_l))
+            fb_c = (0 if bs_c is None
+                    else bt_mod.factor_bytes(n, bs_c, 2))
+            if (bs_c is not None and 0 < fb_c <= 1.6e9
+                    and (budget_bytes is None
+                         or used + fb_c <= budget_bytes)):
+                lay_c2 = bt_mod.pack_layout(pack_target, bs_c)
+                maps_c2 = bt_mod.device_maps(lay_c2)
+                bts_dev = bt_mod.build_factor(
+                    maps_c2, pack_target.data, b=bs_c, NB=lay_c2.NB,
+                    store_dtype=jnp.bfloat16)
+                used += fb_c
         levels.append(BandLevel(
             A=Adev,
             invd=jnp.asarray(invd, dtype),
             omega=jnp.asarray(omega, dtype),
             P=Pdev, Abf=Abf, dvec=dvec, oob=oob_dev, P_oob=P_oob_dev,
-            cperm=cperm_dev, ciperm=ciperm_dev))
+            bts=bts_dev, cperm=cperm_dev, ciperm=ciperm_dev))
         A = Ac
         coords = ccoords
         band_key = ckey
@@ -1189,6 +1217,9 @@ def band_vcycle(amg: BandAMG, r, bt=None):
         if l == 0 and bt is not None:
             from .blocktri import bt_apply
             return bt_apply(bt, r)
+        if lv.bts is not None:
+            from .blocktri import bt_apply
+            return bt_apply(lv.bts, r)
         return _cheby_smooth(lv, As, r)
 
     def cycle(l, r):

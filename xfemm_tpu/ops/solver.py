@@ -1402,7 +1402,15 @@ def solve(blocks, b, fixed_mask, fixed_vals, tol,
                             budget_bytes=plan["hier_budget"],
                             fine_full=plan["fine_full"],
                             band_key=key_p,
-                            fine_abf=not plan.get("bt_smooth", False))
+                            fine_abf=not plan.get("bt_smooth", False),
+                            # coarse-level bt smoothers are wired but
+                            # OFF: at 994k the L1 factor's fused-build
+                            # transient RESOURCE_EXHAUSTED the device
+                            # next to the resident hierarchy, and the
+                            # composite's gains are unproven -- enable
+                            # via env for experiments only
+                            coarse_bt_smooth=bool(os.environ.get(
+                                "XFEMM_TPU_COARSE_BT_SMOOTH")))
                     if session.band_data_map is None:
                         session.band_data_map = _csr_perm_map(
                             At, Ap, perm, iperm)
